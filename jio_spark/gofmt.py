@@ -1,0 +1,67 @@
+"""Go ``%v`` style value rendering, for jio-shaped violation messages.
+
+The reference formats every error with ``fmt.Errorf("field `%s` value %v
+...")`` (e.g. number.go:103, string.go:102). Go's ``%v`` prints float64 with
+the shortest decimal repr — ``12.0`` → ``"12"``, ``3.1`` → ``"3.1"`` — and
+slices space-separated in brackets — ``[]float64{1,2}`` → ``"[1 2]"``. These
+helpers reproduce that for the common (test-corpus) cases, both for Python
+literals (compile-time "expected" strings) and for Spark Columns (runtime
+"actual" strings). Exotic corners (scientific notation beyond 1e15) are
+documented non-goals.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def go_repr(v: Any) -> str:
+    """Render a Python literal the way Go ``%v`` would."""
+    if v is None:
+        return "<nil>"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + " ".join(go_repr(x) for x in v) + "]"
+    return str(v)
+
+
+def go_repr_list(values: Sequence[Any]) -> str:
+    """Go %v of a slice: ``[a b c]`` (any.go:115 Valid error)."""
+    return "[" + " ".join(go_repr(v) for v in values) + "]"
+
+
+def fmt_col(col: Column, vtype: str) -> Column:
+    """Column → string Column rendered Go-%v style.
+
+    ``vtype`` is the compiler's logical type tag ('double', 'string',
+    'boolean', 'array', ...). NULL renders as ``<nil>`` (Go prints untyped
+    nil that way).
+    """
+    if vtype == "double":
+        s = col.cast("string")
+        # Spark prints 12.0 for integral doubles; Go prints 12.
+        rendered = F.regexp_replace(s, r"\.0$", "")
+    elif vtype == "boolean":
+        rendered = col.cast("string")  # 'true'/'false' like Go
+    elif vtype == "array":
+        rendered = F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(col, lambda e: F.regexp_replace(
+                    e.cast("string"), r"\.0$", "")),
+                " "),
+            F.lit("]"),
+        )
+    elif vtype in ("struct", "map"):
+        rendered = F.to_json(col)
+    else:
+        rendered = col.cast("string")
+    return F.coalesce(rendered, F.lit("<nil>"))
