@@ -1,0 +1,179 @@
+"""Minimal RIFF/WAVE codecs in pure numpy + struct — the sandbox has no
+soundfile/librosa/scipy (SURVEY.md §7 environment facts), and the reference
+has no audio at all; formats follow the public RIFF/WAVE and ITU-T G.711
+specifications.
+
+Supported WAVE format tags:
+* 1  — PCM signed 16-bit little-endian (``pcm_s16le``)
+* 6  — ITU-T G.711 A-law
+* 7  — ITU-T G.711 μ-law
+
+G.711 companding is implemented as vectorized numpy over int16 arrays
+(standard bias-133/segment encoding for μ-law, 13-bit segment encoding for
+A-law) — decode is exact table lookup, encode matches the canonical
+reference tables.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# G.711 μ-law
+
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM → uint8 μ-law (ITU-T G.711)."""
+    x = pcm.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    x = np.abs(x)
+    x = np.minimum(x, _ULAW_CLIP) + _ULAW_BIAS
+    exp = (np.floor(np.log2(x)) - 7).astype(np.int32)
+    exp = np.clip(exp, 0, 7)
+    mant = (x >> (exp + 3)) & 0x0F
+    u = ~(sign | (exp << 4) | mant) & 0xFF
+    return u.astype(np.uint8)
+
+
+def ulaw_decode(u: np.ndarray) -> np.ndarray:
+    """uint8 μ-law → int16 PCM."""
+    u = (~u.astype(np.int32)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    x = ((mant << 3) + _ULAW_BIAS) << exp
+    x = x - _ULAW_BIAS
+    return np.where(sign, -x, x).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# G.711 A-law
+
+_ALAW_CLIP = 32635
+
+
+def alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM → uint8 A-law (ITU-T G.711)."""
+    x = pcm.astype(np.int32)
+    sign = np.where(x >= 0, 0x80, 0)
+    x = np.minimum(np.abs(x), _ALAW_CLIP)
+    big = x >= 256
+    exp = np.where(big,
+                   np.floor(np.log2(np.maximum(x >> 8, 1))).astype(np.int32)
+                   + 1, 0)
+    exp = np.clip(exp, 0, 7)
+    mant = np.where(exp == 0, x >> 4, (x >> (exp + 3)) & 0x0F)
+    a = (sign | (exp << 4) | mant) ^ 0x55
+    return a.astype(np.uint8)
+
+
+def alaw_decode(a: np.ndarray) -> np.ndarray:
+    """uint8 A-law → int16 PCM."""
+    a = a.astype(np.int32) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    x = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(sign, x, -x).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# RIFF/WAVE container
+
+_FMT_PCM16 = 1
+_FMT_ALAW = 6
+_FMT_ULAW = 7
+
+_CODEC_FMT = {"pcm_s16le": _FMT_PCM16, "alaw": _FMT_ALAW, "ulaw": _FMT_ULAW}
+_FMT_CODEC = {v: k for k, v in _CODEC_FMT.items()}
+
+
+def _wav_bytes(payload: bytes, fmt: int, sr: int, bits: int) -> bytes:
+    block = bits // 8
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(payload), b"WAVE",
+        b"fmt ", 16, fmt, 1, sr, sr * block, block, bits,
+        b"data", len(payload))
+    return header + payload
+
+
+def encode_pcm16_wav(pcm: np.ndarray, sr: int) -> bytes:
+    """int16 samples → WAV (format tag 1)."""
+    return _wav_bytes(pcm.astype("<i2").tobytes(), _FMT_PCM16, sr, 16)
+
+
+def encode_ulaw_wav(pcm: np.ndarray, sr: int) -> bytes:
+    """int16 samples → μ-law WAV (format tag 7)."""
+    return _wav_bytes(ulaw_encode(pcm).tobytes(), _FMT_ULAW, sr, 8)
+
+
+def encode_alaw_wav(pcm: np.ndarray, sr: int) -> bytes:
+    """int16 samples → A-law WAV (format tag 6)."""
+    return _wav_bytes(alaw_encode(pcm).tobytes(), _FMT_ALAW, sr, 8)
+
+
+def decode_wav(raw: bytes) -> Tuple[np.ndarray, int, str]:
+    """WAV bytes → (int16 PCM, sample rate, codec name).
+
+    Raises ValueError on malformed/truncated input (drives the corrupt-
+    payload violations in FIXTURES.md §1)."""
+    if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (fmt, channels, sr, _, _, bits) = struct.unpack("<HHIIHH", raw[20:36])
+    if raw[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    (dlen,) = struct.unpack("<I", raw[40:44])
+    payload = raw[44:44 + dlen]
+    if len(payload) < dlen:
+        raise ValueError("truncated data chunk")
+    if channels != 1:
+        raise ValueError(f"unsupported channel count {channels}")
+    if fmt == _FMT_PCM16:
+        if bits != 16 or dlen % 2:
+            raise ValueError("malformed pcm16 payload")
+        pcm = np.frombuffer(payload, dtype="<i2")
+    elif fmt == _FMT_ULAW:
+        pcm = ulaw_decode(np.frombuffer(payload, dtype=np.uint8))
+    elif fmt == _FMT_ALAW:
+        pcm = alaw_decode(np.frombuffer(payload, dtype=np.uint8))
+    else:
+        raise ValueError(f"unsupported format tag {fmt}")
+    return pcm, sr, _FMT_CODEC[fmt]
+
+
+ENCODERS = {"pcm_s16le": encode_pcm16_wav, "ulaw": encode_ulaw_wav,
+            "alaw": encode_alaw_wav}
+
+
+def synth_wave(freq_hz: float, dur_ms: int, sr: int,
+               amplitude: float = 0.5) -> np.ndarray:
+    """Deterministic sine clip as int16 PCM (FIXTURES.md §1 `bytes` spec)."""
+    n = int(round(sr * dur_ms / 1000.0))
+    t = np.arange(n, dtype=np.float64) / sr
+    x = amplitude * np.sin(2.0 * np.pi * freq_hz * t)
+    return np.round(x * 32767.0).astype(np.int16)
+
+
+def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
+    """Signal-to-noise ratio of decoded vs reference (float domain)."""
+    ref = reference.astype(np.float64)
+    dec = decoded.astype(np.float64)
+    n = min(len(ref), len(dec))
+    if n == 0:
+        return float("-inf")
+    ref, dec = ref[:n], dec[:n]
+    noise = ref - dec
+    p_sig = float(np.sum(ref * ref))
+    p_noise = float(np.sum(noise * noise))
+    if p_noise == 0.0:
+        return float("inf")
+    if p_sig == 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(p_sig / p_noise)

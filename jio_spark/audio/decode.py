@@ -1,0 +1,162 @@
+"""The audio decode-and-check batch rule (north_star: "audio-specific rules
+decode bytes per codec in pandas/Arrow UDF batches and assert sr_hz/dur_ms
+consistency with decoded-PCM allclose at SNR>=30dB plus transcript equality
+versus the reference").
+
+This is the engine's one deliberately non-expression rule: byte decoding
+cannot be a Column expression, so it runs as ``mapInPandas`` over Arrow
+batches — numpy-vectorized G.711/PCM decode, zero per-row Python objects
+beyond the payload slices (input_hint bans per-row Python UDFs; Arrow
+batches are the sanctioned path).
+
+Skew: decode cost is proportional to payload length and varies by codec
+(FIXTURES.md makes codec deliberately skewed 70/20/10). ``salted_repartition``
+spreads (codec, duration-bucket) groups uniformly by hashing them together
+with a per-row salt derived from clip_id — an explicit, deterministic
+redistribution (north_star: "Salted repartitioning handles codec/duration
+skew explicitly").
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .codecs import decode_wav, snr_db
+from .synth import expected_signal, expected_transcript
+
+DECODE_RESULT_SCHEMA = (
+    "clip_id string, decode_ok boolean, codec_match boolean, "
+    "sr_match boolean, dur_match boolean, snr_db double, snr_ok boolean, "
+    "transcript_match boolean, n_samples long, error string")
+
+
+def salted_repartition(df: DataFrame, codec_col: str = "codec",
+                       dur_col: str = "dur_ms", id_col: str = "clip_id",
+                       num_partitions: Optional[int] = None,
+                       salt_buckets: int = 16) -> DataFrame:
+    """Redistribute rows so no partition is dominated by one heavy
+    (codec, duration-bucket) group: hash-partition on
+    (codec, floor(dur/2000), salt) where salt = xxhash64(clip_id) %
+    salt_buckets spreads each group over ``salt_buckets`` partitions.
+    Deterministic — no rand() — so reruns land identically."""
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    key = F.xxhash64(F.col(codec_col),
+                     F.floor(F.col(dur_col) / F.lit(2000)), salt)
+    if num_partitions:
+        return df.repartition(num_partitions, key)
+    return df.repartition(key)
+
+
+def _decode_batches(check_reference: bool, snr_threshold: float,
+                    dur_tolerance_ms: int):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "clip_id": pdf["clip_id"].values,
+                "decode_ok": np.zeros(n, dtype=bool),
+                "codec_match": np.zeros(n, dtype=bool),
+                "sr_match": np.zeros(n, dtype=bool),
+                "dur_match": np.zeros(n, dtype=bool),
+                "snr_db": np.full(n, np.nan),
+                "snr_ok": np.zeros(n, dtype=bool),
+                "transcript_match": np.zeros(n, dtype=bool),
+                "n_samples": np.zeros(n, dtype=np.int64),
+                "error": np.array([None] * n, dtype=object),
+            }
+            for j in range(n):
+                raw = pdf["bytes"].iloc[j]
+                codec = pdf["codec"].iloc[j]
+                sr_decl = int(pdf["sr_hz"].iloc[j])
+                dur_decl = int(pdf["dur_ms"].iloc[j])
+                try:
+                    pcm, sr, fmt_codec = decode_wav(bytes(raw))
+                except (ValueError, TypeError) as e:
+                    out["error"][j] = str(e)
+                    continue
+                out["decode_ok"][j] = True
+                out["n_samples"][j] = len(pcm)
+                out["codec_match"][j] = (fmt_codec == codec)
+                out["sr_match"][j] = (sr == sr_decl)
+                dur_actual = 1000.0 * len(pcm) / sr if sr else 0.0
+                out["dur_match"][j] = (abs(dur_actual - dur_decl)
+                                       <= dur_tolerance_ms)
+                if check_reference:
+                    cid = pdf["clip_id"].iloc[j]
+                    try:
+                        i = int(cid.rsplit("_", 1)[1])
+                    except (IndexError, ValueError):
+                        out["error"][j] = f"unparseable clip_id {cid}"
+                        continue
+                    ref = expected_signal(i)
+                    s = snr_db(ref, pcm)
+                    out["snr_db"][j] = s
+                    out["snr_ok"][j] = bool(s >= snr_threshold)
+                    t = pdf["transcript"].iloc[j]
+                    out["transcript_match"][j] = (
+                        t is not None and t == expected_transcript(i))
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def decode_check(df: DataFrame, check_reference: bool = True,
+                 snr_threshold: float = 30.0, dur_tolerance_ms: int = 2,
+                 salt: bool = True,
+                 num_partitions: Optional[int] = None) -> DataFrame:
+    """Decode every clip and verify the declared metadata against the
+    decoded payload; with ``check_reference`` also re-synthesize the
+    deterministic reference signal and assert SNR>=threshold + transcript
+    equality (the input_hint per-row invariant).
+
+    Returns one row per clip (DECODE_RESULT_SCHEMA). Columns are pruned to
+    exactly what the decode needs before the Arrow exchange, so parquet
+    scan pruning still applies (SURVEY.md §4.2)."""
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    slim = df.select(*cols)
+    if salt:
+        slim = salted_repartition(slim, num_partitions=num_partitions)
+    return slim.mapInPandas(
+        _decode_batches(check_reference, snr_threshold, dur_tolerance_ms),
+        DECODE_RESULT_SCHEMA)
+
+
+def decode_violations(results: DataFrame) -> DataFrame:
+    """Reshape decode-check results into the engine's standard violation
+    rows (one per failed assertion, jio error shape)."""
+    checks = [
+        ("decode_ok", "bytes", "decode", "decodable payload",
+         "payload failed to decode"),
+        ("codec_match", "codec", "codec_consistency",
+         "container format == codec", "declared codec != container format"),
+        ("sr_match", "sr_hz", "sr_consistency", "declared == decoded",
+         "declared sr_hz != decoded sample rate"),
+        ("dur_match", "dur_ms", "dur_consistency", "declared ~= decoded",
+         "declared dur_ms != decoded duration"),
+        ("snr_ok", "bytes", "snr", ">= 30dB vs reference",
+         "decoded PCM SNR below threshold vs reference"),
+        ("transcript_match", "transcript", "transcript_equality",
+         "== reference transcript", "transcript != reference"),
+    ]
+    structs = [
+        F.when(~F.col(flag), F.struct(
+            F.lit(path).alias("rule_path"),
+            F.lit(name).alias("rule_name"),
+            F.lit(expected).alias("expected"),
+            F.coalesce(F.col("error"),
+                       F.lit(msg)).alias("actual"),
+            F.concat(F.lit(f"field `{path}` "), F.lit(msg),
+                     F.lit(" (clip "), F.col("clip_id"), F.lit(")"))
+             .alias("message"))).otherwise(F.lit(None))
+        for flag, path, name, expected, msg in checks]
+    arr = F.array_compact(F.array(*structs))
+    return (results
+            .withColumn("_v", F.explode(arr))
+            .select("clip_id", "_v.rule_path", "_v.rule_name",
+                    "_v.expected", "_v.actual", "_v.message"))

@@ -1,0 +1,138 @@
+"""Distribution-drift checks: KS and PSI against a baseline snapshot
+(SURVEY.md §2.3 "sketches" row; north_star: "KS/PSI distribution-drift
+checks on dur_ms and sr_hz against a baseline snapshot").
+
+A *snapshot* is a tiny mergeable summary per column, computed in ONE
+whole-table aggregation (map-side combinable, no row shuffle):
+
+* ``quantiles`` — 101 evenly spaced approximate quantiles
+  (``percentile_approx``, Spark's built-in mergeable quantile sketch),
+* ``histogram`` — counts over fixed bins of a declared [lo, hi) range
+  (one conditional-sum expression per bin, so the whole histogram is part
+  of the same single aggregation — no groupBy),
+* ``n`` — row count.
+
+Snapshots are a few KB; KS (from the two quantile functions) and PSI (from
+the two normalized histograms) are computed driver-side in numpy. Snapshots
+round-trip through parquet so a previous run's snapshot is the baseline.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_QUANTILES = 101
+SNAPSHOT_SCHEMA = ("col_name string, n long, lo double, hi double, "
+                   "quantiles array<double>, histogram array<long>")
+
+
+@dataclass
+class HistSpec:
+    """Fixed-bin histogram declaration for one column."""
+    lo: float
+    hi: float
+    bins: int = 32
+
+
+def snapshot(df: DataFrame, specs: Dict[str, HistSpec]) -> DataFrame:
+    """Per-column snapshot rows, from a single aggregation pass."""
+    exprs = [F.count(F.lit(1)).alias("rows")]
+    ps = [i / (N_QUANTILES - 1) for i in range(N_QUANTILES)]
+    for c, spec in specs.items():
+        col = F.col(c).cast("double")
+        exprs.append(F.percentile_approx(col, ps, 10000)
+                     .alias(f"{c}__q"))
+        w = (spec.hi - spec.lo) / spec.bins
+        bucket = F.floor((col - F.lit(spec.lo)) / F.lit(w))
+        bucket = F.when(col < spec.lo, F.lit(-1)) \
+                  .when(col >= spec.hi, F.lit(spec.bins)) \
+                  .otherwise(bucket)
+        # bins + 2 conditional sums (underflow/overflow buckets included):
+        # the full histogram rides the same single agg
+        for i in range(-1, spec.bins + 1):
+            exprs.append(F.sum((bucket == i).cast("long"))
+                         .alias(f"{c}__h{i}"))
+    row = df.agg(*exprs).collect()[0].asDict()
+    n = int(row["rows"])
+    out = []
+    for c, spec in specs.items():
+        hist = [int(row[f"{c}__h{i}"] or 0)
+                for i in range(-1, spec.bins + 1)]
+        qs = row[f"{c}__q"]
+        out.append((c, n, float(spec.lo), float(spec.hi),
+                    [float(x) for x in qs] if qs else None, hist))
+    return df.sparkSession.createDataFrame(out, SNAPSHOT_SCHEMA)
+
+
+def ks_from_quantiles(q_base: Sequence[float],
+                      q_cur: Sequence[float]) -> float:
+    """Two-sample KS statistic approximated from two quantile functions:
+    sup over the merged support of |CDF_base(v) - CDF_cur(v)|, with each
+    CDF read off its (p_i → q_i) sketch by inverse interpolation."""
+    qb = np.asarray(q_base, dtype=float)
+    qc = np.asarray(q_cur, dtype=float)
+    ps = np.linspace(0.0, 1.0, len(qb))
+    pc = np.linspace(0.0, 1.0, len(qc))
+    grid = np.unique(np.concatenate([qb, qc]))
+
+    def cdf(qs, p, v):
+        # qs is nondecreasing; CDF(v) = p at the last quantile <= v
+        idx = np.searchsorted(qs, v, side="right")
+        out = np.empty_like(v, dtype=float)
+        out[:] = p[np.clip(idx - 1, 0, len(p) - 1)]
+        out[v < qs[0]] = 0.0
+        out[v >= qs[-1]] = 1.0
+        return out
+
+    return float(np.max(np.abs(cdf(qb, ps, grid) - cdf(qc, pc, grid))))
+
+
+def psi_from_histograms(h_base: Sequence[int], h_cur: Sequence[int],
+                        eps: float = 1e-4) -> float:
+    """Population Stability Index over matching fixed bins, with epsilon
+    smoothing for empty bins. Common rule of thumb: <0.1 stable,
+    0.1-0.25 moderate shift, >0.25 major shift."""
+    b = np.asarray(h_base, dtype=float)
+    c = np.asarray(h_cur, dtype=float)
+    if b.sum() == 0 or c.sum() == 0:
+        return 0.0
+    pb = np.clip(b / b.sum(), eps, None)
+    pc = np.clip(c / c.sum(), eps, None)
+    pb = pb / pb.sum()
+    pc = pc / pc.sum()
+    return float(np.sum((pc - pb) * np.log(pc / pb)))
+
+
+def drift_check(current: DataFrame, baseline: DataFrame,
+                ks_threshold: float = 0.1,
+                psi_threshold: float = 0.25) -> DataFrame:
+    """Compare two snapshot frames column by column; returns one row per
+    column with the KS and PSI statistics and pass/fail verdicts in the
+    engine's violation shape. Snapshot frames are tiny — the comparison
+    is driver-side numpy."""
+    cur = {r["col_name"]: r for r in current.collect()}
+    base = {r["col_name"]: r for r in baseline.collect()}
+    out = []
+    for c in sorted(set(cur) & set(base)):
+        rc, rb = cur[c], base[c]
+        ks = (ks_from_quantiles(rb["quantiles"], rc["quantiles"])
+              if rb["quantiles"] and rc["quantiles"] else None)
+        psi = psi_from_histograms(rb["histogram"], rc["histogram"])
+        ks_ok = ks is None or ks <= ks_threshold
+        psi_ok = psi <= psi_threshold
+        out.append((c, ks, psi, bool(ks_ok), bool(psi_ok),
+                    bool(ks_ok and psi_ok),
+                    f"field `{c}` drift ks={ks if ks is not None else -1:.4f}"
+                    f" psi={psi:.4f} thresholds ks<={ks_threshold}"
+                    f" psi<={psi_threshold}"))
+    spark = current.sparkSession
+    return spark.createDataFrame(
+        out, "col_name string, ks double, psi double, ks_pass boolean, "
+             "psi_pass boolean, pass boolean, message string")

@@ -1,0 +1,95 @@
+"""Single-pass per-column statistics (SURVEY.md §2.3 "aggregation" row).
+
+The reference has no aggregation at all; the engine computes, in ONE
+whole-table aggregation that can ride the validation scan:
+
+count, null count / null rate, min, max, mean, approximate quantiles
+(``percentile_approx`` — a mergeable KLL/GK-style sketch built into Spark),
+and distinct estimate (``approx_count_distinct`` — HyperLogLog++).
+
+All expressions are map-side combinable: at 10^12 rows the reduced state is
+a few KB per column; no row-level shuffle happens. Use ``stats_exprs`` to
+piggyback the stats onto an existing pass via ``df.agg`` or ``df.observe``
+(one source read total, SURVEY.md §4.2)."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_QUANTILES = [0.0, 0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99, 1.0]
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def stats_exprs(df: DataFrame, columns: Optional[Sequence[str]] = None,
+                quantiles: Sequence[float] = DEFAULT_QUANTILES,
+                accuracy: int = 10000) -> List[Column]:
+    """Aggregate expressions for one single-pass stats computation.
+
+    Numeric columns get min/max/mean/quantile-sketch; every column gets
+    count/nulls/approx-distinct. Binary columns get total/avg byte size
+    instead of min/max (relevant for the audio ``bytes`` column).
+    """
+    cols = list(columns) if columns is not None else df.columns
+    exprs: List[Column] = [F.count(F.lit(1)).alias("rows")]
+    for c in cols:
+        dt = df.schema[c].dataType
+        col = F.col(c)
+        exprs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        if isinstance(dt, T.BinaryType):
+            exprs.append(F.sum(F.octet_length(col)).alias(f"{c}__bytes"))
+            exprs.append(F.avg(F.octet_length(col)).alias(f"{c}__avg_bytes"))
+        else:
+            exprs.append(F.approx_count_distinct(col)
+                         .alias(f"{c}__distinct"))
+        if isinstance(dt, _NUMERIC):
+            exprs += [
+                F.min(col).alias(f"{c}__min"),
+                F.max(col).alias(f"{c}__max"),
+                F.avg(col).alias(f"{c}__mean"),
+                F.percentile_approx(col, list(quantiles), accuracy)
+                 .alias(f"{c}__quantiles"),
+            ]
+        elif isinstance(dt, T.StringType):
+            exprs += [
+                F.min(F.length(col)).alias(f"{c}__min_len"),
+                F.max(F.length(col)).alias(f"{c}__max_len"),
+                F.avg(F.length(col)).alias(f"{c}__mean_len"),
+            ]
+    return exprs
+
+
+def column_stats(df: DataFrame, columns: Optional[Sequence[str]] = None,
+                 quantiles: Sequence[float] = DEFAULT_QUANTILES,
+                 accuracy: int = 10000) -> DataFrame:
+    """One row per column: (col_name, count, nulls, null_rate, distinct,
+    min, max, mean, quantiles) — computed in a single aggregation and
+    reshaped driver-side (the agg result is one tiny row)."""
+    cols = list(columns) if columns is not None else df.columns
+    row = df.agg(*stats_exprs(df, cols, quantiles, accuracy)).collect()[0]
+    n = int(row["rows"])
+    out = []
+    for c in cols:
+        d = row.asDict()
+        nulls = int(d.get(f"{c}__nulls") or 0)
+        qs = d.get(f"{c}__quantiles")
+        out.append((
+            c, n, nulls, (nulls / n) if n else 0.0,
+            int(d[f"{c}__distinct"]) if f"{c}__distinct" in d and
+            d[f"{c}__distinct"] is not None else None,
+            float(d[f"{c}__min"]) if d.get(f"{c}__min") is not None else None,
+            float(d[f"{c}__max"]) if d.get(f"{c}__max") is not None else None,
+            float(d[f"{c}__mean"]) if d.get(f"{c}__mean") is not None
+            else None,
+            [float(x) for x in qs] if qs is not None else None,
+        ))
+    return df.sparkSession.createDataFrame(
+        out,
+        "col_name string, count long, nulls long, null_rate double, "
+        "approx_distinct long, min double, max double, mean double, "
+        "quantiles array<double>")

@@ -1,0 +1,206 @@
+"""The full validation job over the north-star clips table: schema rules +
+audio decode + uniqueness + referential + stats + drift, with per-partition
+checkpoint/resume (BASELINE.json north_rule, SURVEY.md §3.3 lifecycle).
+
+Execution shape per partition group (a group = a batch of bucket_id
+partitions, the resume granularity):
+
+    scan(group) ──┬─ rule verdicts (Catalyst exprs, codegen)  ─┐
+                  ├─ salted repartition → Arrow decode checks ─┼─ violations
+                  └─ referential left_anti (broadcast dim)    ─┘   + metrics
+    manifest.mark(group)        # written LAST → resume-safe
+
+Global steps after all groups (recorded under their own manifest keys):
+uniqueness on clip_id (duplicates span partition groups by construction)
+and the drift snapshot/check.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dsl import K, ObjectSchema
+from .engine import validate
+from .audio.decode import decode_check, decode_violations
+from .operators.drift import HistSpec, drift_check, snapshot
+from .operators.referential import referential_check
+from .operators.stats import column_stats
+from .operators.uniqueness import uniqueness_check
+from .sinks.writers import Manifest, RunSink, ruleset_fingerprint
+
+VIOLATION_COLS = ["clip_id", "rule_path", "rule_name", "expected", "actual",
+                  "message"]
+
+
+def default_clip_rules() -> ObjectSchema:
+    """The jio-style rule set for the north-star clips shape
+    (BASELINE.json input_hint)."""
+    return K.object({
+        "clip_id": K.string().required().regex(r"^clip_[0-9]{12}$"),
+        "sr_hz": K.number().required()
+                  .valid(8000, 16000, 22050, 44100).integer(),
+        "dur_ms": K.number().required().min(200).max(30000).integer(),
+        "codec": K.string().required().min(1),
+        "transcript": K.string().min(1).max(4096),
+    })
+
+
+def default_codec_dim(spark: SparkSession) -> DataFrame:
+    """FIXTURES.md §2 dim_codec."""
+    return spark.createDataFrame(
+        [("pcm_s16le", 16, "wav"), ("ulaw", 8, "wav"), ("alaw", 8, "wav")],
+        "codec string, bits_per_sample int, container string")
+
+
+DRIFT_SPECS = {"dur_ms": HistSpec(200.0, 30000.0, 32),
+               "sr_hz": HistSpec(0.0, 48000.0, 48)}
+
+
+@dataclass
+class ClipsJobConfig:
+    rules: ObjectSchema = field(default_factory=default_clip_rules)
+    partition_col: str = "bucket_id"
+    group_size: int = 8               # bucket partitions per resume group
+    audio_check: bool = True
+    check_reference: bool = True      # SNR + transcript vs synth oracle
+    snr_threshold: float = 30.0
+    uniqueness_layout: str = "any"    # clips parquet isn't key-clustered
+    drift: bool = True
+    ks_threshold: float = 0.1
+    psi_threshold: float = 0.25
+    decode_partitions: Optional[int] = None
+
+
+class ClipsValidationJob:
+    """Composable full-pass job; ``run`` returns the metrics dict and, when
+    an output root is given, persists violations / decode results /
+    metrics / manifest for resume."""
+
+    def __init__(self, spark: SparkSession,
+                 config: Optional[ClipsJobConfig] = None,
+                 codec_dim: Optional[DataFrame] = None,
+                 baseline_snapshot: Optional[DataFrame] = None):
+        self.spark = spark
+        self.cfg = config or ClipsJobConfig()
+        self.codec_dim = codec_dim
+        self.baseline = baseline_snapshot
+
+    # -- one partition group ------------------------------------------------
+
+    def group_violations(self, df: DataFrame) -> DataFrame:
+        """All per-row violations for a slice of the table (rule chain +
+        referential + audio decode), in the standard shape."""
+        res = validate(df, self.cfg.rules.clone(), id_cols=["clip_id"])
+        viols = res.violations.select(*VIOLATION_COLS)
+
+        if self.codec_dim is not None:
+            rv = referential_check(df, "codec", self.codec_dim, "codec",
+                                   id_cols=["clip_id"])
+            viols = viols.unionByName(rv.select(*VIOLATION_COLS))
+
+        if self.cfg.audio_check:
+            dec = decode_check(df, check_reference=self.cfg.check_reference,
+                               snr_threshold=self.cfg.snr_threshold,
+                               num_partitions=self.cfg.decode_partitions)
+            viols = viols.unionByName(
+                decode_violations(dec).select(*VIOLATION_COLS))
+        return viols
+
+    # -- the full job ---------------------------------------------------------
+
+    def run(self, df: DataFrame, output_root: Optional[str] = None,
+            resume: bool = False) -> Dict:
+        cfg = self.cfg
+        t0 = time.time()
+        sink = RunSink(output_root) if output_root else None
+        manifest = Manifest(output_root) if output_root else None
+
+        if sink:
+            sink.write_run_metadata({
+                "ruleset": ruleset_fingerprint(cfg.rules),
+                "partition_col": cfg.partition_col,
+                "audio_check": cfg.audio_check,
+            })
+
+        parts = sorted(r[0] for r in
+                       df.select(cfg.partition_col).distinct().collect())
+        done = manifest.completed_partitions() if (manifest and resume) \
+            else set()
+        todo = [p for p in parts if p not in done]
+        groups = [todo[i:i + cfg.group_size]
+                  for i in range(0, len(todo), cfg.group_size)]
+
+        total_viols = 0
+        rows_processed = 0
+        for gi, group in enumerate(groups):
+            gdf = df.where(F.col(cfg.partition_col).isin(group))
+            viols = self.group_violations(gdf) \
+                .join(gdf.select("clip_id", cfg.partition_col)
+                         .dropDuplicates(["clip_id"]),
+                      on="clip_id", how="left")
+            agg = gdf.agg(F.count(F.lit(1)).alias("rows")).collect()[0]
+            g_rows = int(agg["rows"])
+            if sink:
+                sink.overwrite_partitions(viols, "violations",
+                                          cfg.partition_col)
+                g_viols = -1  # counted lazily from written data if needed
+            else:
+                g_viols = viols.count()
+                total_viols += g_viols
+            rows_processed += g_rows
+            if manifest:
+                manifest.mark(f"group_{min(group)}_{max(group)}", group,
+                              {"rows": g_rows})
+
+        # global step 1: uniqueness (duplicate ids cross partition groups)
+        uniq_key = "_global_uniqueness"
+        uniq_viols = 0
+        if not (manifest and resume and uniq_key in manifest.completed()):
+            uv = uniqueness_check(df, "clip_id",
+                                  layout=cfg.uniqueness_layout)
+            if sink:
+                sink.append(uv, "uniqueness_violations", None)
+            uniq_viols = uv.count()
+            if manifest:
+                manifest.mark(uniq_key, [], {"violations": uniq_viols})
+
+        # global step 2: drift snapshot + check
+        drift_rows = []
+        if cfg.drift:
+            snap = snapshot(df, DRIFT_SPECS)
+            if sink:
+                snap.write.mode("overwrite").parquet(
+                    sink.path("snapshot"))
+            if self.baseline is not None:
+                dc = drift_check(snap, self.baseline,
+                                 ks_threshold=cfg.ks_threshold,
+                                 psi_threshold=cfg.psi_threshold)
+                drift_rows = [r.asDict() for r in dc.collect()]
+                if sink:
+                    dc.write.mode("overwrite").parquet(
+                        sink.path("drift"))
+
+        wall = time.time() - t0
+        metrics = {
+            "rows": rows_processed,
+            "partitions": len(parts),
+            "groups_run": len(groups),
+            "resumed": resume,
+            "violations": total_viols if not sink else None,
+            "uniqueness_violations": uniq_viols,
+            "drift": drift_rows,
+            "wall_sec": wall,
+            "rows_per_sec": rows_processed / wall if wall > 0 else None,
+        }
+        if sink:
+            sink.write_run_metadata({
+                "ruleset": ruleset_fingerprint(cfg.rules),
+                "metrics": {k: v for k, v in metrics.items()
+                            if k != "drift"},
+            })
+        return metrics

@@ -1,0 +1,131 @@
+"""Verdict/violation/metrics sinks + the checkpoint manifest
+(SURVEY.md §7 milestones 3 and 9; north_rule: "resumable from checkpoint
+with per-partition lineage + metrics").
+
+Layout under an output root:
+
+    <root>/violations/           parquet, partitioned by bucket_id
+    <root>/decode_results/       parquet, partitioned by bucket_id
+    <root>/metrics/              parquet (per-partition-group summaries)
+    <root>/manifest/             one JSON file per completed partition group
+    <root>/run.json              run-level lineage metadata
+
+The manifest is the resume protocol: a partition group's outputs are
+APPENDED first, its manifest record is written LAST (rename-free single
+file put — atomic on local fs and object stores). A crashed run re-runs
+only groups with no manifest record; violations for those groups may be
+partially written, so readers must join against the manifest (or the
+resumed run rewrites the group's partitions via dynamic overwrite).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ruleset_fingerprint(schema) -> str:
+    """Stable hash of a rule tree — lineage metadata tying outputs to the
+    exact rule set (the analog of citing the schema in jio's error text)."""
+
+    def node(s):
+        return {
+            "type": type(s).__name__,
+            "priority": getattr(s, "priority", 0),
+            "rules": [
+                {"name": r.name,
+                 "params": {k: (node(v) if hasattr(v, "rules") else
+                                ([node(x) for x in v]
+                                 if isinstance(v, list) and v and
+                                 hasattr(v[0], "rules") else repr(v)))
+                            for k, v in sorted(r.params.items())}}
+                for r in s.rules],
+        }
+
+    blob = json.dumps(node(schema), sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+@dataclass
+class Manifest:
+    """Per-partition-group completion records."""
+
+    root: str
+
+    @property
+    def dir(self) -> str:
+        return os.path.join(self.root, "manifest")
+
+    def completed(self) -> Dict[str, dict]:
+        out = {}
+        if not os.path.isdir(self.dir):
+            return out
+        for name in os.listdir(self.dir):
+            if name.endswith(".json"):
+                with open(os.path.join(self.dir, name)) as f:
+                    rec = json.load(f)
+                out[rec["group_key"]] = rec
+        return out
+
+    def mark(self, group_key: str, partitions: Sequence,
+             metrics: Optional[dict] = None) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        rec = {
+            "group_key": group_key,
+            "partitions": list(partitions),
+            "completed_at": time.time(),
+            "metrics": metrics or {},
+        }
+        tmp = os.path.join(self.dir, f".{group_key}.tmp")
+        final = os.path.join(self.dir, f"{group_key}.json")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, final)  # atomic on POSIX
+
+    def completed_partitions(self) -> set:
+        done = set()
+        for rec in self.completed().values():
+            done.update(rec["partitions"])
+        return done
+
+
+@dataclass
+class RunSink:
+    """Writers for one validation run."""
+
+    root: str
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def write_run_metadata(self, meta: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        meta = dict(meta)
+        meta.setdefault("run_id", self.run_id)
+        meta.setdefault("started_at", time.time())
+        with open(os.path.join(self.root, "run.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+
+    def append(self, df: DataFrame, name: str,
+               partition_col: Optional[str] = "bucket_id") -> None:
+        w = df.write.mode("append")
+        if partition_col and partition_col in df.columns:
+            w = w.partitionBy(partition_col)
+        w.parquet(self.path(name))
+
+    def overwrite_partitions(self, df: DataFrame, name: str,
+                             partition_col: str = "bucket_id") -> None:
+        """Dynamic partition overwrite: a resumed run can safely rewrite a
+        half-written group."""
+        (df.write.mode("overwrite")
+           .option("partitionOverwriteMode", "dynamic")
+           .partitionBy(partition_col)
+           .parquet(self.path(name)))

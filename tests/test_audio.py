@@ -1,0 +1,121 @@
+"""Audio codecs, deterministic synth fixture, and the decode-check batch
+rule (SURVEY.md §7 milestone 8; input_hint per-row invariant)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from jio_spark.audio.codecs import (alaw_decode, alaw_encode, decode_wav,
+                                    encode_alaw_wav, encode_pcm16_wav,
+                                    encode_ulaw_wav, snr_db, synth_wave,
+                                    ulaw_decode, ulaw_encode)
+from jio_spark.audio.synth import (clips_frame, expected_signal,
+                                   expected_transcript, make_row)
+from jio_spark.audio.decode import (decode_check, decode_violations,
+                                    salted_repartition)
+
+N = 2000  # generated clips for the distributed tests
+
+
+def test_codec_roundtrip_snr():
+    pcm = synth_wave(440.0, 500, 16000)
+    for enc, codec in [(encode_pcm16_wav, "pcm_s16le"),
+                       (encode_ulaw_wav, "ulaw"),
+                       (encode_alaw_wav, "alaw")]:
+        dec, sr, fmt = decode_wav(enc(pcm, 16000))
+        assert sr == 16000 and fmt == codec and len(dec) == len(pcm)
+        assert snr_db(pcm, dec) >= 30.0, codec
+
+
+def test_g711_monotone_and_bounded():
+    x = np.arange(-32768, 32768, 17, dtype=np.int16)
+    for enc, dec, bound in [(ulaw_encode, ulaw_decode, 1024),
+                            (alaw_encode, alaw_decode, 1024)]:
+        rt = dec(enc(x)).astype(np.int64)
+        assert np.all(np.abs(rt - x.astype(np.int64)) <= bound)
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio at all")
+    good = encode_pcm16_wav(synth_wave(440, 100, 8000), 8000)
+    with pytest.raises(ValueError):
+        decode_wav(good[: len(good) // 2])
+
+
+def test_synth_determinism_and_rates():
+    rows = [make_row(i) for i in range(5000)]
+    again = [make_row(i) for i in range(5000)]
+    assert [r[0] for r in rows] == [r[0] for r in again]
+    assert bytes(rows[17][1]) == bytes(again[17][1])
+    codecs = [r[4] for r in rows]
+    assert 0.001 <= codecs.count("opus") / 5000 <= 0.004
+    frac_pcm = codecs.count("pcm_s16le") / 5000
+    assert 0.65 <= frac_pcm <= 0.75
+    dup_ids = 5000 - len(set(r[0] for r in rows))
+    assert 1 <= dup_ids <= 15
+    nulls = sum(1 for r in rows if r[5] is None)
+    assert 10 <= nulls <= 50
+
+
+def test_clips_frame_distributed_matches_local(spark):
+    df = clips_frame(spark, 64, partitions=4)
+    rows = {r["clip_id"]: r for r in df.collect()}
+    assert len(rows) >= 63  # one dup possible
+    local = make_row(7)
+    r = rows[local[0]]
+    assert bytes(r["bytes"]) == bytes(local[1])
+    assert r["transcript"] == local[5]
+
+
+def test_decode_check_end_to_end(spark):
+    df = clips_frame(spark, N, partitions=8)
+    res = decode_check(df, check_reference=True).cache()
+    try:
+        agg = res.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~F.col("decode_ok")).cast("long")).alias("bad_decode"),
+            F.sum((F.col("decode_ok") & ~F.col("sr_match")).cast("long"))
+             .alias("sr_mismatch"),
+            F.sum((F.col("decode_ok") & ~F.col("dur_match")).cast("long"))
+             .alias("dur_mismatch"),
+            F.sum((F.col("decode_ok") & ~F.col("snr_ok")).cast("long"))
+             .alias("bad_snr"),
+            F.sum((~F.col("transcript_match")).cast("long"))
+             .alias("bad_transcript"),
+        ).collect()[0]
+        assert agg["n"] == N
+        # injected anomaly rates (FIXTURES.md §1): 0.5% each, 2% transcript
+        assert 0.001 * N <= agg["bad_decode"] <= 0.012 * N
+        assert 0.001 * N <= agg["sr_mismatch"] <= 0.012 * N
+        assert 0.001 * N <= agg["dur_mismatch"] <= 0.012 * N
+        # clean rows decode at >=30dB: bad_snr only from corrupt/sr cases
+        assert agg["bad_snr"] <= 0.02 * N
+        assert 0.01 * N <= agg["bad_transcript"] <= 0.04 * N
+
+        viols = decode_violations(res)
+        names = {r["rule_name"] for r in
+                 viols.select("rule_name").distinct().collect()}
+        assert "decode" in names and "transcript_equality" in names
+    finally:
+        res.unpersist()
+
+
+def test_clean_generation_all_pass(spark):
+    df = clips_frame(spark, 300, clean=True, partitions=4)
+    res = decode_check(df, check_reference=True)
+    agg = res.agg(
+        F.sum((~(F.col("decode_ok") & F.col("sr_match") & F.col("dur_match")
+                 & F.col("snr_ok") & F.col("transcript_match")))
+              .cast("long")).alias("bad")).collect()[0]
+    assert agg["bad"] == 0
+
+
+def test_salted_repartition_spreads_skew(spark):
+    df = clips_frame(spark, N, partitions=4)
+    parts = (salted_repartition(df, num_partitions=16)
+             .withColumn("pid", F.spark_partition_id())
+             .groupBy("pid").count().collect())
+    counts = [r["count"] for r in parts]
+    assert len(counts) >= 12  # most partitions occupied
+    assert max(counts) < 3.0 * (N / 16)  # no dominating partition

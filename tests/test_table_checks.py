@@ -1,0 +1,123 @@
+"""Table-level checks: stats, uniqueness, referential, drift
+(SURVEY.md §7 milestones 4-7)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from jio_spark.operators import (column_stats, drift_check, duplicate_ids,
+                                 referential_check, snapshot,
+                                 uniqueness_check)
+from jio_spark.operators.drift import (HistSpec, ks_from_quantiles,
+                                       psi_from_histograms)
+
+
+def test_column_stats_single_pass(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "a"), (4, 40.0, None)],
+        "id int, x double, s string")
+    stats = {r["col_name"]: r for r in column_stats(df).collect()}
+    assert stats["x"]["count"] == 4
+    assert stats["x"]["nulls"] == 1
+    assert stats["x"]["null_rate"] == 0.25
+    assert stats["x"]["min"] == 10.0 and stats["x"]["max"] == 40.0
+    assert abs(stats["x"]["mean"] - 70.0 / 3) < 1e-9
+    assert stats["x"]["quantiles"][0] == 10.0
+    assert stats["s"]["nulls"] == 1
+    assert stats["s"]["approx_distinct"] == 2
+
+
+def test_duplicate_ids_clustered(spark):
+    # key-clustered layout: repartitionByRange + sortWithinPartitions makes
+    # each key's occurrences contiguous across partition boundaries
+    rows = [(f"k{i:04d}",) for i in range(500)]
+    rows += [("k0100",), ("k0100",), ("k0499",)]   # k0100 x3, k0499 x2
+    df = (spark.createDataFrame(rows, "clip_id string")
+          .repartitionByRange(4, "clip_id"))
+    dups = {r["key"]: r["cnt"] for r in duplicate_ids(df, "clip_id")
+            .collect()}
+    assert dups == {"k0100": 3, "k0499": 2}
+
+
+def test_duplicate_ids_boundary_spanning(spark):
+    # one key filling entire middle partitions: the boundary-exchange chain
+    # must merge counts across >2 partitions
+    data = [("a",)] * 3 + [("b",)] * 40 + [("c",)] * 3
+    df = (spark.createDataFrame(data, "clip_id string")
+          .repartitionByRange(5, "clip_id"))
+    dups = {r["key"]: r["cnt"] for r in duplicate_ids(df, "clip_id")
+            .collect()}
+    assert dups == {"a": 3, "b": 40, "c": 3}
+
+    # cross-check vs the groupBy fallback path
+    v2 = uniqueness_check(df, "clip_id", layout="any").collect()
+    assert {r["clip_id"] for r in v2} == {"a", "b", "c"}
+
+
+def test_uniqueness_no_dups(spark):
+    df = (spark.createDataFrame([(f"k{i}",) for i in range(100)],
+                                "clip_id string")
+          .repartitionByRange(4, "clip_id"))
+    assert duplicate_ids(df, "clip_id").count() == 0
+
+
+def test_referential_check_broadcast(spark):
+    fact = spark.createDataFrame(
+        [(1, "pcm_s16le"), (2, "ulaw"), (3, "opus"), (4, None)],
+        "id int, codec string")
+    dim = spark.createDataFrame(
+        [("pcm_s16le",), ("ulaw",), ("alaw",)], "codec string")
+    v = referential_check(fact, "codec", dim, "codec", id_cols=["id"])
+    rows = v.collect()
+    assert [r["id"] for r in rows] == [3]
+    assert rows[0]["message"] == \
+        "field `codec` value opus not found in dimension `codec`"
+    # plan check: dimension side must be broadcast
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_referential_nulls(spark):
+    fact = spark.createDataFrame([(1, None)], "id int, codec string")
+    dim = spark.createDataFrame([("x",)], "codec string")
+    assert referential_check(fact, "codec", dim, "codec").count() == 0
+    assert referential_check(fact, "codec", dim, "codec",
+                             nulls_violate=True).count() == 1
+
+
+def test_ks_psi_pure():
+    q = [float(i) for i in range(101)]
+    assert ks_from_quantiles(q, q) == 0.0
+    shifted = [x + 30.0 for x in q]
+    assert ks_from_quantiles(q, shifted) > 0.2
+    h = [10] * 32
+    assert psi_from_histograms(h, h) == 0.0
+    hs = [0] * 16 + [20] * 16
+    assert psi_from_histograms(h, hs) > 0.25
+
+
+def test_drift_check_end_to_end(spark):
+    import math
+    base = spark.range(0, 2000).select(
+        (F.col("id") % 100).cast("double").alias("dur_ms"))
+    same = spark.range(0, 2000).select(
+        ((F.col("id") * 7) % 100).cast("double").alias("dur_ms"))
+    shifted = spark.range(0, 2000).select(
+        ((F.col("id") % 100) * 1.5).alias("dur_ms"))
+    spec = {"dur_ms": HistSpec(0.0, 160.0, 32)}
+    snap_b = snapshot(base, spec)
+    assert snap_b.count() == 1
+    ok = drift_check(snapshot(same, spec), snap_b).collect()[0]
+    assert ok["pass"], ok
+    bad = drift_check(snapshot(shifted, spec), snap_b).collect()[0]
+    assert not bad["pass"], bad
+
+
+def test_snapshot_roundtrip(spark, tmp_path):
+    df = spark.range(0, 500).select(
+        (F.col("id") % 50).cast("double").alias("x"))
+    snap = snapshot(df, {"x": HistSpec(0, 64, 16)})
+    p = str(tmp_path / "snap.parquet")
+    snap.write.mode("overwrite").parquet(p)
+    back = spark.read.parquet(p)
+    res = drift_check(back, snap).collect()[0]
+    assert res["pass"] and res["ks"] == 0.0
