@@ -1,0 +1,122 @@
+"""Benchmark harness (driver contract): runs the headline full-rule-set
+validation pass over the synthetic clips table plus a selection of the
+driver-table queries, printing ONE JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR  input tables dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  JIO_BENCH_CLIPS     clips-table rows (default 100000 — the FIXTURES.md
+                      "SF=0.1" stand-in)
+
+The headline metric follows BASELINE.json: validated clips/sec for the
+full rule-set pass (schema rules + referential + audio decode w/ SNR +
+transcript conformance + uniqueness + drift) at SF=0.1 scale. Clips
+generation is cached to parquet and excluded from timing. Query timings
+force full computation through the noop sink (a bare count() would let
+Catalyst prune the computed columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CLIPS = int(os.environ.get("JIO_BENCH_CLIPS", "100000"))
+CLIPS_CACHE = f"/tmp/jio_spark_bench/clips_{N_CLIPS}"
+
+BENCH_QUERIES = [
+    "rule_number_range", "rule_when_cross_field", "violations_shape",
+    "uniqueness", "topk_window", "text_quality", "dedup_ngram_jaccard",
+    "ann_bruteforce",
+]
+
+
+def build_spark() -> SparkSession:
+    return (SparkSession.builder
+            .master(f"local[{CPUS}]")
+            .appName("jio_spark-bench")
+            .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+            .config("spark.default.parallelism", str(CPUS))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory",
+                    os.environ.get("JIO_BENCH_DRIVER_MEM", "16g"))
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .getOrCreate())
+
+
+def ensure_clips(spark: SparkSession):
+    from jio_spark.audio.synth import write_clips
+    marker = os.path.join(CLIPS_CACHE, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_clips(spark, N_CLIPS, CLIPS_CACHE,
+                    partitions=max(CPUS * 2, 16))
+    return spark.read.parquet(CLIPS_CACHE)
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as E
+    E._ensure_workers(spark)
+
+    clips = ensure_clips(spark)
+
+    from jio_spark.runner import (ClipsJobConfig, ClipsValidationJob,
+                                  default_codec_dim)
+    # salt=False: the cached clips layout is already cost-uniform (rows
+    # land by range of i, durations i.i.d.), so a 2.2GB/20k-row binary
+    # shuffle would cost more than the skew it removes — measured. Clips
+    # layouts clustered by codec/duration should flip this on.
+    job = ClipsValidationJob(
+        spark,
+        ClipsJobConfig(group_size=16, drift=True,
+                       decode_partitions=CPUS * 3),
+        codec_dim=default_codec_dim(spark))
+    job.cfg.audio_salt = False
+
+    warm = os.environ.get("JIO_BENCH_WARMUP", "1") == "1"
+    if warm:
+        job.run(clips)   # warm page cache + python workers
+    t0 = time.time()
+    metrics = job.run(clips)
+    full_pass_sec = time.time() - t0
+    clips_per_sec = N_CLIPS / full_pass_sec
+
+    queries = {}
+    qmap = E.queries()
+    for name in BENCH_QUERIES:
+        t = time.time()
+        run_noop(qmap[name](spark, SF_DIR))
+        queries[name] = round(time.time() - t, 3)
+
+    out = {
+        "metric": "validated clips/sec (full rule-set pass)",
+        "value": round(full_pass_sec, 3),
+        "unit": "sec",
+        "clips": N_CLIPS,
+        "clips_per_sec": round(clips_per_sec, 1),
+        "cpus": CPUS,
+        "violations": metrics["violations"],
+        "uniqueness_violations": metrics["uniqueness_violations"],
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

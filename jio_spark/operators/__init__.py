@@ -8,10 +8,16 @@ from .stats import column_stats, stats_exprs
 from .uniqueness import duplicate_ids, uniqueness_check
 from .referential import referential_check
 from .drift import drift_check, snapshot
+from .dedup import (dedup_exact, embedding_dup_pairs, exact_duplicates,
+                    minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs)
+from .similarity import brute_force_topk, ivf_topk, lsh_topk
 
 __all__ = [
     "column_stats", "stats_exprs",
     "duplicate_ids", "uniqueness_check",
     "referential_check",
     "snapshot", "drift_check",
+    "exact_duplicates", "dedup_exact", "ngram_jaccard_pairs",
+    "minhash_lsh_pairs", "simhash_pairs", "embedding_dup_pairs",
+    "brute_force_topk", "lsh_topk", "ivf_topk",
 ]

@@ -1,0 +1,240 @@
+"""Deduplication operators for a training-data pipeline over ``documents``.
+
+Five standard strategies, each chosen for its scale profile:
+
+* **exact** — hash-groupBy on normalized content. One shuffle of (hash,
+  id); unique texts collapse map-side.
+* **n-gram Jaccard (inverted index)** — EXACT near-dup pairs above a
+  Jaccard threshold: explode distinct shingles → self-join on shingle
+  (the inverted-index trick: only docs sharing ≥1 shingle ever meet) →
+  count shared shingles per pair → Jaccard = shared / (|A|+|B|-shared).
+  Cost is Σ bucket² over shingle buckets, not n² over docs.
+* **MinHash + LSH** — the approximate scale path: k hash-min signatures
+  (``xxhash64`` per seed over the shingle array — pure exprs), banded into
+  b bands of r rows; docs colliding in any band become candidates, then
+  exact-Jaccard verified. Sub-quadratic; recall 1-(1-j^r)^b.
+* **SimHash** — 64-bit sign-aggregated shingle hashes; near-dups have
+  small Hamming distance; banded by 16-bit chunks for candidate
+  generation (any doc pair within Hamming ≤3 shares ≥1 exact chunk).
+* **embedding cosine** — near-dup by cosine ≥ threshold; exact
+  block-join path here, LSH-bucketed path in
+  :mod:`jio_spark.operators.similarity`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, word_ngrams
+from ..functions.vectors import cosine_similarity
+
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of identical (normalized) content: (fingerprint, n_docs,
+    doc_ids). One row per duplicated group."""
+    return (df.select(F.col(id_col),
+                      doc_fingerprint(F.col(text_col)).alias("fp"))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+            .where(F.col("n_docs") > 1))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per identical-content group (deterministic
+    survivor), implemented as a window-free groupBy + semi join."""
+    fp = doc_fingerprint(F.col(text_col)).alias("fp")
+    keep = (df.select(F.col(id_col), fp)
+            .groupBy("fp").agg(F.min(id_col).alias(id_col)))
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via inverted index (exact)
+
+
+def _shingle_frame(df: DataFrame, text_col: str, id_col: str,
+                   n: int) -> DataFrame:
+    return (df.select(F.col(id_col).alias("did"),
+                      F.array_distinct(word_ngrams(F.col(text_col), n))
+                      .alias("sh"))
+            .where(F.size("sh") > 0))
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_doc_freq: Optional[int] = None) -> DataFrame:
+    """EXACT document pairs with shingle-set Jaccard >= threshold.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many docs
+    (stopword shingles) — the standard skew guard: a shingle shared by f
+    docs contributes f² join pairs. Dropping them makes the result a
+    (documented) lower bound on Jaccard; leave None for exactness."""
+    sh = _shingle_frame(df, text_col, id_col, n)
+    sizes = sh.select("did", F.size("sh").alias("n_sh"))
+    inv = sh.select("did", F.explode("sh").alias("shingle"))
+    if max_doc_freq is not None:
+        hot = (inv.groupBy("shingle").count()
+               .where(F.col("count") > max_doc_freq).select("shingle"))
+        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.did") < F.col("b.did")))
+              .groupBy(F.col("a.did").alias("id_a"),
+                       F.col("b.did").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("shared")))
+    out = (shared
+           .join(sizes.withColumnsRenamed({"did": "id_a", "n_sh": "n_a"}),
+                 "id_a")
+           .join(sizes.withColumnsRenamed({"did": "id_b", "n_sh": "n_b"}),
+                 "id_b")
+           .withColumn("jaccard",
+                       F.col("shared").cast("double")
+                       / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b",
+                   F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (approximate scale path)
+
+_MINHASH_SEED_BASE = 0x5EED
+
+
+def minhash_signature(shingles: Column, k: int) -> Column:
+    """k-permutation MinHash signature as array<long> — one xxhash64 pass
+    per permutation over the shingle array, all inside codegen."""
+    return F.array(*[
+        F.array_min(F.transform(
+            shingles, lambda s: F.xxhash64(s, F.lit(_MINHASH_SEED_BASE + i))))
+        for i in range(k)])
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
+                      bands: int = 16, rows_per_band: int = 4,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Candidate generation by banded MinHash, then exact-Jaccard verify.
+    Recall for true Jaccard j is 1-(1-j^r)^b (r=rows_per_band, b=bands);
+    with the defaults, j=0.5 → ~0.66, j=0.8 → ~1.0. Only candidates are
+    verified, so cost is sub-quadratic in corpus size."""
+    k = bands * rows_per_band
+    sh = _shingle_frame(df, text_col, id_col, n)
+    sig = sh.select("did", "sh",
+                    minhash_signature(F.col("sh"), k).alias("sig"))
+    bands_df = sig.select(
+        "did",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                                  for r in range(rows_per_band)])
+                     .alias("bh"))
+            for b in range(bands)])).alias("bb")) \
+        .select("did", "bb.band", "bb.bh")
+    a = bands_df.alias("a")
+    b_ = bands_df.alias("b")
+    cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.did") < F.col("b.did")))
+            .select(F.col("a.did").alias("id_a"),
+                    F.col("b.did").alias("id_b"))
+            .distinct())
+    sh_a = sh.withColumnsRenamed({"did": "id_a", "sh": "sh_a"})
+    sh_b = sh.withColumnsRenamed({"did": "id_b", "sh": "sh_b"})
+    return (cand.join(sh_a, "id_a").join(sh_b, "id_b")
+            .withColumn("shared",
+                        F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("jaccard",
+                        F.col("shared").cast("double")
+                        / (F.size("sh_a") + F.size("sh_b")
+                           - F.col("shared")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash64(shingles: Column) -> Column:
+    """64-bit SimHash of a shingle array: per bit, sign of the sum of ±1
+    contributions from each shingle's xxhash64 — all Column expressions."""
+    h = F.transform(shingles, lambda s: F.xxhash64(s))
+    bit_sums = [
+        F.aggregate(
+            h, F.lit(0),
+            lambda acc, v: acc + F.when(
+                v.bitwiseAND(F.lit(1 << b) if b < 63
+                             else F.lit(-(2 ** 63))) != 0,
+                F.lit(1)).otherwise(F.lit(-1)))
+        for b in range(64)]
+    out = F.lit(0).cast("long")
+    for b, s in enumerate(bit_sums):
+        bit = F.lit(1 << b) if b < 63 else F.lit(-(2 ** 63))
+        out = out + F.when(s > 0, bit).otherwise(F.lit(0))
+    return out
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3, n: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming,
+    candidates generated by 16-bit chunk equality (pigeonhole: distance
+    ≤3 over 4 chunks ⇒ at least one chunk identical)."""
+    sh = _shingle_frame(df, text_col, id_col, n)
+    sig = sh.select("did", simhash64(F.col("sh")).alias("sim"))
+    chunks = sig.select(
+        "did", "sim",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright("sim", c * 16).bitwiseAND(F.lit(0xFFFF))
+                     .alias("ch"))
+            for c in range(4)])).alias("cc")) \
+        .select("did", "sim", "cc.chunk", "cc.ch")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.ch") == F.col("b.ch"))
+                   & (F.col("a.did") < F.col("b.did")))
+            .select(F.col("a.did").alias("id_a"),
+                    F.col("b.did").alias("id_b"),
+                    F.col("a.sim").alias("sim_a"),
+                    F.col("b.sim").alias("sim_b"))
+            .distinct())
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+
+def embedding_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine-similar pairs (block nested-loop self-join). Quadratic:
+    the correctness baseline; the scale path is the LSH-bucketed variant
+    in similarity.py."""
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).alias("v_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    return (pairs.withColumn("cos", cos)
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos")))

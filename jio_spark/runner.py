@@ -67,6 +67,7 @@ class ClipsJobConfig:
     partition_col: str = "bucket_id"
     group_size: int = 8               # bucket partitions per resume group
     audio_check: bool = True
+    audio_salt: bool = True           # salted repartition before decode
     check_reference: bool = True      # SNR + transcript vs synth oracle
     snr_threshold: float = 30.0
     uniqueness_layout: str = "any"    # clips parquet isn't key-clustered
@@ -106,6 +107,7 @@ class ClipsValidationJob:
         if self.cfg.audio_check:
             dec = decode_check(df, check_reference=self.cfg.check_reference,
                                snr_threshold=self.cfg.snr_threshold,
+                               salt=self.cfg.audio_salt,
                                num_partitions=self.cfg.decode_partitions)
             viols = viols.unionByName(
                 decode_violations(dec).select(*VIOLATION_COLS))

@@ -1,0 +1,188 @@
+"""Training-data pipeline operators: text analysis, dedup family,
+similarity search, multimodal plumbing."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from jio_spark.functions.text import (doc_fingerprint, language_id,
+                                      quality_metrics, token_count_regex,
+                                      token_count_ws, word_ngrams)
+from jio_spark.operators.dedup import (dedup_exact, embedding_dup_pairs,
+                                       exact_duplicates, minhash_lsh_pairs,
+                                       ngram_jaccard_pairs, simhash_pairs,
+                                       simhash64)
+from jio_spark.operators.similarity import (brute_force_topk, ivf_topk,
+                                            lsh_topk)
+from jio_spark.multimodal import (decode_image_stub, extract_features,
+                                  frame_sample, media_metadata)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),                                    # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),          # near dup of 1
+        (4, "completely different content about spark query engines"),
+        (5, "  The QUICK brown fox jumps over the lazy dog again and again"),
+        (6, "short text"),
+        (7, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string") \
+        .where(F.col("text").isNotNull())
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 tokens?")],
+                               "id int, t string")
+    r = df.select(token_count_ws(F.col("t")).alias("ws"),
+                  token_count_regex(F.col("t")).alias("rx")).collect()[0]
+    assert r["ws"] == 4
+    assert r["rx"] == 7  # Hello , world ! 42 tokens ?
+
+
+def test_ngrams(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")],
+                               "id int, t string")
+    rows = df.select("id", word_ngrams(F.col("t"), 3).alias("g")) \
+        .orderBy("id").collect()
+    assert rows[0]["g"] == ["a b c", "b c d"]
+    assert rows[1]["g"] == []
+
+
+def test_quality_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat sat on the mat and it is fine."),
+         (2, "x")],
+        "id int, t string")
+    m = quality_metrics(F.col("t"))
+    rows = df.select("id", *[v.alias(k) for k, v in m.items()]) \
+        .orderBy("id").collect()
+    good, tiny = rows
+    assert good["n_words"] == 10
+    assert good["stopword_ratio"] > 0.2
+    assert good["quality_score"] == 1.0
+    assert tiny["quality_score"] == 0.0  # too short
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is that for it"),
+         (2, "der hund und die katze ist nicht mit"),
+         (3, "le chat est dans la maison pour les amis"),
+         (4, "qqq zzz www")],
+        "id int, t string")
+    rows = {r["id"]: r["lang"] for r in
+            df.select("id", language_id(F.col("t")).alias("lang"))
+            .collect()}
+    assert rows == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_duplicates(docs).collect()
+    # doc 1, 2 and 5 normalize to the same content (case/whitespace)
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2, 5]
+    kept = dedup_exact(docs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 3, 4, 6}
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_minhash_lsh_recall_on_near_dups(spark, docs):
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, n=3,
+                              bands=16, rows_per_band=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # exact dups always collide in every band
+    assert (1, 2) in got
+    exact = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(docs, 0.5, 3).collect()}
+    assert got <= exact  # verification step removes false positives
+
+
+def test_simhash(spark, docs):
+    sigs = {r["doc_id"]: r["s"] for r in
+            docs.select("doc_id",
+                        simhash64(word_ngrams(F.col("text"), 2))
+                        .alias("s")).collect()}
+    assert sigs[1] == sigs[2]
+    ham13 = bin((sigs[1] ^ sigs[3]) & (2**64 - 1)).count("1")
+    ham14 = bin((sigs[1] ^ sigs[4]) & (2**64 - 1)).count("1")
+    assert ham13 < ham14
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=3, n=2).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        base = rng.randn(16)
+        rows.append((i, (base / np.linalg.norm(base))
+                     .astype(np.float32).tolist()))
+    # vec 40 = near-copy of vec 0
+    v0 = np.array(rows[0][1]) + 0.01
+    rows.append((40, (v0 / np.linalg.norm(v0)).astype(np.float32).tolist()))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_embedding_dup_pairs(spark, vectors):
+    pairs = embedding_dup_pairs(vectors, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 40)}
+
+
+def test_brute_force_topk(spark, vectors):
+    queries = vectors.where(F.col("vec_id") == 0)
+    top = brute_force_topk(vectors, queries, k=3).collect()
+    assert [r["rank"] for r in top] == [1, 2, 3]
+    assert top[0]["neighbor_id"] == 40  # the near-copy ranks first
+
+
+def test_lsh_topk_contains_near_copy(spark, vectors):
+    queries = vectors.where(F.col("vec_id") == 0)
+    top = lsh_topk(vectors, queries, k=3, dim=16, tables=8, bits=4)
+    rows = top.collect()
+    assert rows and rows[0]["neighbor_id"] == 40
+
+
+def test_ivf_topk(spark, vectors):
+    queries = vectors.where(F.col("vec_id") == 0)
+    top = ivf_topk(vectors, queries, k=3, n_centroids=4, nprobe=2).collect()
+    assert top and top[0]["neighbor_id"] == 40
+
+
+def test_multimodal_plumbing(spark):
+    rows = [(1, bytearray(b"\xFF\xD8\xFF" + b"x" * 9000)),
+            (2, bytearray(b"\x89PNG" + b"y" * 100)),
+            (3, bytearray(b""))]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    meta = {r["id"]: r for r in
+            media_metadata(df, "id", "payload").collect()}
+    assert meta["1"]["kind"] == "image/jpeg"
+    assert meta["2"]["kind"] == "image/png"
+    assert meta["3"]["n_bytes"] == 0
+
+    dec = {r["id"]: r for r in
+           decode_image_stub(df, "id", "payload").collect()}
+    assert dec["1"]["ok"] and dec["1"]["mean_pixel"] > 0
+    assert not dec["3"]["ok"] and "requires" in dec["3"]["error"]
+
+    feats = extract_features(df, "id", "payload", dim=8).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+
+    frames = frame_sample(df, "id", "payload", every_n_bytes=4096).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["id"], []).append(r["frame_idx"])
+    assert by_id["1"] == [0, 1]  # 9003 bytes -> 2 frames
