@@ -34,9 +34,12 @@ CLIPS_CACHE = f"/tmp/jio_spark_bench/clips_{N_CLIPS}"
 
 BENCH_QUERIES = [
     "rule_number_range", "rule_when_cross_field", "violations_shape",
-    "uniqueness", "topk_window", "text_quality", "dedup_ngram_jaccard",
+    "uniqueness", "topk_window", "text_quality", "dedup_minhash_lsh",
     "ann_bruteforce",
 ]
+# dedup_ngram_jaccard stays correctness-only: the exact inverted-index
+# join degenerates on the synthetic corpus's high-frequency 2-gram
+# shingles (sum f^2 blowup); MinHash+LSH is the benched scale path.
 
 
 def build_spark() -> SparkSession:
@@ -76,22 +79,22 @@ def main():
 
     from jio_spark.runner import (ClipsJobConfig, ClipsValidationJob,
                                   default_codec_dim)
-    # salt=False: the cached clips layout is already cost-uniform (rows
-    # land by range of i, durations i.i.d.), so a 2.2GB/20k-row binary
-    # shuffle would cost more than the skew it removes — measured. Clips
-    # layouts clustered by codec/duration should flip this on.
+    # decode_source='files': payload-local decode — workers read the bytes
+    # column straight from parquet row groups, bypassing the JVM→Python
+    # Arrow copy that otherwise caps decode throughput (~1.3 GB/s/node
+    # measured). See jio_spark/audio/files.py and BENCH/BASELINE.md.
     job = ClipsValidationJob(
         spark,
         ClipsJobConfig(group_size=16, drift=True,
+                       decode_source="files",
                        decode_partitions=CPUS * 3),
         codec_dim=default_codec_dim(spark))
-    job.cfg.audio_salt = False
 
     warm = os.environ.get("JIO_BENCH_WARMUP", "1") == "1"
     if warm:
-        job.run(clips)   # warm page cache + python workers
+        job.run(clips, table_root=CLIPS_CACHE)  # warm cache + workers
     t0 = time.time()
-    metrics = job.run(clips)
+    metrics = job.run(clips, table_root=CLIPS_CACHE)
     full_pass_sec = time.time() - t0
     clips_per_sec = N_CLIPS / full_pass_sec
 

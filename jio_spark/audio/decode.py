@@ -68,7 +68,8 @@ def salted_repartition(df: DataFrame, codec_col: str = "codec",
 
 
 def _decode_batches(check_reference: bool, snr_threshold: float,
-                    dur_tolerance_ms: int):
+                    dur_tolerance_ms: int,
+                    passthrough: Sequence[str] = ()):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
@@ -92,6 +93,8 @@ def _decode_batches(check_reference: bool, snr_threshold: float,
                 "n_samples": np.zeros(n, dtype=np.int64),
                 "error": np.array([None] * n, dtype=object),
             }
+            for c in passthrough:
+                out[c] = pdf[c].values
             for j in range(n):
                 try:
                     pcm, sr, fmt_codec = decode_wav(bytes(raws[j]))
@@ -127,7 +130,8 @@ def _decode_batches(check_reference: bool, snr_threshold: float,
 def decode_check(df: DataFrame, check_reference: bool = True,
                  snr_threshold: float = 30.0, dur_tolerance_ms: int = 2,
                  salt: bool = True,
-                 num_partitions: Optional[int] = None) -> DataFrame:
+                 num_partitions: Optional[int] = None,
+                 passthrough: Optional[Sequence[str]] = None) -> DataFrame:
     """Decode every clip and verify the declared metadata against the
     decoded payload; with ``check_reference`` also re-synthesize the
     deterministic reference signal and assert SNR>=threshold + transcript
@@ -136,16 +140,23 @@ def decode_check(df: DataFrame, check_reference: bool = True,
     Returns one row per clip (DECODE_RESULT_SCHEMA). Columns are pruned to
     exactly what the decode needs before the Arrow exchange, so parquet
     scan pruning still applies (SURVEY.md §4.2)."""
+    extra = [c for c in (passthrough or []) if c in df.columns]
     cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
-    slim = df.select(*cols)
+    slim = df.select(*cols, *extra)
     if salt:
         slim = salted_repartition(slim, num_partitions=num_partitions)
+    schema = DECODE_RESULT_SCHEMA
+    for c in extra:
+        schema += f", {c} {df.schema[c].dataType.simpleString()}"
     return slim.mapInPandas(
-        _decode_batches(check_reference, snr_threshold, dur_tolerance_ms),
-        DECODE_RESULT_SCHEMA)
+        _decode_batches(check_reference, snr_threshold, dur_tolerance_ms,
+                        extra),
+        schema)
 
 
-def decode_violations(results: DataFrame) -> DataFrame:
+def decode_violations(results: DataFrame,
+                      extra_cols: Optional[Sequence[str]] = None
+                      ) -> DataFrame:
     """Reshape decode-check results into the engine's standard violation
     rows (one per failed assertion, jio error shape)."""
     checks = [
@@ -174,7 +185,8 @@ def decode_violations(results: DataFrame) -> DataFrame:
              .alias("message"))).otherwise(F.lit(None))
         for flag, path, name, expected, msg in checks]
     arr = F.array_compact(F.array(*structs))
+    extra = list(extra_cols or [])
     return (results
             .withColumn("_v", F.explode(arr))
             .select("clip_id", "_v.rule_path", "_v.rule_name",
-                    "_v.expected", "_v.actual", "_v.message"))
+                    "_v.expected", "_v.actual", "_v.message", *extra))

@@ -1,0 +1,100 @@
+"""Payload-local decode: read the `bytes` column straight from parquet
+row groups inside the Python workers, bypassing the JVM→Arrow→Python
+copy of the payload entirely.
+
+Why: the classic path (scan in the JVM → Arrow batches → mapInPandas)
+moves every payload byte across the JVM/Python boundary; measured on the
+100k-clip table that boundary saturates around ~1.3 GB/s per node and the
+decode stage stops scaling with cores (SURVEY.md §4.2 bandwidth note,
+BENCH/BASELINE.md). Shipping only (file, row_group) splits and letting
+pyarrow read the column in-process turns the decode into pure worker-local
+CPU: storage → Python, one hop. At cluster scale each executor reads from
+object storage directly (pyarrow.fs handles s3:// / hdfs:// URIs the same
+way).
+
+Trade-off: the payload column must live in a real table (not an ephemeral
+DataFrame), and partition-directory values (bucket_id) are recovered from
+paths. The DataFrame-based ``decode_check`` remains for arbitrary inputs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .decode import DECODE_RESULT_SCHEMA, _decode_batches
+
+_COLUMNS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+
+
+def list_row_group_splits(root: str,
+                          partition_filter: Optional[Sequence] = None,
+                          partition_col: str = "bucket_id"
+                          ) -> List[Tuple[str, int, Optional[int]]]:
+    """(path, row_group, partition_value) splits for a parquet table dir.
+    Metadata-only: reads footers, not data. ``partition_filter`` prunes
+    whole partition directories before any footer is touched."""
+    import pyarrow.parquet as pq
+    out = []
+    wanted = set(partition_filter) if partition_filter is not None else None
+    for path in sorted(glob.glob(os.path.join(root, "**", "*.parquet"),
+                                 recursive=True)):
+        m = re.search(rf"{partition_col}=([^/]+)/", path)
+        pval = None
+        if m:
+            try:
+                pval = int(m.group(1))
+            except ValueError:
+                pval = m.group(1)
+        if wanted is not None and pval not in wanted:
+            continue
+        n_rg = pq.ParquetFile(path).metadata.num_row_groups
+        out.extend((path, rg, pval) for rg in range(n_rg))
+    return out
+
+
+def decode_check_files(spark: SparkSession, root: str,
+                       check_reference: bool = True,
+                       snr_threshold: float = 30.0,
+                       dur_tolerance_ms: int = 2,
+                       tasks_per_cpu: int = 8,
+                       partition_filter: Optional[Sequence] = None,
+                       partition_col: str = "bucket_id") -> DataFrame:
+    """Decode-and-check over a parquet clips table, payload-local.
+
+    Splits are deterministically shuffled (hash order) before round-robin
+    packing so file-size skew spreads evenly — the payload-local analog of
+    the salted repartition, without moving a single payload byte."""
+    splits = list_row_group_splits(root, partition_filter, partition_col)
+    splits = sorted(splits, key=lambda s: hash((s[0], s[1])) & 0xFFFFFFFF)
+    n_tasks = max(1, min(len(splits),
+                         spark.sparkContext.defaultParallelism
+                         * tasks_per_cpu))
+    sdf = spark.createDataFrame(
+        [(p, rg, pv) for p, rg, pv in splits],
+        f"path string, rg int, {partition_col} int") \
+        .repartition(n_tasks)
+
+    inner = _decode_batches(check_reference, snr_threshold,
+                            dur_tolerance_ms, passthrough=[partition_col])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+        for pdf in batches:
+            for path, rg, pval in zip(pdf["path"], pdf["rg"],
+                                      pdf[partition_col]):
+                tbl = pq.ParquetFile(path).read_row_group(
+                    int(rg), columns=_COLUMNS)
+                block = tbl.to_pandas()
+                block[partition_col] = pval
+                yield from inner(iter([block]))
+
+    schema = DECODE_RESULT_SCHEMA + f", {partition_col} int"
+    return sdf.mapInPandas(run, schema)

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from .dsl import K, ObjectSchema
 from .engine import validate
 from .audio.decode import decode_check, decode_violations
+from .audio.files import decode_check_files
 from .operators.drift import HistSpec, drift_check, snapshot
 from .operators.referential import referential_check
 from .operators.stats import column_stats
@@ -71,6 +72,10 @@ class ClipsJobConfig:
     check_reference: bool = True      # SNR + transcript vs synth oracle
     snr_threshold: float = 30.0
     uniqueness_layout: str = "any"    # clips parquet isn't key-clustered
+    #: 'dataframe' ships payloads through Arrow batches; 'files' reads the
+    #: payload column straight from parquet row groups in the workers
+    #: (payload-local — see audio/files.py; needs table_root in run())
+    decode_source: str = "dataframe" 
     drift: bool = True
     ks_threshold: float = 0.1
     psi_threshold: float = 0.25
@@ -93,30 +98,72 @@ class ClipsValidationJob:
 
     # -- one partition group ------------------------------------------------
 
-    def group_violations(self, df: DataFrame) -> DataFrame:
-        """All per-row violations for a slice of the table (rule chain +
-        referential + audio decode), in the standard shape."""
-        res = validate(df, self.cfg.rules.clone(), id_cols=["clip_id"])
-        viols = res.violations.select(*VIOLATION_COLS)
+    def group_violations(self, df: DataFrame, group=None,
+                         table_root: Optional[str] = None) -> DataFrame:
+        """All per-row violations for a slice of the table, in the standard
+        shape + partition column.
+
+        Scan economy (SURVEY.md §4.2 "single-pass multi-metric"): the rule
+        chain AND the referential check share ONE scan — the broadcast dim
+        lookup is appended as one more element of the per-row violations
+        array before the single explode, and the scan never reads `bytes`
+        (column pruning). The audio decode is the only second scan, reading
+        exactly (id, bytes, metadata)."""
+        ids = ["clip_id", self.cfg.partition_col]
+        res = validate(df, self.cfg.rules.clone(), id_cols=ids)
+        ann = res.prepared.withColumn(
+            "_violations", res.compiled.violations_array)
 
         if self.codec_dim is not None:
-            rv = referential_check(df, "codec", self.codec_dim, "codec",
-                                   id_cols=["clip_id"])
-            viols = viols.unionByName(rv.select(*VIOLATION_COLS))
+            dim = F.broadcast(self.codec_dim.select(
+                F.col("codec"), F.lit(True).alias("_dim_hit"))
+                .dropDuplicates(["codec"]))
+            ann = ann.join(dim, on="codec", how="left")
+            ref_fail = F.col("codec").isNotNull() & F.col("_dim_hit").isNull()
+            ref_struct = F.struct(
+                F.lit("codec").alias("rule_path"),
+                F.lit("referential").alias("rule_name"),
+                F.lit("exists in dim.codec").alias("expected"),
+                F.col("codec").alias("actual"),
+                F.concat(F.lit("field `codec` value "), F.col("codec"),
+                         F.lit(" not found in dimension `codec`"))
+                 .alias("message"))
+            ann = ann.withColumn(
+                "_violations",
+                F.when(ref_fail,
+                       F.concat("_violations", F.array(ref_struct)))
+                 .otherwise(F.col("_violations")))
+
+        viols = (ann.where(F.size("_violations") > 0)
+                 .select(*ids, F.explode("_violations").alias("_v"))
+                 .select("clip_id",
+                         *[F.col(f"_v.{c}") for c in VIOLATION_COLS[1:]],
+                         self.cfg.partition_col))
 
         if self.cfg.audio_check:
-            dec = decode_check(df, check_reference=self.cfg.check_reference,
-                               snr_threshold=self.cfg.snr_threshold,
-                               salt=self.cfg.audio_salt,
-                               num_partitions=self.cfg.decode_partitions)
+            if self.cfg.decode_source == "files" and table_root:
+                dec = decode_check_files(
+                    self.spark, table_root,
+                    check_reference=self.cfg.check_reference,
+                    snr_threshold=self.cfg.snr_threshold,
+                    partition_filter=group,
+                    partition_col=self.cfg.partition_col)
+            else:
+                dec = decode_check(
+                    df, check_reference=self.cfg.check_reference,
+                    snr_threshold=self.cfg.snr_threshold,
+                    salt=self.cfg.audio_salt,
+                    num_partitions=self.cfg.decode_partitions,
+                    passthrough=[self.cfg.partition_col])
             viols = viols.unionByName(
-                decode_violations(dec).select(*VIOLATION_COLS))
+                decode_violations(dec, extra_cols=[self.cfg.partition_col]))
         return viols
 
     # -- the full job ---------------------------------------------------------
 
     def run(self, df: DataFrame, output_root: Optional[str] = None,
-            resume: bool = False) -> Dict:
+            resume: bool = False,
+            table_root: Optional[str] = None) -> Dict:
         cfg = self.cfg
         t0 = time.time()
         sink = RunSink(output_root) if output_root else None
@@ -141,10 +188,8 @@ class ClipsValidationJob:
         rows_processed = 0
         for gi, group in enumerate(groups):
             gdf = df.where(F.col(cfg.partition_col).isin(group))
-            viols = self.group_violations(gdf) \
-                .join(gdf.select("clip_id", cfg.partition_col)
-                         .dropDuplicates(["clip_id"]),
-                      on="clip_id", how="left")
+            viols = self.group_violations(gdf, group=group,
+                                          table_root=table_root)
             agg = gdf.agg(F.count(F.lit(1)).alias("rows")).collect()[0]
             g_rows = int(agg["rows"])
             if sink:

@@ -1,0 +1,67 @@
+"""Streaming validation (engine extension — the reference is strictly
+request/response and the north_rule requires only batch+resume; this is
+the Structured-Streaming face of the same compiled rule set).
+
+Because the rule compiler emits pure Column expressions, the identical
+compiled plan applies to a streaming DataFrame unchanged: micro-batches
+get per-row verdicts and violation rows with exactly the batch semantics.
+Stateful extras (windowed violation-rate alerts) use watermarked windows.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..compiler import compile_ruleset
+from ..dsl import BaseSchema, ObjectSchema
+from ..engine import VIOLATION_FIELDS
+
+
+def validate_stream(stream_df: DataFrame,
+                    schema: Union[ObjectSchema, Dict[str, BaseSchema]],
+                    id_cols: Optional[List[str]] = None,
+                    ts_col: Optional[str] = None,
+                    watermark: str = "10 minutes",
+                    window: str = "1 minute") -> Dict[str, DataFrame]:
+    """Compile the rule set once and return streaming outputs:
+
+    * ``annotated`` — input rows + ``_pass`` + ``_violations`` (append mode)
+    * ``violations`` — exploded violation rows (append mode)
+    * ``rates`` — watermarked windowed pass/fail counts per rule window
+      (update/append with watermark), when ``ts_col`` is given
+
+    Each is an unstarted streaming DataFrame: attach ``.writeStream`` with
+    the sink of your choice.
+    """
+    compiled = compile_ruleset(stream_df, schema)
+    ids = list(id_cols) if id_cols else [stream_df.columns[0]]
+
+    prepared = compiled.prepare(stream_df)
+    annotated = (prepared
+                 .withColumn("_violations", compiled.violations_array)
+                 .withColumn("_pass", compiled.row_pass)
+                 .drop(*compiled.internal_cols))
+
+    violations = (prepared
+                  .withColumn("_violations", compiled.violations_array)
+                  .select(*ids, F.explode("_violations").alias("_v"))
+                  .select(*ids, *[F.col(f"_v.{f}").alias(f)
+                                  for f in VIOLATION_FIELDS]))
+
+    out = {"annotated": annotated, "violations": violations}
+    if ts_col:
+        rates = (prepared
+                 .withColumn("_pass", compiled.row_pass)
+                 .withWatermark(ts_col, watermark)
+                 .groupBy(F.window(F.col(ts_col), window))
+                 .agg(F.count(F.lit(1)).alias("rows"),
+                      F.sum((~F.col("_pass")).cast("long"))
+                       .alias("failed"))
+                 .select(F.col("window.start").alias("window_start"),
+                         F.col("window.end").alias("window_end"),
+                         "rows", "failed"))
+        out["rates"] = rates
+    return out

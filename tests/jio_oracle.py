@@ -1,0 +1,146 @@
+"""Pure-Python interpreter of jio leaf-chain semantics — the property-test
+oracle (SURVEY.md §5.2 item 4). Mirrors the reference's Validate loop
+(any.go:122-132): ordered rules with Skip/Abort, value mutation, then the
+final type assertion. One value per call, like the reference."""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Any, Optional, Tuple
+
+from jio_spark.dsl import BaseSchema
+
+
+def _is_number(v) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def jio_validate(schema: BaseSchema, value: Any) -> Tuple[Optional[str], Any]:
+    """Returns (err, final_value); err is the failing rule name or None."""
+    v = value
+    for spec in schema._ordered_rules():
+        name, p = spec.name, spec.params
+        if name == "optional":
+            if v is None:
+                return None, value  # skip: jio keeps value (nil)
+        elif name == "required":
+            if v is None:
+                return "required", value
+        elif name == "default":
+            if v is None:
+                v = p["value"]
+        elif name == "set":
+            v = float(p["value"]) if schema.TYPE == "double" else p["value"]
+        elif name == "equal":
+            if schema.TYPE in ("double", "string"):
+                if schema.TYPE == "double" and not _is_number(v):
+                    return "type", value
+                if schema.TYPE == "string" and not isinstance(v, str):
+                    return "type", value
+                if v != p["value"]:
+                    return "equal", value
+            else:
+                if v != p["value"] or (isinstance(v, bool) !=
+                                       isinstance(p["value"], bool)):
+                    return "equal", value
+        elif name == "valid":
+            vals = p["values"]
+            if schema.TYPE == "double":
+                if not _is_number(v):
+                    return "type", value
+                if not any(float(v) == float(x) for x in vals):
+                    return "valid", value
+            elif schema.TYPE == "string":
+                if not isinstance(v, str):
+                    return "type", value
+                if v not in vals:
+                    return "valid", value
+            else:
+                if not any(v == x and isinstance(v, bool) ==
+                           isinstance(x, bool) for x in vals):
+                    return "valid", value
+        elif name == "nmin":
+            if not _is_number(v):
+                return "type", value
+            if v < p["value"]:
+                return "min", value
+        elif name == "nmax":
+            if not _is_number(v):
+                return "type", value
+            if v > p["value"]:
+                return "max", value
+        elif name == "integer":
+            if not _is_number(v):
+                return "type", value
+            if float(v) != math.trunc(float(v)):
+                return "integer", value
+        elif name == "ceil":
+            if not _is_number(v):
+                return "type", value
+            v = float(math.ceil(v))
+        elif name == "floor":
+            if not _is_number(v):
+                return "type", value
+            v = float(math.floor(v))
+        elif name == "round":
+            if not _is_number(v):
+                return "type", value
+            # Go math.Round: half away from zero
+            v = float(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+        elif name == "parse_string":
+            if isinstance(v, str):
+                try:
+                    v = float(v)
+                except ValueError:
+                    return "parse_string", value
+        elif name == "smin":
+            if not isinstance(v, str):
+                return "type", value
+            if len(v.encode()) < p["value"]:
+                return "min", value
+        elif name == "smax":
+            if not isinstance(v, str):
+                return "type", value
+            if len(v.encode()) > p["value"]:
+                return "max", value
+        elif name == "slength":
+            if not isinstance(v, str):
+                return "type", value
+            if len(v.encode()) != p["value"]:
+                return "length", value
+        elif name == "regex":
+            if not isinstance(v, str):
+                return "type", value
+            if not re.search(p["pattern"], v):
+                return "regex", value
+        elif name == "lowercase":
+            if not isinstance(v, str):
+                return "type", value
+            v = v.lower()
+        elif name == "uppercase":
+            if not isinstance(v, str):
+                return "type", value
+            v = v.upper()
+        elif name == "strim":
+            if not isinstance(v, str):
+                return "type", value
+            v = v.strip()
+        elif name == "truthy":
+            if any(v == x and type(v) is type(x) for x in p["values"]):
+                v = True
+        elif name == "falsy":
+            if any(v == x and type(v) is type(x) for x in p["values"]):
+                v = False
+        else:
+            raise NotImplementedError(name)
+
+    # final type assertion
+    t = schema.TYPE
+    if t == "double" and not _is_number(v):
+        return "type", v
+    if t == "string" and not isinstance(v, str):
+        return "type", v
+    if t == "boolean" and not isinstance(v, bool):
+        return "type", v
+    return None, v

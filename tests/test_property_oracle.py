@@ -1,0 +1,105 @@
+"""Property tests: compiled Column verdicts vs the pure-Python jio oracle
+(SURVEY.md §5.2 item 4 — the reference has no property tests; we add them).
+
+Each Hypothesis example is a BATCH of values packed into one DataFrame so
+a whole example costs one Spark job, keeping runtime sane."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from jio_spark import K, validate
+from jio_oracle import jio_validate
+
+SETTINGS = dict(max_examples=6, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow,
+                                       HealthCheck.function_scoped_fixture])
+
+finite_doubles = st.one_of(
+    st.none(),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+              allow_infinity=False),
+    st.integers(min_value=-10**6, max_value=10**6).map(float))
+
+safe_text = st.one_of(
+    st.none(),
+    st.text(alphabet="abcXYZ019 _\t.é", min_size=0, max_size=12))
+
+
+def run_chain(spark, schema, values, dtype):
+    df = spark.createDataFrame(
+        list(zip(range(len(values)), values)), f"id int, v {dtype}")
+    res = validate(df, K.object({"v": schema.clone()}), id_cols=["id"])
+    norm = res.compiled.normalized["v"]
+    rows = (res.prepared
+            .select("id", res.compiled.row_pass.alias("p"),
+                    norm.alias("n"))
+            .orderBy("id").collect())
+    return [(r["p"], r["n"]) for r in rows]
+
+
+def check(spark, schema, values, dtype):
+    got = run_chain(spark, schema, values, dtype)
+    for val, (g_pass, g_norm) in zip(values, got):
+        err, o_val = jio_validate(schema, val)
+        assert g_pass == (err is None), \
+            f"value={val!r}: spark pass={g_pass}, oracle err={err}"
+        if err is None and isinstance(o_val, float) and g_norm is not None:
+            assert math.isclose(float(g_norm), o_val, rel_tol=1e-9,
+                                abs_tol=1e-9), (val, g_norm, o_val)
+
+
+@settings(**SETTINGS)
+@given(st.lists(finite_doubles, min_size=1, max_size=40),
+       st.floats(-100, 100, allow_nan=False),
+       st.floats(-100, 100, allow_nan=False),
+       st.booleans())
+def test_number_chains(spark, values, lo, hi, req):
+    s = K.number()
+    s = s.required() if req else s.optional()
+    s = s.min(min(lo, hi)).max(max(lo, hi))
+    check(spark, s, values, "double")
+
+
+@settings(**SETTINGS)
+@given(st.lists(finite_doubles, min_size=1, max_size=40),
+       st.sampled_from(["ceil", "floor", "round", "integer"]))
+def test_number_mutations(spark, values, op):
+    s = getattr(K.number(), op)()
+    check(spark, s, values, "double")
+
+
+@settings(**SETTINGS)
+@given(st.lists(safe_text, min_size=1, max_size=40),
+       st.integers(0, 8), st.integers(0, 16),
+       st.sampled_from(["lowercase", "uppercase", "strim_none"]))
+def test_string_chains(spark, values, lo, hi, op):
+    s = K.string().min(min(lo, hi)).max(max(lo, hi))
+    if op == "lowercase":
+        s = s.lowercase()
+    elif op == "uppercase":
+        s = s.uppercase()
+    check(spark, s, values, "string")
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.one_of(st.none(),
+                          st.text(alphabet="0123456789.xab", min_size=0,
+                                  max_size=8)),
+                min_size=1, max_size=40))
+def test_parse_string_chain(spark, values):
+    s = K.number().parse_string().min(-1e9).max(1e9)
+    # Go ParseFloat and Spark try_cast diverge on corner spellings like
+    # "." or "0x1p3"; restrict to plain decimal-ish inputs (dialect note
+    # in SURVEY.md §7 "exactness corners")
+    check(spark, s, values, "string")
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.one_of(st.none(), st.sampled_from(
+    ["on", "off", "yes", "no", "maybe", ""])), min_size=1, max_size=30))
+def test_bool_coercions(spark, values):
+    s = K.bool().truthy("on", "yes").falsy("off", "no")
+    check(spark, s, values, "string")

@@ -1,0 +1,65 @@
+"""spark-submit entry point for the full validation job (north_rule:
+"ships as spark-submit --py-files modules").
+
+Package + submit:
+
+    python tools/make_pyfiles.py                 # -> dist/jio_spark.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/jio_spark.zip \\
+        tools/submit_job.py \\
+        --input /path/clips_parquet --output /path/run_out \\
+        [--resume] [--no-audio] [--baseline /path/snapshot]
+
+The job reads the clips table (parquet locally, Iceberg via --format
+iceberg on a cluster with the runtime jars), runs the full rule set, and
+writes violations / metrics / manifest under --output; --resume re-runs
+only partition groups missing from the manifest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "iceberg"])
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-audio", action="store_true")
+    ap.add_argument("--no-reference", action="store_true",
+                    help="skip SNR/transcript checks vs the synth oracle")
+    ap.add_argument("--baseline", default=None,
+                    help="drift baseline snapshot parquet")
+    ap.add_argument("--group-size", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    spark = SparkSession.builder.appName("jio_spark-validate").getOrCreate()
+
+    from jio_spark.runner import (ClipsJobConfig, ClipsValidationJob,
+                                  default_codec_dim)
+    from jio_spark.sources.tables import TableAdapter
+
+    adapter = TableAdapter(fmt=args.format)
+    df = adapter.read(spark, args.input)
+    baseline = (spark.read.parquet(args.baseline)
+                if args.baseline else None)
+    cfg = ClipsJobConfig(group_size=args.group_size,
+                         audio_check=not args.no_audio,
+                         check_reference=not args.no_reference,
+                         drift=baseline is not None)
+    job = ClipsValidationJob(spark, cfg,
+                             codec_dim=default_codec_dim(spark),
+                             baseline_snapshot=baseline)
+    metrics = job.run(df, output_root=args.output, resume=args.resume)
+    print(json.dumps({k: v for k, v in metrics.items() if k != "drift"}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
