@@ -138,6 +138,49 @@ def q_rule_parse_string(spark, sf):
         .select("event_id", "k_val", "k_pass")
 
 
+def q_rule_nested_json(spark, sf):
+    """JSON payload column parsed to a struct, nested object rules applied
+    (the reference's nested Keys walk, object.go:139-169, over a parsed
+    document column)."""
+    ev = _t(spark, sf, "events").withColumn(
+        "props_parsed", F.from_json("props", "k int"))
+    res = validate(ev, K.object({
+        "props_parsed": K.object({
+            "k": K.number().required().min(10).max(90)}),
+    }), id_cols=["event_id"])
+    return res.prepared.select(
+        "event_id", res.compiled.row_pass.alias("props_pass"))
+
+
+def q_rule_all_strings(spark, sf):
+    """The ValidateQuery idiom (jio.go:78-95): every input is a string,
+    ParseString + range rules recover typed semantics."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("string").alias("qty_str"))
+    res = validate(li, K.object({
+        "qty_str": K.number().parse_string().min(1).max(50)}),
+        id_cols=["l_orderkey", "l_linenumber"])
+    return res.prepared.withColumns(
+        {"qty_parsed": res.compiled.normalized["qty_str"],
+         "qty_pass": res.compiled.row_pass}) \
+        .select("l_orderkey", "l_linenumber", "qty_parsed", "qty_pass")
+
+
+def q_agg_pricing_summary(spark, sf):
+    """TPC-H Q1-style grouped aggregation; decimal sums are exact so the
+    cross-engine value hash matches bit-for-bit."""
+    li = _t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                         .cast("double"), 2).alias("sum_qty"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               .cast("decimal(22,4)")).cast("double"), 2)
+                  .alias("sum_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
 def q_violations_shape(spark, sf):
     li = _t(spark, sf, "lineitem")
     res = validate(li, K.object({
@@ -354,6 +397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_string_normalize": q_rule_string_normalize,
         "rule_when_cross_field": q_rule_when_cross_field,
         "rule_parse_string": q_rule_parse_string,
+        "rule_nested_json": q_rule_nested_json,
+        "rule_all_strings": q_rule_all_strings,
+        "agg_pricing_summary": q_agg_pricing_summary,
         "violations_shape": q_violations_shape,
         "summary_counts": q_summary_counts,
         "agg_stats_exact": q_agg_stats_exact,
@@ -451,6 +497,30 @@ def oracle_sql() -> dict[str, str]:
                         ELSE TRY_CAST(json_extract_string(props, '$.k')
                              AS DOUBLE) BETWEEN 0 AND 100 END AS k_pass
             FROM events""",
+        "rule_nested_json": """
+            SELECT event_id,
+                   (CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+                              AS INT) IS NULL THEN FALSE
+                         ELSE TRY_CAST(json_extract_string(props, '$.k')
+                              AS INT) BETWEEN 10 AND 90 END) AS props_pass
+            FROM events""",
+        "rule_all_strings": """
+            SELECT l_orderkey, l_linenumber,
+                   TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
+                     AS qty_parsed,
+                   CASE WHEN l_quantity IS NULL THEN TRUE
+                        ELSE TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
+                             BETWEEN 1 AND 50 END AS qty_pass
+            FROM lineitem""",
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE, 2)
+                     AS sum_qty,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(22,4)))::DOUBLE,
+                         2) AS sum_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem GROUP BY 1, 2""",
         "violations_shape": f"""
             SELECT l_orderkey, l_linenumber,
                    'l_quantity' AS rule_path,
