@@ -167,6 +167,127 @@ def q_rule_all_strings(spark, sf):
         .select("l_orderkey", "l_linenumber", "qty_parsed", "qty_pass")
 
 
+def q_rule_bool_truthy(spark, sf):
+    """Truthy/Falsy coercion (bool.go:94-113): listed values coerce to
+    true/false; an uncoerced non-null value fails the final bool type
+    check (bool.go:126-130)."""
+    o = _t(spark, sf, "orders")
+    res = validate(o, K.object({
+        "o_orderstatus": K.bool().truthy("F").falsy("O")}),
+        id_cols=["o_orderkey"])
+    return res.prepared.withColumn(
+        "status_bool",
+        F.coalesce(res.compiled.normalized["o_orderstatus"].cast("string"),
+                   F.lit("null"))) \
+        .select("o_orderkey", "status_bool",
+                res.compiled.row_pass.alias("status_pass"))
+
+
+def q_rule_number_mutations(spark, sf):
+    """Ceil/Floor/Round value mutations (number.go:173-185); Round is Go
+    math.Round half-away-from-zero, compiled as
+    signum*floor(abs+0.5) (SURVEY.md §2.2 row 11)."""
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        (F.col("value") - F.lit(17.5)).alias("v_ceil"),
+        (F.col("value") - F.lit(17.5)).alias("v_floor"),
+        (F.col("value") - F.lit(17.5)).alias("v_round"))
+    res = validate(ev, K.object({
+        "v_ceil": K.number().ceil(),
+        "v_floor": K.number().floor(),
+        "v_round": K.number().round()}), id_cols=["event_id"])
+    return res.normalized.select("event_id", "v_ceil", "v_floor", "v_round")
+
+
+def q_rule_default(spark, sf):
+    """Default substitution on nil (any.go:67-74) + jio's write-back
+    rule (object.go:163-165): the mutated value is only written back
+    when the field's chain completes, so `va` (default passes min)
+    normalizes to 0.0 while `vb` (negative default fails min) keeps the
+    original NULL. Nulls are synthesized deterministically."""
+    nullable = F.when(F.col("event_id") % 7 == 0,
+                      F.lit(None).cast("double")).otherwise(F.col("value"))
+    ev = _t(spark, sf, "events").select(
+        "event_id", nullable.alias("va"), nullable.alias("vb"))
+    res = validate(ev, K.object({
+        "va": K.number().default(0.0).min(0),
+        "vb": K.number().default(-1.0).min(0)}), id_cols=["event_id"])
+    return res.prepared.withColumns(
+        {"va_norm": res.compiled.normalized["va"],
+         "vb_norm": res.compiled.normalized["vb"]}) \
+        .select("event_id", "va_norm", "vb_norm",
+                res.compiled.row_pass.alias("row_pass"))
+
+
+def q_rule_array_items(spark, sf):
+    """Array rules (array.go:94-144): size bounds + Items sub-schema
+    applied to every element (string byte-length max)."""
+    d = _t(spark, sf, "documents")
+    ws = words(F.col("text"))
+    dd = d.select("doc_id", ws.alias("ws"))
+    res = validate(dd, K.object({
+        "ws": K.array().required().min(3)
+               .items(K.string().max(5))}), id_cols=["doc_id"])
+    return res.prepared.select(
+        "doc_id", F.size("ws").cast("long").alias("n_items"),
+        res.compiled.row_pass.alias("arr_pass"))
+
+
+def q_rule_with_without(spark, sf):
+    """Object With (object.go:94-109) on a MapType payload: real key
+    presence via map_contains_key; key deterministically dropped for
+    event_id % 3 == 0."""
+    ev = _t(spark, sf, "events")
+    parsed = F.from_json("props", "map<string,string>")
+    m = F.when(F.col("event_id") % 3 == 0,
+               F.map_filter(parsed, lambda k, _: k != F.lit("k"))) \
+        .otherwise(parsed)
+    dd = ev.select("event_id", m.alias("m"))
+    res = validate(dd, K.object({
+        "m": K.object().with_keys("k")}), id_cols=["event_id"])
+    return res.prepared.select(
+        "event_id", res.compiled.row_pass.alias("m_pass"))
+
+
+def q_rule_alphanum_token(spark, sf):
+    """Alphanum (string.go:170-172) and Token (string.go:175-177)
+    anchored-regex rules, per-rule verdicts from the compiled entries."""
+    d = _t(spark, sf, "documents")
+    s8 = F.substring("text", 1, 8)
+    dd = d.select("doc_id", s8.alias("sa"), s8.alias("st"))
+    res = validate(dd, K.object({
+        "sa": K.string().required().alphanum(),
+        "st": K.string().required().token()}), id_cols=["doc_id"])
+    ea = next(e for e in res.compiled.entries
+              if e.path == "sa" and e.rule_name == "alphanum")
+    et = next(e for e in res.compiled.entries
+              if e.path == "st" and e.rule_name == "token")
+    return res.prepared.select(
+        "doc_id", F.col("sa").alias("s8"),
+        F.coalesce(ea.evaluated & ea.passed, F.lit(False))
+            .alias("alnum_pass"),
+        F.coalesce(et.evaluated & et.passed, F.lit(False))
+            .alias("token_pass"))
+
+
+def q_drift_psi(spark, sf):
+    """PSI drift from fixed-bin histograms (SURVEY.md §2.3 sketches row):
+    each histogram rides one whole-table aggregation; baseline = even
+    event_ids, current = odd. Exact (no approx sketch) so DuckDB can
+    replicate the epsilon-smoothed PSI bit-for-bit."""
+    from jio_spark.operators.drift import (HistSpec, psi_from_histograms,
+                                           snapshot)
+    ev = _t(spark, sf, "events")
+    specs = {"value": HistSpec(0.0, 100.0, 10)}
+    base = snapshot(ev.where(F.col("event_id") % 2 == 0), specs)
+    cur = snapshot(ev.where(F.col("event_id") % 2 == 1), specs)
+    hb = base.collect()[0]["histogram"]
+    hc = cur.collect()[0]["histogram"]
+    psi = psi_from_histograms(hb, hc)
+    return spark.createDataFrame(
+        [("value", round(psi, 6))], "col_name string, psi double")
+
+
 def q_agg_pricing_summary(spark, sf):
     """TPC-H Q1-style grouped aggregation; decimal sums are exact so the
     cross-engine value hash matches bit-for-bit."""
@@ -399,6 +520,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_parse_string": q_rule_parse_string,
         "rule_nested_json": q_rule_nested_json,
         "rule_all_strings": q_rule_all_strings,
+        "rule_bool_truthy": q_rule_bool_truthy,
+        "rule_number_mutations": q_rule_number_mutations,
+        "rule_default": q_rule_default,
+        "rule_array_items": q_rule_array_items,
+        "rule_with_without": q_rule_with_without,
+        "rule_alphanum_token": q_rule_alphanum_token,
+        "drift_psi": q_drift_psi,
         "agg_pricing_summary": q_agg_pricing_summary,
         "violations_shape": q_violations_shape,
         "summary_counts": q_summary_counts,
@@ -512,6 +640,71 @@ def oracle_sql() -> dict[str, str]:
                         ELSE TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
                              BETWEEN 1 AND 50 END AS qty_pass
             FROM lineitem""",
+        "rule_bool_truthy": """
+            SELECT o_orderkey,
+                   coalesce(CASE WHEN o_orderstatus = 'F' THEN 'true'
+                                 WHEN o_orderstatus = 'O' THEN 'false'
+                                 ELSE NULL END, 'null') AS status_bool,
+                   (o_orderstatus IS NULL
+                    OR o_orderstatus IN ('F', 'O')) AS status_pass
+            FROM orders""",
+        "rule_number_mutations": """
+            SELECT event_id,
+                   ceil(value - 17.5) + 0.0 AS v_ceil,
+                   floor(value - 17.5) AS v_floor,
+                   CASE WHEN value - 17.5 < 0
+                        THEN -floor(abs(value - 17.5) + 0.5)
+                        ELSE floor(abs(value - 17.5) + 0.5) END AS v_round
+            FROM events""",
+        "rule_default": """
+            SELECT event_id,
+                   CASE WHEN event_id % 7 = 0 THEN 0.0
+                        ELSE value END AS va_norm,
+                   CASE WHEN event_id % 7 = 0 THEN NULL
+                        ELSE value END AS vb_norm,
+                   (event_id % 7) <> 0 AS row_pass
+            FROM events""",
+        "rule_array_items": f"""
+            WITH t AS (SELECT doc_id, {_WS_WORDS} AS ws FROM documents)
+            SELECT doc_id, len(ws)::BIGINT AS n_items,
+                   (len(ws) >= 3 AND
+                    len(list_filter(ws, x -> strlen(x) > 5)) = 0)
+                     AS arr_pass
+            FROM t""",
+        "rule_with_without": """
+            SELECT event_id, (event_id % 3) <> 0 AS m_pass
+            FROM events""",
+        "rule_alphanum_token": """
+            SELECT doc_id, substring(text, 1, 8) AS s8,
+                   regexp_matches(substring(text, 1, 8),
+                                  '^[a-zA-Z0-9]+$') AS alnum_pass,
+                   regexp_matches(substring(text, 1, 8),
+                                  '^\\w+$') AS token_pass
+            FROM documents""",
+        "drift_psi": """
+            WITH b AS (
+              SELECT CASE WHEN value < 0 THEN -1
+                          WHEN value >= 100 THEN 10
+                          ELSE CAST(floor(value / 10) AS INT) END AS bin,
+                     event_id % 2 = 0 AS is_base
+              FROM events WHERE value IS NOT NULL),
+            bins AS (SELECT i AS bin FROM generate_series(-1, 10) t(i)),
+            cb AS (SELECT bin,
+                          count(*) FILTER (is_base) AS nb,
+                          count(*) FILTER (NOT is_base) AS nc
+                   FROM b GROUP BY 1),
+            j AS (SELECT bins.bin, coalesce(nb, 0)::DOUBLE AS nb,
+                         coalesce(nc, 0)::DOUBLE AS nc
+                  FROM bins LEFT JOIN cb USING (bin)),
+            p AS (SELECT greatest(nb / (SELECT sum(nb) FROM j), 1e-4) AS pb,
+                         greatest(nc / (SELECT sum(nc) FROM j), 1e-4) AS pc
+                  FROM j),
+            n AS (SELECT pb / (SELECT sum(pb) FROM p) AS pb2,
+                         pc / (SELECT sum(pc) FROM p) AS pc2
+                  FROM p)
+            SELECT 'value' AS col_name,
+                   round(sum((pc2 - pb2) * ln(pc2 / pb2)), 6) AS psi
+            FROM n""",
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE, 2)
