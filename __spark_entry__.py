@@ -312,6 +312,21 @@ def q_violations_shape(spark, sf):
         "expected", "actual", "message")
 
 
+def q_first_violation(spark, sf):
+    """Strict jio single-error conformance: ValidateJSON carries ONE
+    ctx.Err — the first failure in walk order stops the sibling walk
+    (object.go:160-162) — so a row failing both rules reports only the
+    earlier field's violation."""
+    li = _t(spark, sf, "lineitem")
+    res = validate(li, K.object({
+        "l_quantity": K.number().max(30),
+        "l_returnflag": K.string().valid("A", "N")}),
+        id_cols=["l_orderkey", "l_linenumber"])
+    return res.first_violations.select(
+        "l_orderkey", "l_linenumber", "rule_path", "rule_name",
+        "expected", "actual", "message")
+
+
 def q_summary_counts(spark, sf):
     li = _t(spark, sf, "lineitem")
     res = validate(li, K.object({
@@ -529,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "agg_pricing_summary": q_agg_pricing_summary,
         "violations_shape": q_violations_shape,
+        "first_violation": q_first_violation,
         "summary_counts": q_summary_counts,
         "agg_stats_exact": q_agg_stats_exact,
         "uniqueness": q_uniqueness,
@@ -725,6 +741,22 @@ def oracle_sql() -> dict[str, str]:
                    ' exceeded 30' AS message
             FROM lineitem
             WHERE l_quantity IS NOT NULL AND l_quantity > 30""",
+        "first_violation": f"""
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN qfail THEN 'l_quantity'
+                        ELSE 'l_returnflag' END AS rule_path,
+                   CASE WHEN qfail THEN 'max' ELSE 'valid' END AS rule_name,
+                   CASE WHEN qfail THEN '<= 30' ELSE '[A N]' END AS expected,
+                   CASE WHEN qfail THEN {go_num.format(v='l_quantity')}
+                        ELSE l_returnflag END AS actual,
+                   CASE WHEN qfail THEN 'field `l_quantity` value ' ||
+                             {go_num.format(v='l_quantity')} ||
+                             ' exceeded 30'
+                        ELSE 'field `l_returnflag` value ' || l_returnflag
+                             || ' not in [A N]' END AS message
+            FROM (SELECT *, l_quantity IS NOT NULL AND l_quantity > 30
+                       AS qfail FROM lineitem)
+            WHERE qfail OR l_returnflag NOT IN ('A', 'N')""",
         "summary_counts": """
             WITH t AS (SELECT l_quantity q FROM lineitem)
             SELECT 'required' AS rule_name,
