@@ -312,6 +312,55 @@ def q_violations_shape(spark, sf):
         "expected", "actual", "message")
 
 
+def q_rule_equal_set_integer(spark, sf):
+    """Equal (any.go:84-91 / typed string.go:82-89), Set (any.go:77-81,
+    unconditional replacement visible in the normalized output), and
+    Integer (number.go:150-157, trunc-equality constraint) — threaded
+    through jio's sibling-walk stop: once a field fails, later fields are
+    neither evaluated nor written back (object.go:160-162), so `int_pass`
+    requires `eq_pass` and `tag_norm` stays original unless both earlier
+    fields passed."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_linestatus",
+        (F.col("l_quantity") / 2.0).alias("qty_half"),
+        F.col("l_returnflag").alias("tag"))
+    res = validate(li, K.object({
+        "l_linestatus": K.string().equal("F"),
+        "qty_half": K.number().integer(),
+        "tag": K.string().set("checked")}),
+        id_cols=["l_orderkey", "l_linenumber"])
+    ee = next(e for e in res.compiled.entries
+              if e.path == "l_linestatus" and e.rule_name == "equal")
+    ei = next(e for e in res.compiled.entries
+              if e.path == "qty_half" and e.rule_name == "integer")
+    return res.prepared.withColumn(
+        "tag_norm", res.compiled.normalized["tag"]) \
+        .select("l_orderkey", "l_linenumber",
+                F.coalesce(ee.evaluated & ee.passed, F.lit(False))
+                    .alias("eq_pass"),
+                F.coalesce(ei.evaluated & ei.passed, F.lit(False))
+                    .alias("int_pass"),
+                "tag_norm")
+
+
+def q_rule_when_priority(spark, sf):
+    """When + SetPriority mutation visibility (string_test.go:92-111,
+    object.go:17-26): the referenced field evaluates first (priority 1),
+    so the When condition sees its NORMALIZED (uppercased) value; the
+    engine resolves this at compile time by substituting the referenced
+    field's normalized expression."""
+    ev = _t(spark, sf, "events")
+    res = validate(ev, K.object({
+        "event_type": K.string().required().set_priority(1).uppercase(),
+        "props": K.string().when("event_type", "ERROR",
+                                 K.string().min(10)),
+    }), id_cols=["event_id"])
+    return res.prepared.withColumn(
+        "etype_norm", res.compiled.normalized["event_type"]) \
+        .select("event_id", "etype_norm",
+                res.compiled.row_pass.alias("len_pass"))
+
+
 def q_first_violation(spark, sf):
     """Strict jio single-error conformance: ValidateJSON carries ONE
     ctx.Err — the first failure in walk order stops the sibling walk
@@ -545,6 +594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "violations_shape": q_violations_shape,
         "first_violation": q_first_violation,
+        "rule_equal_set_integer": q_rule_equal_set_integer,
+        "rule_when_priority": q_rule_when_priority,
         "summary_counts": q_summary_counts,
         "agg_stats_exact": q_agg_stats_exact,
         "uniqueness": q_uniqueness,
@@ -757,6 +808,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, l_quantity IS NOT NULL AND l_quantity > 30
                        AS qfail FROM lineitem)
             WHERE qfail OR l_returnflag NOT IN ('A', 'N')""",
+        "rule_equal_set_integer": """
+            SELECT l_orderkey, l_linenumber,
+                   l_linestatus = 'F' AS eq_pass,
+                   (l_linestatus = 'F' AND
+                    (l_quantity / 2.0) = floor(l_quantity / 2.0))
+                     AS int_pass,
+                   CASE WHEN l_linestatus = 'F' AND
+                             (l_quantity / 2.0) = floor(l_quantity / 2.0)
+                        THEN 'checked' ELSE l_returnflag END AS tag_norm
+            FROM lineitem""",
+        "rule_when_priority": """
+            SELECT event_id, upper(event_type) AS etype_norm,
+                   CASE WHEN upper(event_type) = 'ERROR'
+                        THEN strlen(props) >= 10
+                        ELSE TRUE END AS len_pass
+            FROM events""",
         "summary_counts": """
             WITH t AS (SELECT l_quantity q FROM lineitem)
             SELECT 'required' AS rule_name,

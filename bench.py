@@ -87,7 +87,8 @@ def main():
         spark,
         ClipsJobConfig(group_size=16, drift=True,
                        decode_source="files",
-                       decode_partitions=CPUS * 3),
+                       decode_partitions=CPUS * 3,
+                       group_concurrency=4),
         codec_dim=default_codec_dim(spark))
 
     warm = os.environ.get("JIO_BENCH_WARMUP", "1") == "1"

@@ -41,8 +41,9 @@ def ulaw_encode(pcm: np.ndarray) -> np.ndarray:
     return u.astype(np.uint8)
 
 
-def ulaw_decode(u: np.ndarray) -> np.ndarray:
-    """uint8 μ-law → int16 PCM."""
+def _ulaw_decode_arith(u: np.ndarray) -> np.ndarray:
+    """uint8 μ-law → int16 PCM (reference arithmetic form; used to build
+    the 256-entry LUT below)."""
     u = (~u.astype(np.int32)) & 0xFF
     sign = u & 0x80
     exp = (u >> 4) & 0x07
@@ -50,6 +51,16 @@ def ulaw_decode(u: np.ndarray) -> np.ndarray:
     x = ((mant << 3) + _ULAW_BIAS) << exp
     x = x - _ULAW_BIAS
     return np.where(sign, -x, x).astype(np.int16)
+
+
+_ULAW_LUT = _ulaw_decode_arith(np.arange(256, dtype=np.uint8))
+
+
+def ulaw_decode(u: np.ndarray) -> np.ndarray:
+    """uint8 μ-law → int16 PCM via 256-entry table lookup — one gather per
+    sample instead of ~8 int32 array ops; the decode hot path is
+    memory-bandwidth-bound at high core counts (BENCH/BASELINE.md)."""
+    return _ULAW_LUT[u]
 
 
 # ---------------------------------------------------------------------------
@@ -73,14 +84,23 @@ def alaw_encode(pcm: np.ndarray) -> np.ndarray:
     return a.astype(np.uint8)
 
 
-def alaw_decode(a: np.ndarray) -> np.ndarray:
-    """uint8 A-law → int16 PCM."""
+def _alaw_decode_arith(a: np.ndarray) -> np.ndarray:
+    """uint8 A-law → int16 PCM (reference arithmetic form; LUT source)."""
     a = a.astype(np.int32) ^ 0x55
     sign = a & 0x80
     exp = (a >> 4) & 0x07
     mant = a & 0x0F
     x = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
     return np.where(sign, x, -x).astype(np.int16)
+
+
+_ALAW_LUT = _alaw_decode_arith(np.arange(256, dtype=np.uint8))
+
+
+def alaw_decode(a: np.ndarray) -> np.ndarray:
+    """uint8 A-law → int16 PCM via 256-entry table lookup (see
+    ulaw_decode)."""
+    return _ALAW_LUT[a]
 
 
 # ---------------------------------------------------------------------------
@@ -117,6 +137,43 @@ def encode_ulaw_wav(pcm: np.ndarray, sr: int) -> bytes:
 def encode_alaw_wav(pcm: np.ndarray, sr: int) -> bytes:
     """int16 samples → A-law WAV (format tag 6)."""
     return _wav_bytes(alaw_encode(pcm).tobytes(), _FMT_ALAW, sr, 8)
+
+
+def parse_wav(raw: bytes) -> Tuple[np.ndarray, int, str]:
+    """WAV bytes → (coded samples as a ZERO-COPY view, sample rate, codec
+    name) without decoding: int16 view for pcm_s16le, uint8 view of the
+    companded bytes for G.711. One sample per element either way, so
+    ``len()`` is the decoded sample count.
+
+    Raises ValueError on malformed/truncated input (drives the corrupt-
+    payload violations in FIXTURES.md §1)."""
+    if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (fmt, channels, sr, _, _, bits) = struct.unpack("<HHIIHH", raw[20:36])
+    if raw[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    (dlen,) = struct.unpack("<I", raw[40:44])
+    payload = raw[44:44 + dlen]
+    if len(payload) < dlen:
+        raise ValueError("truncated data chunk")
+    if channels != 1:
+        raise ValueError(f"unsupported channel count {channels}")
+    if fmt == _FMT_PCM16:
+        if bits != 16 or dlen % 2:
+            raise ValueError("malformed pcm16 payload")
+        return np.frombuffer(payload, dtype="<i2"), sr, _FMT_CODEC[fmt]
+    if fmt in (_FMT_ULAW, _FMT_ALAW):
+        return np.frombuffer(payload, dtype=np.uint8), sr, _FMT_CODEC[fmt]
+    raise ValueError(f"unsupported format tag {fmt}")
+
+
+def decode_coded(samples: np.ndarray, codec: str) -> np.ndarray:
+    """Coded-sample view from :func:`parse_wav` → int16 PCM."""
+    if codec == "ulaw":
+        return ulaw_decode(samples)
+    if codec == "alaw":
+        return alaw_decode(samples)
+    return samples
 
 
 def decode_wav(raw: bytes) -> Tuple[np.ndarray, int, str]:
@@ -188,18 +245,61 @@ def synth_wave(freq_hz: float, dur_ms: int, sr: int,
 
 
 def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
-    """Signal-to-noise ratio of decoded vs reference (float domain)."""
-    ref = reference.astype(np.float64)
-    dec = decoded.astype(np.float64)
-    n = min(len(ref), len(dec))
+    """Signal-to-noise ratio of decoded vs reference (float domain).
+
+    Computed in float32 with BLAS dot products: int16 inputs are exact in
+    float32, and pairwise-summed sdot keeps the relative error ~1e-7 —
+    irrelevant against a 30 dB threshold — while halving the memory
+    traffic of the float64 form (this is the hottest loop of the decode
+    stage; see BENCH/BASELINE.md bandwidth note)."""
+    n = min(len(reference), len(decoded))
     if n == 0:
         return float("-inf")
-    ref, dec = ref[:n], dec[:n]
-    noise = ref - dec
-    p_sig = float(np.sum(ref * ref))
-    p_noise = float(np.sum(noise * noise))
+    ref = reference[:n].astype(np.float32)
+    noise = ref - decoded[:n].astype(np.float32)
+    p_sig = float(np.dot(ref, ref))
+    p_noise = float(np.dot(noise, noise))
     if p_noise == 0.0:
         return float("inf")
     if p_sig == 0.0:
         return float("-inf")
-    return 10.0 * np.log10(p_sig / p_noise)
+    return 10.0 * float(np.log10(p_sig / p_noise))
+
+
+_SNR_BLOCK = 1 << 17  # samples per block: f32 temporaries stay ~1.5 MB
+
+
+def snr_db_vs_period(coded: np.ndarray, codec: str,
+                     period: np.ndarray, n_ref: int) -> float:
+    """SNR of ``decode(coded)`` against a periodic reference, equivalent
+    to ``snr_db(np.tile(period, ...)[:n_ref], decode_coded(coded, codec))``
+    but FUSED and cache-blocked: the decoded clip and the tiled reference
+    are never materialized — each ≤128k-sample block is decoded, cast, and
+    dot-producted while resident in L2. At 32 cores on one socket the
+    unfused form is DRAM-bandwidth-bound (~24 bytes/sample of temporary
+    traffic vs ~3 here); this is what keeps the decode stage scaling with
+    cores (BENCH/BASELINE.md)."""
+    n = min(n_ref, len(coded))
+    if n == 0:
+        return float("-inf")
+    lut = {"ulaw": _ULAW_LUT, "alaw": _ALAW_LUT}.get(codec)
+    plen = len(period)
+    blk = min(_SNR_BLOCK, n)
+    reps = (blk + plen) // plen + 1
+    buf = np.tile(period, reps)[:blk + plen].astype(np.float32)
+    p_sig = p_noise = 0.0
+    off = 0
+    while off < n:
+        m = min(blk, n - off)
+        d = coded[off:off + m]
+        d = (d if lut is None else lut[d]).astype(np.float32)
+        r = buf[off % plen:off % plen + m]
+        nz = r - d
+        p_sig += float(np.dot(r, r))
+        p_noise += float(np.dot(nz, nz))
+        off += m
+    if p_noise == 0.0:
+        return float("inf")
+    if p_sig == 0.0:
+        return float("-inf")
+    return 10.0 * float(np.log10(p_sig / p_noise))

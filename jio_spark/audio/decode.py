@@ -27,8 +27,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .codecs import decode_wav, snr_db
-from .synth import expected_signal, expected_transcript
+from .codecs import parse_wav, snr_db_vs_period
+from .synth import expected_period, expected_transcript
 
 DECODE_RESULT_SCHEMA = (
     "clip_id string, decode_ok boolean, codec_match boolean, "
@@ -97,15 +97,17 @@ def _decode_batches(check_reference: bool, snr_threshold: float,
                 out[c] = pdf[c].values
             for j in range(n):
                 try:
-                    pcm, sr, fmt_codec = decode_wav(bytes(raws[j]))
+                    # zero-copy parse; decode is fused into the blocked
+                    # SNR scan below (never materializes the full PCM)
+                    coded, sr, fmt_codec = parse_wav(bytes(raws[j]))
                 except (ValueError, TypeError) as e:
                     out["error"][j] = str(e)
                     continue
                 out["decode_ok"][j] = True
-                out["n_samples"][j] = len(pcm)
+                out["n_samples"][j] = len(coded)
                 out["codec_match"][j] = (fmt_codec == codecs[j])
                 out["sr_match"][j] = (sr == int(srs[j]))
-                dur_actual = 1000.0 * len(pcm) / sr if sr else 0.0
+                dur_actual = 1000.0 * len(coded) / sr if sr else 0.0
                 out["dur_match"][j] = (abs(dur_actual - int(durs[j]))
                                        <= dur_tolerance_ms)
                 if check_reference:
@@ -115,8 +117,8 @@ def _decode_batches(check_reference: bool, snr_threshold: float,
                     except (IndexError, ValueError):
                         out["error"][j] = f"unparseable clip_id {cid}"
                         continue
-                    ref = expected_signal(i)
-                    s = snr_db(ref, pcm)
+                    period, n_ref = expected_period(i)
+                    s = snr_db_vs_period(coded, fmt_codec, period, n_ref)
                     out["snr_db"][j] = s
                     out["snr_ok"][j] = bool(s >= snr_threshold)
                     t = transcripts[j]

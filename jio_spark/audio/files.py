@@ -86,12 +86,19 @@ def decode_check_files(spark: SparkSession, root: str,
                             dur_tolerance_ms, passthrough=[partition_col])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
         import pyarrow.parquet as pq
+        # ONE core per task: parallelism belongs to Spark's scheduler.
+        # pyarrow's implicit per-process thread pool (cpu_count threads in
+        # EVERY python worker) oversubscribes the box and silently borrows
+        # cores the task wasn't allocated — which also corrupts any
+        # fixed-core scaling measurement.
+        pa.set_cpu_count(1)
         for pdf in batches:
             for path, rg, pval in zip(pdf["path"], pdf["rg"],
                                       pdf[partition_col]):
                 tbl = pq.ParquetFile(path).read_row_group(
-                    int(rg), columns=_COLUMNS)
+                    int(rg), columns=_COLUMNS, use_threads=False)
                 block = tbl.to_pandas()
                 block[partition_col] = pval
                 yield from inner(iter([block]))

@@ -91,6 +91,20 @@ def expected_signal(i: int, clean: bool = False) -> np.ndarray:
     return synth_wave(freq, dur, sr)
 
 
+def expected_period(i: int, clean: bool = False):
+    """(one exact reference period, expected sample count) for clip i —
+    the compact form of :func:`expected_signal` consumed by the fused
+    blocked SNR check (codecs.snr_db_vs_period): the reference is never
+    tiled to full length. Falls back to the full signal as a length-n
+    'period' if the frequency were ever non-integral."""
+    from .codecs import _one_period
+    _, freq, sr, dur, _, _ = _row_params(i, clean)
+    n = int(round(sr * dur / 1000.0))
+    if float(freq).is_integer():
+        return _one_period(freq, sr, 0.5), n
+    return synth_wave(freq, dur, sr), n
+
+
 def make_row(i: int, clean: bool = False):
     """One clip row (FIXTURES.md §1), anomalies injected unless clean."""
     clip_id, freq, sr, dur, codec, transcript = _row_params(i, clean)

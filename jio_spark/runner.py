@@ -80,6 +80,11 @@ class ClipsJobConfig:
     ks_threshold: float = 0.1
     psi_threshold: float = 0.25
     decode_partitions: Optional[int] = None
+    #: submit this many partition groups as concurrent Spark jobs — the
+    #: tail tasks of one group overlap the next group's scan instead of
+    #: idling the cluster at each group barrier (resume granularity is
+    #: unchanged: a group is still marked only when fully written)
+    group_concurrency: int = 1
 
 
 class ClipsValidationJob:
@@ -186,7 +191,8 @@ class ClipsValidationJob:
 
         total_viols = 0
         rows_processed = 0
-        for gi, group in enumerate(groups):
+
+        def run_group(group):
             gdf = df.where(F.col(cfg.partition_col).isin(group))
             viols = self.group_violations(gdf, group=group,
                                           table_root=table_root)
@@ -195,14 +201,25 @@ class ClipsValidationJob:
             if sink:
                 sink.overwrite_partitions(viols, "violations",
                                           cfg.partition_col)
-                g_viols = -1  # counted lazily from written data if needed
+                g_viols = None  # counted lazily from written data if needed
             else:
                 g_viols = viols.count()
-                total_viols += g_viols
-            rows_processed += g_rows
-            if manifest:
+            if manifest:  # marked LAST, after the group's writes → resume-safe
                 manifest.mark(f"group_{min(group)}_{max(group)}", group,
                               {"rows": g_rows})
+            return group, g_rows, g_viols
+
+        if cfg.group_concurrency > 1 and len(groups) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(cfg.group_concurrency) as pool:
+                results = list(pool.map(run_group, groups))
+        else:
+            results = [run_group(g) for g in groups]
+
+        for group, g_rows, g_viols in results:
+            if g_viols is not None:
+                total_viols += g_viols
+            rows_processed += g_rows
 
         # global step 1: uniqueness (duplicate ids cross partition groups)
         uniq_key = "_global_uniqueness"

@@ -42,7 +42,8 @@ cache = {cache!r}
 clips = spark.read.parquet(cache)
 job = ClipsValidationJob(
     spark, ClipsJobConfig(group_size=16, drift=True,
-                          decode_source="files"),
+                          decode_source="files",
+                          group_concurrency=4),
     codec_dim=default_codec_dim(spark))
 
 job.run(clips, table_root=cache)  # warm-up
