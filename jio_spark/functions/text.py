@@ -38,16 +38,33 @@ def token_count_regex(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(r"(\w+|[^\w\s])"), 1))
 
 
+def ngrams_of_words(ws: Column, n: int) -> Column:
+    """Word n-gram shingles (space-joined) from an ALREADY-TOKENIZED
+    array column. Built from n-1 ``zip_with`` folds over n shifted
+    slices — O(w·n) total work. The naive per-position
+    ``transform(sequence, i -> array_join(slice(ws, i, n)))`` form is
+    ~10× slower: Catalyst inlines the ``ws`` subexpression into the
+    lambda, so every element re-evaluates the tokenizer split.
+
+    Pass a materialized words column (separate projection), not
+    ``words(text)`` inline, or the same inlining recomputes the split
+    once per slice."""
+    size = F.size(ws)
+    m = size - (n - 1)
+    parts = [F.slice(ws, i + 1, m) for i in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.zip_with(out, p,
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(size >= n, out) \
+        .otherwise(F.array().cast("array<string>"))
+
+
 def word_ngrams(col: Column, n: int) -> Column:
-    """Word n-gram shingles (space-joined), the dedup unit. Returns an
-    empty array for texts shorter than n words."""
-    ws = words(col)
-    return F.when(
-        F.size(ws) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - n),
-            lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
-    ).otherwise(F.array().cast("array<string>"))
+    """Word n-gram shingles of a raw text column. Returns an empty array
+    for texts shorter than n words. (For hot paths, tokenize into its own
+    projection first and use :func:`ngrams_of_words` — see its note.)"""
+    return ngrams_of_words(words(col), n)
 
 
 def quality_metrics(col: Column) -> Dict[str, Column]:

@@ -28,7 +28,7 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import doc_fingerprint, word_ngrams
+from ..functions.text import doc_fingerprint, ngrams_of_words, words
 from ..functions.vectors import cosine_similarity
 
 
@@ -64,8 +64,12 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 
 def _shingle_frame(df: DataFrame, text_col: str, id_col: str,
                    n: int) -> DataFrame:
-    return (df.select(F.col(id_col).alias("did"),
-                      F.array_distinct(word_ngrams(F.col(text_col), n))
+    # tokenize in its own projection so the ngram fold references the
+    # words ARRAY, not the tokenizer expression (see ngrams_of_words)
+    ws = df.select(F.col(id_col).alias("did"),
+                   words(F.col(text_col)).alias("ws"))
+    return (ws.select("did",
+                      F.array_distinct(ngrams_of_words(F.col("ws"), n))
                       .alias("sh"))
             .where(F.size("sh") > 0))
 
