@@ -233,6 +233,21 @@ def q_rule_array_items(spark, sf):
         res.compiled.row_pass.alias("arr_pass"))
 
 
+def q_rule_items_or(spark, sf):
+    """Items with MULTIPLE alternative schemas (array.go:94-114): an
+    element passes if it satisfies ANY of the given schemas (OR across
+    schemas), and the array passes if every element does (AND across
+    elements)."""
+    d = _t(spark, sf, "documents")
+    dd = d.select("doc_id", words(F.col("text")).alias("ws"))
+    res = validate(dd, K.object({
+        "ws": K.array().required()
+               .items(K.string().max(4), K.string().regex("^s"))}),
+        id_cols=["doc_id"])
+    return res.prepared.select(
+        "doc_id", res.compiled.row_pass.alias("items_pass"))
+
+
 def q_rule_with_without(spark, sf):
     """Object With (object.go:94-109) on a MapType payload: real key
     presence via map_contains_key; key deterministically dropped for
@@ -588,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_number_mutations": q_rule_number_mutations,
         "rule_default": q_rule_default,
         "rule_array_items": q_rule_array_items,
+        "rule_items_or": q_rule_items_or,
         "rule_with_without": q_rule_with_without,
         "rule_alphanum_token": q_rule_alphanum_token,
         "drift_psi": q_drift_psi,
@@ -737,6 +753,12 @@ def oracle_sql() -> dict[str, str]:
                    (len(ws) >= 3 AND
                     len(list_filter(ws, x -> strlen(x) > 5)) = 0)
                      AS arr_pass
+            FROM t""",
+        "rule_items_or": f"""
+            WITH t AS (SELECT doc_id, {_WS_WORDS} AS ws FROM documents)
+            SELECT doc_id,
+                   len(list_filter(ws, x -> NOT (strlen(x) <= 4
+                       OR regexp_matches(x, '^s')))) = 0 AS items_pass
             FROM t""",
         "rule_with_without": """
             SELECT event_id, (event_id % 3) <> 0 AS m_pass
