@@ -2,14 +2,15 @@
 (SURVEY.md §2.3 "sketches" row; north_star: "KS/PSI distribution-drift
 checks on dur_ms and sr_hz against a baseline snapshot").
 
-A *snapshot* is a tiny mergeable summary per column, computed in ONE
-whole-table aggregation (map-side combinable, no row shuffle):
+A *snapshot* is a tiny mergeable summary per column, computed in two
+map-side-combinable aggregation passes (no row-level shuffle — only
+partial aggregates move):
 
 * ``quantiles`` — 101 evenly spaced approximate quantiles
   (``percentile_approx``, Spark's built-in mergeable quantile sketch),
 * ``histogram`` — counts over fixed bins of a declared [lo, hi) range
-  (one conditional-sum expression per bin, so the whole histogram is part
-  of the same single aggregation — no groupBy),
+  (bucket index computed once per row, counted via explode + groupBy
+  with partial aggregation — see ``snapshot``),
 * ``n`` — row count.
 
 Snapshots are a few KB; KS (from the two quantile functions) and PSI (from
@@ -41,30 +42,51 @@ class HistSpec:
     bins: int = 32
 
 
-def snapshot(df: DataFrame, specs: Dict[str, HistSpec]) -> DataFrame:
-    """Per-column snapshot rows, from a single aggregation pass."""
+def snapshot(df: DataFrame, specs: Dict[str, HistSpec],
+             accuracy: int = 2500) -> DataFrame:
+    """Per-column snapshot rows: one aggregation pass for count +
+    quantile sketches, one bucket-and-count pass for ALL histograms.
+
+    The histogram pass computes each row's bucket index ONCE and counts
+    via explode + groupBy — O(1) work per (row, column) with map-side
+    combine, so at most tasks × bins partial rows ever shuffle. (The
+    previous form rode the single agg as bins+2 conditional sums — O(bins)
+    CASE evaluations per row, which dominated the snapshot cost: 3.1 s vs
+    ~0.5 s for 82 bins over 400k rows.)
+
+    ``accuracy`` is the ``percentile_approx`` relative-rank error bound
+    (1/accuracy); 2500 perturbs the derived KS statistic by ≤ ~0.01
+    against a 0.1 threshold at half the sketch cost of 10000."""
     exprs = [F.count(F.lit(1)).alias("rows")]
     ps = [i / (N_QUANTILES - 1) for i in range(N_QUANTILES)]
     for c, spec in specs.items():
+        exprs.append(F.percentile_approx(F.col(c).cast("double"), ps,
+                                         accuracy).alias(f"{c}__q"))
+    row = df.agg(*exprs).collect()[0].asDict()
+    n = int(row["rows"])
+
+    buckets = []
+    for c, spec in specs.items():
         col = F.col(c).cast("double")
-        exprs.append(F.percentile_approx(col, ps, 10000)
-                     .alias(f"{c}__q"))
         w = (spec.hi - spec.lo) / spec.bins
         bucket = F.floor((col - F.lit(spec.lo)) / F.lit(w))
         bucket = F.when(col < spec.lo, F.lit(-1)) \
                   .when(col >= spec.hi, F.lit(spec.bins)) \
                   .otherwise(bucket)
-        # bins + 2 conditional sums (underflow/overflow buckets included):
-        # the full histogram rides the same single agg
-        for i in range(-1, spec.bins + 1):
-            exprs.append(F.sum((bucket == i).cast("long"))
-                         .alias(f"{c}__h{i}"))
-    row = df.agg(*exprs).collect()[0].asDict()
-    n = int(row["rows"])
+        buckets.append(F.struct(F.lit(c).alias("col_name"),
+                                bucket.cast("int").alias("bin")))
+    counts = (df.select(F.explode(F.array(*buckets)).alias("p"))
+              .select("p.col_name", "p.bin")
+              .where(F.col("bin").isNotNull())  # nulls uncounted, as before
+              .groupBy("col_name", "bin")
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .collect())
+    hists = {c: {} for c in specs}
+    for r in counts:
+        hists[r["col_name"]][int(r["bin"])] = int(r["cnt"])
     out = []
     for c, spec in specs.items():
-        hist = [int(row[f"{c}__h{i}"] or 0)
-                for i in range(-1, spec.bins + 1)]
+        hist = [hists[c].get(i, 0) for i in range(-1, spec.bins + 1)]
         qs = row[f"{c}__q"]
         out.append((c, n, float(spec.lo), float(spec.hi),
                     [float(x) for x in qs] if qs else None, hist))
