@@ -209,45 +209,57 @@ class ClipsValidationJob:
                               {"rows": g_rows})
             return group, g_rows, g_viols
 
-        if cfg.group_concurrency > 1 and len(groups) > 1:
+        # global step 1: uniqueness (duplicate ids cross partition groups)
+        def run_uniqueness():
+            uniq_key = "_global_uniqueness"
+            if manifest and resume and uniq_key in manifest.completed():
+                return 0
+            uv = uniqueness_check(df, "clip_id",
+                                  layout=cfg.uniqueness_layout)
+            if sink:
+                sink.append(uv, "uniqueness_violations", None)
+            n = uv.count()
+            if manifest:
+                manifest.mark(uniq_key, [], {"violations": n})
+            return n
+
+        # global step 2: drift snapshot + check
+        def run_drift():
+            if not cfg.drift:
+                return []
+            snap = snapshot(df, DRIFT_SPECS)
+            if sink:
+                snap.write.mode("overwrite").parquet(
+                    sink.path("snapshot"))
+            if self.baseline is None:
+                return []
+            dc = drift_check(snap, self.baseline,
+                             ks_threshold=cfg.ks_threshold,
+                             psi_threshold=cfg.psi_threshold)
+            rows = [r.asDict() for r in dc.collect()]
+            if sink:
+                dc.write.mode("overwrite").parquet(sink.path("drift"))
+            return rows
+
+        if cfg.group_concurrency > 1:
+            # the read-only global steps overlap the group jobs: Spark
+            # schedules all of them; no step depends on another's output
             from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(cfg.group_concurrency) as pool:
+            with ThreadPoolExecutor(cfg.group_concurrency + 2) as pool:
+                uniq_f = pool.submit(run_uniqueness)
+                drift_f = pool.submit(run_drift)
                 results = list(pool.map(run_group, groups))
+                uniq_viols = uniq_f.result()
+                drift_rows = drift_f.result()
         else:
             results = [run_group(g) for g in groups]
+            uniq_viols = run_uniqueness()
+            drift_rows = run_drift()
 
         for group, g_rows, g_viols in results:
             if g_viols is not None:
                 total_viols += g_viols
             rows_processed += g_rows
-
-        # global step 1: uniqueness (duplicate ids cross partition groups)
-        uniq_key = "_global_uniqueness"
-        uniq_viols = 0
-        if not (manifest and resume and uniq_key in manifest.completed()):
-            uv = uniqueness_check(df, "clip_id",
-                                  layout=cfg.uniqueness_layout)
-            if sink:
-                sink.append(uv, "uniqueness_violations", None)
-            uniq_viols = uv.count()
-            if manifest:
-                manifest.mark(uniq_key, [], {"violations": uniq_viols})
-
-        # global step 2: drift snapshot + check
-        drift_rows = []
-        if cfg.drift:
-            snap = snapshot(df, DRIFT_SPECS)
-            if sink:
-                snap.write.mode("overwrite").parquet(
-                    sink.path("snapshot"))
-            if self.baseline is not None:
-                dc = drift_check(snap, self.baseline,
-                                 ks_threshold=cfg.ks_threshold,
-                                 psi_threshold=cfg.psi_threshold)
-                drift_rows = [r.asDict() for r in dc.collect()]
-                if sink:
-                    dc.write.mode("overwrite").parquet(
-                        sink.path("drift"))
 
         wall = time.time() - t0
         metrics = {
