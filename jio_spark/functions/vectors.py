@@ -24,6 +24,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def normalize(a: Column) -> Column:
+    """Unit-normalize. CAUTION: as a single expression the norm
+    subexpression is inlined into the per-element lambda (O(d²) work per
+    row — lambda scoping defeats codegen CSE). For hot paths, materialize
+    ``l2_norm`` in its own projection and divide by the column instead."""
     n = l2_norm(a)
     return F.transform(a, lambda v: v / n)
 

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, ngrams_of_words, words
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import dot, l2_norm
 
 
 # ---------------------------------------------------------------------------
@@ -233,12 +233,15 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.95,
     """Exact cosine-similar pairs (block nested-loop self-join). Quadratic:
     the correctness baseline; the scale path is the LSH-bucketed variant
     in similarity.py."""
-    a = df.select(F.col(id_col).alias("id_a"),
-                  F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"),
-                  F.col(vec_col).alias("v_b"))
+    v = F.col(vec_col)
+    a = df.select(F.col(id_col).alias("id_a"), v.alias("v_a"),
+                  l2_norm(v).alias("n_a"))
+    b = df.select(F.col(id_col).alias("id_b"), v.alias("v_b"),
+                  l2_norm(v).alias("n_b"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    # norms precomputed per input row (below the join), not per pair;
+    # same dot/(sqrt·sqrt) expression shape → scores bit-identical
+    cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (pairs.withColumn("cos", cos)
             .where(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 6).alias("cos")))

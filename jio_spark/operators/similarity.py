@@ -24,9 +24,27 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, dot, l2_norm
+from ..functions.vectors import dot, l2_norm
 
 _HP_SEED = 0xA11CE
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str, id_alias: str,
+               vec_alias: str, n_alias: str) -> DataFrame:
+    """Project (id, vec, ||vec||): norms are computed once per INPUT row,
+    below the join, so scoring J pairs costs J dots — not J dots + 2J
+    norm recomputations (cosine_similarity inlined at the pair level
+    re-derives both norms per pair; at corpus scale that triples the
+    flops of the scoring stage)."""
+    v = F.col(vec_col)
+    return df.select(F.col(id_col).alias(id_alias), v.alias(vec_alias),
+                     l2_norm(v).alias(n_alias))
+
+
+def _cos(va: str, vb: str, na: str, nb: str) -> Column:
+    # same expression shape as cosine_similarity (dot / (sqrt*sqrt)) so
+    # scores are bit-identical to the unfactored form / the SQL oracle
+    return dot(F.col(va), F.col(vb)) / (F.col(na) * F.col(nb))
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -43,17 +61,15 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """Exact top-k cosine neighbors: broadcast queries × scan corpus.
     At 10^12 corpus rows this is one full scan per query batch — the
     correct baseline and often the right answer when queries are few."""
-    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                   F.col(vec_col).alias("q_vec")))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
+    q = F.broadcast(_with_norm(queries, id_col, vec_col,
+                               "query_id", "q_vec", "q_n"))
+    c = _with_norm(corpus, id_col, vec_col, "neighbor_id", "c_vec", "c_n")
     pairs = c.crossJoin(q)
     if exclude_self:
         pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id", "neighbor_id",
-        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
-         .alias("score"))
+        F.round(_cos("q_vec", "c_vec", "q_n", "c_n"), 6).alias("score"))
     return _rank_topk(scored, k)
 
 
@@ -85,27 +101,28 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """Random-hyperplane LSH top-k: join corpus and queries on
     (table, sign-bucket); score only collisions. Expected candidate
     fraction ≈ tables × 2^-bits of the corpus per query."""
-    def with_buckets(df, id_alias, vec_alias):
-        v = F.col(vec_col)
+    def with_buckets(df, id_alias, vec_alias, n_alias):
+        base = _with_norm(df, id_col, vec_col, id_alias, vec_alias,
+                          n_alias)
+        v = F.col(vec_alias)
         b = F.explode(F.array(*[
             F.struct(F.lit(t).alias("tbl"),
                      _bucket_expr(v, dim, t, bits).alias("bkt"))
             for t in range(tables)])).alias("tb")
-        return (df.select(F.col(id_col).alias(id_alias),
-                          v.alias(vec_alias), b)
-                  .select(id_alias, vec_alias, "tb.tbl", "tb.bkt"))
+        return (base.select(id_alias, vec_alias, n_alias, b)
+                .select(id_alias, vec_alias, n_alias, "tb.tbl", "tb.bkt"))
 
-    c = with_buckets(corpus, "neighbor_id", "c_vec")
-    q = F.broadcast(with_buckets(queries, "query_id", "q_vec"))
+    c = with_buckets(corpus, "neighbor_id", "c_vec", "c_n")
+    q = F.broadcast(with_buckets(queries, "query_id", "q_vec", "q_n"))
     cand = (c.join(q, ["tbl", "bkt"])
-            .select("query_id", "neighbor_id", "q_vec", "c_vec")
+            .select("query_id", "neighbor_id", "q_vec", "c_vec",
+                    "q_n", "c_n")
             .dropDuplicates(["query_id", "neighbor_id"]))
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
         "query_id", "neighbor_id",
-        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
-         .alias("score"))
+        F.round(_cos("q_vec", "c_vec", "q_n", "c_n"), 6).alias("score"))
     return _rank_topk(scored, k)
 
 
@@ -123,20 +140,18 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              .limit(n_centroids)
              .select(F.monotonically_increasing_id().alias("cid"),
                      F.col(vec_col).alias("centroid")))
+    seeds = seeds.select("cid", "centroid",
+                         l2_norm(F.col("centroid")).alias("cent_n"))
     seeds_b = F.broadcast(seeds)
 
-    def nearest_cid(df, vec_alias):
-        joined = df.crossJoin(seeds_b)
-        sim = cosine_similarity(F.col(vec_alias), F.col("centroid"))
-        w = Window.partitionBy(df.columns[0]).orderBy(
-            F.desc(sim), F.asc("cid"))
-        return joined.withColumn("_r", F.row_number().over(w))
-
     # one refinement pass: mean of members (element-wise via posexplode)
-    assigned = (nearest_cid(
-        corpus.select(F.col(id_col).alias("nid"),
-                      F.col(vec_col).alias("v")), "v")
-        .where(F.col("_r") == 1).select("nid", "v", "cid"))
+    assigned = (_with_norm(corpus, id_col, vec_col, "nid", "v", "v_n")
+                .crossJoin(seeds_b)
+                .withColumn("_r", F.row_number().over(
+                    Window.partitionBy("nid").orderBy(
+                        F.desc(_cos("v", "centroid", "v_n", "cent_n")),
+                        F.asc("cid"))))
+                .where(F.col("_r") == 1).select("nid", "v", "cid"))
     refined = (assigned
                .select("cid", F.posexplode("v").alias("pos", "x"))
                .groupBy("cid", "pos").agg(F.avg("x").alias("m"))
@@ -146,32 +161,31 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                .select("cid", F.transform(
                    "pm", lambda s: s.getField("m").cast("float"))
                    .alias("centroid")))
+    refined = refined.select("cid", "centroid",
+                             l2_norm(F.col("centroid")).alias("cent_n"))
     refined_b = F.broadcast(refined)
 
-    corp = (corpus.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).alias("c_vec"))
+    corp = (_with_norm(corpus, id_col, vec_col,
+                       "neighbor_id", "c_vec", "c_n")
             .crossJoin(refined_b))
     w = Window.partitionBy("neighbor_id").orderBy(
-        F.desc(cosine_similarity(F.col("c_vec"), F.col("centroid"))),
-        F.asc("cid"))
+        F.desc(_cos("c_vec", "centroid", "c_n", "cent_n")), F.asc("cid"))
     corp = (corp.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") == 1).select("neighbor_id", "c_vec", "cid"))
+            .where(F.col("_r") == 1)
+            .select("neighbor_id", "c_vec", "c_n", "cid"))
 
-    qs = (queries.select(F.col(id_col).alias("query_id"),
-                         F.col(vec_col).alias("q_vec"))
+    qs = (_with_norm(queries, id_col, vec_col, "query_id", "q_vec", "q_n")
           .crossJoin(refined_b))
     wq = Window.partitionBy("query_id").orderBy(
-        F.desc(cosine_similarity(F.col("q_vec"), F.col("centroid"))),
-        F.asc("cid"))
+        F.desc(_cos("q_vec", "centroid", "q_n", "cent_n")), F.asc("cid"))
     qs = (qs.withColumn("_r", F.row_number().over(wq))
           .where(F.col("_r") <= nprobe)
-          .select("query_id", "q_vec", "cid"))
+          .select("query_id", "q_vec", "q_n", "cid"))
 
     cand = corp.join(F.broadcast(qs), "cid")
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
         "query_id", "neighbor_id",
-        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
-         .alias("score"))
+        F.round(_cos("q_vec", "c_vec", "q_n", "c_n"), 6).alias("score"))
     return _rank_topk(scored, k)
