@@ -129,11 +129,20 @@ def minhash_signature(shingles: Column, k: int) -> Column:
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
                       bands: int = 16, rows_per_band: int = 4,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      max_bucket_size: Optional[int] = None) -> DataFrame:
     """Candidate generation by banded MinHash, then exact-Jaccard verify.
     Recall for true Jaccard j is 1-(1-j^r)^b (r=rows_per_band, b=bands);
     with the defaults, j=0.5 → ~0.66, j=0.8 → ~1.0. Only candidates are
-    verified, so cost is sub-quadratic in corpus size."""
+    verified, so cost is sub-quadratic in corpus size.
+
+    ``max_bucket_size`` is the mandatory-at-scale hot-bucket guard: a
+    band bucket holding f docs contributes f² candidate pairs, so one
+    degenerate bucket (boilerplate, empty-ish docs) can dominate the
+    join. Buckets larger than the cap are dropped (anti-join against the
+    tiny hot-bucket list) — a documented recall trade: members of a
+    dropped bucket can still pair through their other b-1 bands. Default
+    None keeps exact LSH semantics for the small-scale oracle checks."""
     k = bands * rows_per_band
     sh = _shingle_frame(df, text_col, id_col, n)
     sig = sh.select("did", "sh",
@@ -147,6 +156,13 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
                      .alias("bh"))
             for b in range(bands)])).alias("bb")) \
         .select("did", "bb.band", "bb.bh")
+    if max_bucket_size is not None:
+        hot = (bands_df.groupBy("band", "bh")
+               .agg(F.count(F.lit(1)).alias("f"))
+               .where(F.col("f") > max_bucket_size)
+               .select("band", "bh"))
+        bands_df = bands_df.join(F.broadcast(hot), ["band", "bh"],
+                                 "left_anti")
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
     cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))

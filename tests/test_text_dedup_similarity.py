@@ -109,6 +109,24 @@ def test_minhash_lsh_recall_on_near_dups(spark, docs):
     assert got <= exact  # verification step removes false positives
 
 
+def test_minhash_hot_bucket_cap(spark, docs):
+    # cap=1 drops every shared bucket -> no candidates survive; the
+    # uncapped run is the recall reference
+    uncapped = minhash_lsh_pairs(docs, threshold=0.5, n=3,
+                                 bands=16, rows_per_band=2)
+    assert uncapped.count() > 0
+    capped = minhash_lsh_pairs(docs, threshold=0.5, n=3,
+                               bands=16, rows_per_band=2,
+                               max_bucket_size=1)
+    assert capped.count() == 0
+    # a generous cap changes nothing on this tiny corpus
+    roomy = minhash_lsh_pairs(docs, threshold=0.5, n=3,
+                              bands=16, rows_per_band=2,
+                              max_bucket_size=100)
+    assert ({tuple(r) for r in roomy.collect()}
+            == {tuple(r) for r in uncapped.collect()})
+
+
 def test_simhash(spark, docs):
     sigs = {r["doc_id"]: r["s"] for r in
             docs.select("doc_id",
