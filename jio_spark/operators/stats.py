@@ -27,13 +27,16 @@ _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
 
 
 def stats_exprs(df: DataFrame, columns: Optional[Sequence[str]] = None,
-                quantiles: Sequence[float] = DEFAULT_QUANTILES,
+                quantiles: Optional[Sequence[float]] = DEFAULT_QUANTILES,
                 accuracy: int = 10000) -> List[Column]:
     """Aggregate expressions for one single-pass stats computation.
 
     Numeric columns get min/max/mean/quantile-sketch; every column gets
     count/nulls/approx-distinct. Binary columns get total/avg byte size
     instead of min/max (relevant for the audio ``bytes`` column).
+    ``quantiles=None`` skips the sketches — use this when the results of
+    several passes are merged driver-side (count/min/max/mean merge
+    exactly; per-pass quantile arrays do not).
     """
     cols = list(columns) if columns is not None else df.columns
     exprs: List[Column] = [F.count(F.lit(1)).alias("rows")]
@@ -52,9 +55,11 @@ def stats_exprs(df: DataFrame, columns: Optional[Sequence[str]] = None,
                 F.min(col).alias(f"{c}__min"),
                 F.max(col).alias(f"{c}__max"),
                 F.avg(col).alias(f"{c}__mean"),
-                F.percentile_approx(col, list(quantiles), accuracy)
-                 .alias(f"{c}__quantiles"),
             ]
+            if quantiles is not None:
+                exprs.append(
+                    F.percentile_approx(col, list(quantiles), accuracy)
+                     .alias(f"{c}__quantiles"))
         elif isinstance(dt, T.StringType):
             exprs += [
                 F.min(F.length(col)).alias(f"{c}__min_len"),

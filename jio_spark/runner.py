@@ -30,12 +30,47 @@ from .audio.decode import decode_check, decode_violations
 from .audio.files import decode_check_files
 from .operators.drift import HistSpec, drift_check, snapshot
 from .operators.referential import referential_check
-from .operators.stats import column_stats
+from .operators.stats import column_stats, stats_exprs
 from .operators.uniqueness import uniqueness_check
 from .sinks.writers import Manifest, RunSink, ruleset_fingerprint
 
 VIOLATION_COLS = ["clip_id", "rule_path", "rule_name", "expected", "actual",
                   "message"]
+
+
+def _merge_observed_stats(group_stats: List[Dict],
+                          cols: Sequence[str]) -> Dict:
+    """Driver-side merge of per-group observe metrics (stats_exprs with
+    quantiles=None): counts/nulls sum, min/max fold, means combine
+    weighted by non-null counts. ``distinct`` is per-group HLL — reported
+    as the max across groups (a lower bound; exact merge would need the
+    sketch registers, which observe doesn't expose)."""
+    total = sum(int(g["rows"]) for g in group_stats)
+    out: Dict = {"rows": total}
+    for c in cols:
+        nulls = sum(int(g.get(f"{c}__nulls") or 0) for g in group_stats)
+        entry: Dict = {"nulls": nulls,
+                       "null_rate": nulls / total if total else 0.0}
+        dv = [g[f"{c}__distinct"] for g in group_stats
+              if g.get(f"{c}__distinct") is not None]
+        if dv:
+            entry["distinct_lower_bound"] = int(max(dv))
+        for stat, fold in (("min", min), ("max", max),
+                           ("min_len", min), ("max_len", max)):
+            vals = [g[f"{c}__{stat}"] for g in group_stats
+                    if g.get(f"{c}__{stat}") is not None]
+            if vals:
+                entry[stat] = fold(vals)
+        for mean_key in ("mean", "mean_len"):
+            pairs = [(g[f"{c}__{mean_key}"],
+                      int(g["rows"]) - int(g.get(f"{c}__nulls") or 0))
+                     for g in group_stats
+                     if g.get(f"{c}__{mean_key}") is not None]
+            w = sum(n for _, n in pairs)
+            if w:
+                entry[mean_key] = sum(m * n for m, n in pairs) / w
+        out[c] = entry
+    return out
 
 
 def default_clip_rules() -> ObjectSchema:
@@ -85,6 +120,11 @@ class ClipsJobConfig:
     #: idling the cluster at each group barrier (resume granularity is
     #: unchanged: a group is still marked only when fully written)
     group_concurrency: int = 1
+    #: per-column stats riding the rule scan via ``df.observe`` (north
+    #: star: "one pass computes per-column stats") — zero extra source
+    #: reads; merged across groups driver-side into metrics
+    observe_stats: bool = True
+    stat_cols: Sequence[str] = ("sr_hz", "dur_ms", "codec", "transcript")
 
 
 class ClipsValidationJob:
@@ -104,7 +144,8 @@ class ClipsValidationJob:
     # -- one partition group ------------------------------------------------
 
     def group_violations(self, df: DataFrame, group=None,
-                         table_root: Optional[str] = None) -> DataFrame:
+                         table_root: Optional[str] = None,
+                         observation=None) -> DataFrame:
         """All per-row violations for a slice of the table, in the standard
         shape + partition column.
 
@@ -118,6 +159,12 @@ class ClipsValidationJob:
         res = validate(df, self.cfg.rules.clone(), id_cols=ids)
         ann = res.prepared.withColumn(
             "_violations", res.compiled.violations_array)
+        if observation is not None:
+            # stats piggyback on the SAME scan (before the violation
+            # filter drops passing rows) — no extra source read
+            ann = ann.observe(observation,
+                              *stats_exprs(df, list(self.cfg.stat_cols),
+                                           quantiles=None))
 
         if self.codec_dim is not None:
             dim = F.broadcast(self.codec_dim.select(
@@ -194,20 +241,30 @@ class ClipsValidationJob:
 
         def run_group(group):
             gdf = df.where(F.col(cfg.partition_col).isin(group))
+            obs = None
+            if cfg.observe_stats:
+                from pyspark.sql import Observation
+                obs = Observation(f"stats_{min(group)}_{max(group)}")
             viols = self.group_violations(gdf, group=group,
-                                          table_root=table_root)
-            agg = gdf.agg(F.count(F.lit(1)).alias("rows")).collect()[0]
-            g_rows = int(agg["rows"])
+                                          table_root=table_root,
+                                          observation=obs)
             if sink:
                 sink.overwrite_partitions(viols, "violations",
                                           cfg.partition_col)
                 g_viols = None  # counted lazily from written data if needed
             else:
                 g_viols = viols.count()
+            if obs is not None:
+                g_stats = obs.get  # available once the action above ran
+                g_rows = int(g_stats["rows"])
+            else:
+                g_stats = None
+                agg = gdf.agg(F.count(F.lit(1)).alias("rows")).collect()[0]
+                g_rows = int(agg["rows"])
             if manifest:  # marked LAST, after the group's writes → resume-safe
                 manifest.mark(f"group_{min(group)}_{max(group)}", group,
                               {"rows": g_rows})
-            return group, g_rows, g_viols
+            return group, g_rows, g_viols, g_stats
 
         # global step 1: uniqueness (duplicate ids cross partition groups)
         def run_uniqueness():
@@ -256,10 +313,16 @@ class ClipsValidationJob:
             uniq_viols = run_uniqueness()
             drift_rows = run_drift()
 
-        for group, g_rows, g_viols in results:
+        group_stats = []
+        for group, g_rows, g_viols, g_stats in results:
             if g_viols is not None:
                 total_viols += g_viols
             rows_processed += g_rows
+            if g_stats is not None:
+                group_stats.append(g_stats)
+        col_stats = (_merge_observed_stats(group_stats,
+                                           list(cfg.stat_cols))
+                     if group_stats else None)
 
         wall = time.time() - t0
         metrics = {
@@ -270,6 +333,7 @@ class ClipsValidationJob:
             "violations": total_viols if not sink else None,
             "uniqueness_violations": uniq_viols,
             "drift": drift_rows,
+            "column_stats": col_stats,
             "wall_sec": wall,
             "rows_per_sec": rows_processed / wall if wall > 0 else None,
         }
