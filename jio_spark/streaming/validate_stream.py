@@ -65,3 +65,42 @@ def validate_stream(stream_df: DataFrame,
                          "rows", "failed"))
         out["rates"] = rates
     return out
+
+
+def stateful_violation_counts(stream_df: DataFrame,
+                              schema: Union[ObjectSchema,
+                                            Dict[str, BaseSchema]],
+                              key_col: str) -> DataFrame:
+    """Cumulative per-key rows/failed counts across micro-batches — the
+    custom stateful-operator pattern (``applyInPandasWithState``) on top
+    of the same compiled rule set. Each update-mode output row carries
+    the running totals for its key; state is two longs per key.
+
+    Use when the aggregate must span the whole stream lifetime (per
+    source/speaker violation ledger) — watermarked windows in
+    :func:`validate_stream` cover the bounded-lateness case."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    compiled = compile_ruleset(stream_df, schema)
+    prepared = compiled.prepare(stream_df)
+    flagged = (prepared
+               .withColumn("_fail", (~compiled.row_pass).cast("long"))
+               .select(key_col, "_fail"))
+    key_type = stream_df.schema[key_col].dataType.simpleString()
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        failed, rows = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            failed += int(pdf["_fail"].sum())
+            rows += len(pdf)
+        state.update((failed, rows))
+        yield pd.DataFrame({"key": [key[0]], "failed": [failed],
+                            "rows": [rows]})
+
+    return flagged.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"key {key_type}, failed long, rows long",
+        stateStructType="failed long, rows long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)

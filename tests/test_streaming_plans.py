@@ -88,3 +88,35 @@ def test_summary_is_single_exchange(spark):
     # reduced row
     assert plan.count("Exchange") == 1
     assert "partial_" in plan
+
+
+def test_stateful_violation_counts(spark, tmp_path):
+    from jio_spark.streaming import stateful_violation_counts
+    src = str(tmp_path / "state_in")
+    os.makedirs(src)
+    schema = "id int, src string, qty double"
+    b1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 99.0), (3, "b", 5.0)], schema)
+    b1.write.parquet(src, mode="append")
+
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    counts = stateful_violation_counts(
+        stream, K.object({"qty": K.number().required().max(50)}), "src")
+    q = (counts.writeStream.format("memory").queryName("state_test")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        got = {r["key"]: (r["failed"], r["rows"])
+               for r in spark.sql("select * from state_test").collect()}
+        assert got == {"a": (1, 2), "b": (0, 1)}
+        # second micro-batch: state carries over
+        spark.createDataFrame([(4, "a", 77.0), (5, "b", 88.0)], schema) \
+            .write.parquet(src, mode="append")
+        q.processAllAvailable()
+        rows = spark.sql("select * from state_test").collect()
+        latest = {}
+        for r in rows:  # memory sink appends update rows; last wins
+            latest[r["key"]] = (r["failed"], r["rows"])
+        assert latest == {"a": (2, 3), "b": (1, 2)}
+    finally:
+        q.stop()
