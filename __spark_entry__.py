@@ -488,6 +488,23 @@ def q_dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(d, threshold=0.06, n=2)
 
 
+def q_corpus_pipeline(spark, sf):
+    """Training-data pipeline composition: quality-score filter → exact
+    dedup (min-id survivor per content fingerprint) → per-language corpus
+    stats. Each stage is an engine operator; the oracle replays the same
+    pipeline in SQL."""
+    from jio_spark.operators.dedup import dedup_exact
+    d = _t(spark, sf, "documents")
+    m = quality_metrics(F.col("text"))
+    kept = d.where(m["quality_score"] >= 1.0)
+    survivors = dedup_exact(kept)
+    return (survivors
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(token_count_ws(F.col("text")).cast("long"))
+                  .alias("total_tokens")))
+
+
 def q_embed_cosine_pairs(spark, sf):
     e = _t(spark, sf, "embeddings")
     return embedding_dup_pairs(e, threshold=0.4).select("id_a", "id_b")
@@ -624,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_prefix_groups": q_dedup_prefix_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "corpus_pipeline": q_corpus_pipeline,
         "embed_cosine_pairs": q_embed_cosine_pairs,
         "ann_bruteforce": q_ann_bruteforce,
         # rows-only checks (no SQL equivalent)
@@ -980,6 +998,34 @@ def oracle_sql() -> dict[str, str]:
               AND len(list_intersect(a.s, b.s))::DOUBLE /
                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
                   >= 0.06""",
+        "corpus_pipeline": f"""
+            WITH q AS (
+              SELECT doc_id, lang, text,
+                     length(text) AS n_chars,
+                     len({_WS_WORDS}) AS n_words,
+                     length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
+                       AS n_punct,
+                     length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       AS n_digit
+              FROM documents),
+            f AS (
+              SELECT doc_id, lang, text, n_words,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                         'g')) AS fp
+              FROM q
+              WHERE (CASE WHEN n_chars < 20 THEN 0.0 ELSE 1.0 END
+                     * CASE WHEN n_punct / greatest(n_chars, 1)::DOUBLE
+                            > 0.2 THEN 0.5 ELSE 1.0 END
+                     * CASE WHEN n_digit / greatest(n_chars, 1)::DOUBLE
+                            > 0.3 THEN 0.5 ELSE 1.0 END
+                     * CASE WHEN (n_chars - n_words + 1)
+                            / greatest(n_words, 1)::DOUBLE > 12
+                            THEN 0.5 ELSE 1.0 END) >= 1.0),
+            k AS (SELECT fp, min(doc_id) AS md FROM f GROUP BY 1)
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(n_words)::BIGINT AS total_tokens
+            FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.md
+            GROUP BY 1""",
         "embed_cosine_pairs": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] v
                        FROM embeddings)
