@@ -73,3 +73,18 @@ def test_resume_noop_when_complete(spark, clips_path, tmp_path):
     job.run(df, output_root=out)
     m2 = job.run(df, output_root=out, resume=True)
     assert m2["groups_run"] == 0 and m2["rows"] == 0
+
+
+def test_merge_observed_stats_math():
+    from jio_spark.runner import _merge_observed_stats
+    g1 = {"rows": 10, "v__nulls": 2, "v__min": 1.0, "v__max": 5.0,
+          "v__mean": 3.0, "v__distinct": 4}
+    g2 = {"rows": 30, "v__nulls": 0, "v__min": 0.0, "v__max": 9.0,
+          "v__mean": 6.0, "v__distinct": 7}
+    m = _merge_observed_stats([g1, g2], ["v"])
+    assert m["rows"] == 40
+    assert m["v"]["nulls"] == 2
+    assert m["v"]["min"] == 0.0 and m["v"]["max"] == 9.0
+    # weighted by non-null counts: (3*8 + 6*30) / 38
+    assert abs(m["v"]["mean"] - (3.0 * 8 + 6.0 * 30) / 38) < 1e-12
+    assert m["v"]["distinct_lower_bound"] == 7
