@@ -104,61 +104,62 @@ def duplicate_ids(df: DataFrame, key: str) -> DataFrame:
     scan = (df.select(key)
               .sortWithinPartitions(key)
               .mapInPandas(_adjacent_scan(key), _scan_schema(df, key)))
-    scan = scan.where(F.col("key").isNotNull()).cache()
-    try:
-        interior = scan.where(F.col("kind") == "dup") \
-                       .select(F.col("key"), F.col("cnt"))
+    # eager localCheckpoint: the (tiny) scan result materializes ONCE and
+    # serves both the boundary collect below and the interior branch the
+    # caller later consumes — a cache() + finally-unpersist() here would
+    # drop the blocks before the caller ran, recomputing the sorted scan
+    scan = scan.where(F.col("key").isNotNull()).localCheckpoint(eager=True)
+    interior = scan.where(F.col("kind") == "dup") \
+                   .select(F.col("key"), F.col("cnt"))
 
-        # boundary exchange: ≤2 rows per partition
-        boundary = sorted(
-            (r["pid"], r["kind"], r["key"], r["cnt"])
-            for r in scan.where(F.col("kind") != "dup").collect())
-        by_pid = {}
-        for pid, kind, k, cnt in boundary:
-            by_pid.setdefault(pid, {})[kind] = (k, cnt)
+    # boundary exchange: ≤2 rows per partition
+    boundary = sorted(
+        (r["pid"], r["kind"], r["key"], r["cnt"])
+        for r in scan.where(F.col("kind") != "dup").collect())
+    by_pid = {}
+    for pid, kind, k, cnt in boundary:
+        by_pid.setdefault(pid, {})[kind] = (k, cnt)
 
-        merged = {}
+    merged = {}
 
-        def add(k, c):
-            merged[k] = merged.get(k, 0) + c
+    def add(k, c):
+        merged[k] = merged.get(k, 0) + c
 
-        pids = sorted(by_pid)
-        # chain runs across consecutive partitions: a key continues from
-        # partition i into i+1 only if i's last == (i+1)'s first
-        open_key, open_cnt = None, 0
-        for pid in pids:
-            runs = by_pid[pid]
-            if "whole" in runs:
-                k, c = runs["whole"]
-                if open_key is not None and k == open_key:
-                    open_cnt += c
-                else:
-                    if open_key is not None:
-                        add(open_key, open_cnt)
-                    open_key, open_cnt = k, c
-                continue
-            fk, fc = runs["first"]
-            lk, lc = runs["last"]
-            if open_key is not None and fk == open_key:
-                open_cnt += fc
+    pids = sorted(by_pid)
+    # chain runs across consecutive partitions: a key continues from
+    # partition i into i+1 only if i's last == (i+1)'s first
+    open_key, open_cnt = None, 0
+    for pid in pids:
+        runs = by_pid[pid]
+        if "whole" in runs:
+            k, c = runs["whole"]
+            if open_key is not None and k == open_key:
+                open_cnt += c
             else:
                 if open_key is not None:
                     add(open_key, open_cnt)
-                add(fk, fc)
-            open_key, open_cnt = lk, lc
-        if open_key is not None:
-            add(open_key, open_cnt)
-
-        bdup = [(k, c) for k, c in merged.items() if c > 1]
-        key_type = df.schema[key].dataType.simpleString()
-        if bdup:
-            bdf = spark.createDataFrame(bdup, f"key {key_type}, cnt long")
+                open_key, open_cnt = k, c
+            continue
+        fk, fc = runs["first"]
+        lk, lc = runs["last"]
+        if open_key is not None and fk == open_key:
+            open_cnt += fc
         else:
-            bdf = spark.createDataFrame([], f"key {key_type}, cnt long")
-        return interior.unionByName(bdf) \
-                       .groupBy("key").agg(F.sum("cnt").alias("cnt"))
-    finally:
-        scan.unpersist(False)
+            if open_key is not None:
+                add(open_key, open_cnt)
+            add(fk, fc)
+        open_key, open_cnt = lk, lc
+    if open_key is not None:
+        add(open_key, open_cnt)
+
+    bdup = [(k, c) for k, c in merged.items() if c > 1]
+    key_type = df.schema[key].dataType.simpleString()
+    if bdup:
+        bdf = spark.createDataFrame(bdup, f"key {key_type}, cnt long")
+    else:
+        bdf = spark.createDataFrame([], f"key {key_type}, cnt long")
+    return interior.unionByName(bdf) \
+                   .groupBy("key").agg(F.sum("cnt").alias("cnt"))
 
 
 def uniqueness_check(df: DataFrame, key: str, layout: str = "clustered",
