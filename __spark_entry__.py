@@ -376,6 +376,23 @@ def q_rule_when_priority(spark, sf):
                 res.compiled.row_pass.alias("len_pass"))
 
 
+def q_rule_custom_transform(spark, sf):
+    """Transform/Check escape hatches (any.go:32-41, string.go:98-109)
+    with a Column→Column builder — the vectorized custom-rule surface
+    (stays inside codegen; pandas_udf is the Python fallback, tested in
+    test_map_custom.py)."""
+    c = _t(spark, sf, "customer")
+    s = (K.string().required()
+         .transform(lambda col: F.concat(col, F.lit("!")))
+         .check(lambda col: F.octet_length(col) <= 10,
+                "name too long"))
+    res = validate(c, K.object({"c_mktsegment": s}), id_cols=["c_custkey"])
+    return res.prepared.withColumn(
+        "seg_norm", res.compiled.normalized["c_mktsegment"]) \
+        .select("c_custkey", "seg_norm",
+                res.compiled.row_pass.alias("seg_pass"))
+
+
 def q_first_violation(spark, sf):
     """Strict jio single-error conformance: ValidateJSON carries ONE
     ctx.Err — the first failure in walk order stops the sibling walk
@@ -623,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_items_or": q_rule_items_or,
         "rule_with_without": q_rule_with_without,
         "rule_alphanum_token": q_rule_alphanum_token,
+        "rule_custom_transform": q_rule_custom_transform,
         "drift_psi": q_drift_psi,
         "agg_pricing_summary": q_agg_pricing_summary,
         "violations_shape": q_violations_shape,
@@ -832,6 +850,13 @@ def oracle_sql() -> dict[str, str]:
                    ' exceeded 30' AS message
             FROM lineitem
             WHERE l_quantity IS NOT NULL AND l_quantity > 30""",
+        "rule_custom_transform": """
+            SELECT c_custkey,
+                   CASE WHEN strlen(c_mktsegment || '!') <= 10
+                        THEN c_mktsegment || '!'
+                        ELSE c_mktsegment END AS seg_norm,
+                   strlen(c_mktsegment || '!') <= 10 AS seg_pass
+            FROM customer""",
         "first_violation": f"""
             SELECT l_orderkey, l_linenumber,
                    CASE WHEN qfail THEN 'l_quantity'
