@@ -63,6 +63,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """The driver testdata ships each table as ONE parquet row group, so a
+    scan is a single task no matter the cluster size; a real corpus
+    arrives in many splits. Spread the read across the default parallelism
+    before CPU-heavy per-row stages (shingling, quality regexes, vector
+    math) — values are unchanged, only placement."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 
@@ -455,7 +465,7 @@ def q_topk_window(spark, sf):
 
 
 def q_text_token_counts(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     return d.select(
         "doc_id",
         token_count_ws(F.col("text")).cast("long").alias("n_ws"),
@@ -463,7 +473,7 @@ def q_text_token_counts(spark, sf):
 
 
 def q_text_quality(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     m = quality_metrics(F.col("text"))
     return d.select(
         "doc_id",
@@ -474,12 +484,12 @@ def q_text_quality(spark, sf):
 
 
 def q_text_lang_id(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     return d.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
 
 
 def q_text_fingerprint(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
 
 
@@ -501,7 +511,7 @@ def q_dedup_prefix_groups(spark, sf):
 
 
 def q_dedup_ngram_jaccard(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     return ngram_jaccard_pairs(d, threshold=0.06, n=2)
 
 
@@ -523,12 +533,12 @@ def q_corpus_pipeline(spark, sf):
 
 
 def q_embed_cosine_pairs(spark, sf):
-    e = _t(spark, sf, "embeddings")
+    e = _spread(_t(spark, sf, "embeddings"))
     return embedding_dup_pairs(e, threshold=0.4).select("id_a", "id_b")
 
 
 def q_ann_bruteforce(spark, sf):
-    e = _t(spark, sf, "embeddings")
+    e = _spread(_t(spark, sf, "embeddings"))
     q = e.where(F.col("vec_id") < 10)
     return brute_force_topk(e, q, k=5) \
         .select("query_id", F.col("rank").cast("long").alias("rnk"),
@@ -539,24 +549,24 @@ def q_ann_bruteforce(spark, sf):
 
 
 def q_dedup_minhash_lsh(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     return minhash_lsh_pairs(d, threshold=0.06, n=2,
                              bands=8, rows_per_band=2)
 
 
 def q_dedup_simhash(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     return simhash_pairs(d, max_hamming=8, n=2)
 
 
 def q_ann_lsh(spark, sf):
-    e = _t(spark, sf, "embeddings")
+    e = _spread(_t(spark, sf, "embeddings"))
     q = e.where(F.col("vec_id") < 10)
     return lsh_topk(e, q, k=5, dim=64, tables=4, bits=6)
 
 
 def q_ann_ivf(spark, sf):
-    e = _t(spark, sf, "embeddings")
+    e = _spread(_t(spark, sf, "embeddings"))
     q = e.where(F.col("vec_id") < 10)
     return ivf_topk(e, q, k=5, n_centroids=8, nprobe=3)
 
