@@ -34,7 +34,7 @@ from jio_spark.operators.dedup import (embedding_dup_pairs, exact_duplicates,
 from jio_spark.operators.referential import referential_check
 from jio_spark.operators.similarity import (brute_force_topk, ivf_topk,
                                             lsh_topk)
-from jio_spark.operators.stats import column_stats
+from jio_spark.operators.stats import column_profile_exact, column_stats
 from jio_spark.operators.uniqueness import uniqueness_check
 
 _WORKERS_READY = False
@@ -295,6 +295,120 @@ def q_rule_alphanum_token(spark, sf):
             .alias("token_pass"))
 
 
+def q_rule_prepend_transform(spark, sf):
+    """PrependTransform (any.go:32-35): inserted at the FRONT of the rule
+    list regardless of call order, so it runs before Required and the
+    byte-length check; write-back (object.go:163-165) keeps the original
+    value on rows whose chain aborted."""
+    c = _t(spark, sf, "customer")
+    s = (K.string().required().max(11)
+         .prepend_transform(lambda col: F.concat(col, F.lit("xx"))))
+    res = validate(c, K.object({"c_mktsegment": s}), id_cols=["c_custkey"])
+    return res.prepared.withColumn(
+        "seg_norm", res.compiled.normalized["c_mktsegment"]) \
+        .select("c_custkey", "seg_norm",
+                res.compiled.row_pass.alias("seg_pass"))
+
+
+def q_rule_number_check(spark, sf):
+    """Number Check custom predicate (number.go:99-110) with a
+    Column→Column builder — type-gated like the reference."""
+    li = _t(spark, sf, "lineitem")
+    s = K.number().required().check(lambda col: col % 2 == 0,
+                                    "must be even")
+    res = validate(li, K.object({"l_linenumber": s}),
+                   id_cols=["l_orderkey", "l_linenumber"])
+    return res.prepared.select(
+        "l_orderkey", "l_linenumber",
+        res.compiled.row_pass.alias("even_pass"))
+
+
+def q_rule_number_convert(spark, sf):
+    """Number Convert (number.go:161-170): map number→number, value
+    replaced in the normalized output."""
+    li = _t(spark, sf, "lineitem")
+    s = K.number().required().convert(lambda col: col * 2 + 1)
+    res = validate(li, K.object({"l_quantity": s}),
+                   id_cols=["l_orderkey", "l_linenumber"])
+    return res.prepared.withColumn(
+        "qty_conv", res.compiled.normalized["l_quantity"]) \
+        .select("l_orderkey", "l_linenumber", "qty_conv",
+                res.compiled.row_pass.alias("conv_pass"))
+
+
+def q_rule_string_convert(spark, sf):
+    """String Convert (string.go:181-190): map string→string."""
+    o = _t(spark, sf, "orders")
+    s = K.string().required().convert(F.reverse)
+    res = validate(o, K.object({"o_orderpriority": s}),
+                   id_cols=["o_orderkey"])
+    return res.prepared.withColumn(
+        "prio_rev", res.compiled.normalized["o_orderpriority"]) \
+        .select("o_orderkey", "prio_rev")
+
+
+def q_rule_array_check(spark, sf):
+    """Array Check custom predicate (array.go:81-91), type-gated."""
+    d = _t(spark, sf, "documents")
+    dd = d.select("doc_id", words(F.col("text")).alias("ws"))
+    s = K.array().required().check(lambda col: F.size(col) >= 3,
+                                   "too few words")
+    res = validate(dd, K.object({"ws": s}), id_cols=["doc_id"])
+    return res.prepared.select(
+        "doc_id", res.compiled.row_pass.alias("check_pass"))
+
+
+def q_rule_string_type(spark, sf):
+    """String final type assertion (string.go:219-223): a number column
+    under a String schema fails `is not string` for every non-null value
+    (NULL skips via the implicit Optional, any.go:123-125); the failure
+    message renders the value Go-%v style."""
+    li = _t(spark, sf, "lineitem")
+    res = validate(li, K.object({"l_quantity": K.string()}),
+                   id_cols=["l_orderkey", "l_linenumber"])
+    e = next(x for x in res.compiled.entries
+             if x.path == "l_quantity" and x.rule_name == "type:string")
+    return res.prepared.select(
+        "l_orderkey", "l_linenumber",
+        res.compiled.row_pass.alias("type_pass"),
+        F.when(e.evaluated & ~e.passed, e.message).alias("msg"))
+
+
+def q_rule_array_type(spark, sf):
+    """Array final type assertion (array.go:157-161): the real array
+    column passes its chain while the string column under an Array schema
+    fails `is not array`. Both verdicts read from the compiled entries
+    (the walk stops at the first error, so row_pass alone would mask the
+    second field)."""
+    d = _t(spark, sf, "documents")
+    dd = d.select("doc_id", words(F.col("text")).alias("ws"), "text")
+    res = validate(dd, K.object({"ws": K.array().min(1),
+                                 "text": K.array()}), id_cols=["doc_id"])
+    e_min = next(x for x in res.compiled.entries
+                 if x.path == "ws" and x.rule_name == "min")
+    e_type = next(x for x in res.compiled.entries
+                  if x.path == "text" and x.rule_name == "type:array")
+    return res.prepared.select(
+        "doc_id",
+        F.coalesce(e_min.evaluated & e_min.passed, F.lit(False))
+            .alias("ws_pass"),
+        F.coalesce(e_type.evaluated & e_type.passed, F.lit(False))
+            .alias("text_is_array"))
+
+
+def q_rule_object_type(spark, sf):
+    """Object final type assertion (object.go:182-186): a plain string
+    column under an Object schema fails `is not object`; NULL skips."""
+    ev = _t(spark, sf, "events")
+    res = validate(ev, K.object({"props": K.object()}),
+                   id_cols=["event_id"])
+    e = next(x for x in res.compiled.entries
+             if x.path == "props" and x.rule_name == "type:struct")
+    return res.prepared.select(
+        "event_id", res.compiled.row_pass.alias("obj_pass"),
+        F.when(e.evaluated & ~e.passed, e.message).alias("msg"))
+
+
 def q_drift_psi(spark, sf):
     """PSI drift from fixed-bin histograms (SURVEY.md §2.3 sketches row):
     each histogram rides one whole-table aggregation; baseline = even
@@ -446,6 +560,19 @@ def q_uniqueness(spark, sf):
         .withColumnRenamed("l_orderkey", "key_str")
 
 
+def q_uniqueness_clustered(spark, sf):
+    """The north-star shuffle-free uniqueness path (BASELINE.json:
+    "sort-within-partition + boundary exchange"): the table is laid out
+    key-clustered (here via repartitionByRange, standing in for an
+    Iceberg sort-ordered write), then duplicates are found with a local
+    sort + per-partition run scan + a ≤2-rows-per-partition boundary
+    merge — no full-table shuffle of the key column. The oracle is the
+    plain groupBy SQL: both must produce identical duplicate sets."""
+    li = _t(spark, sf, "lineitem").repartitionByRange(16, "l_orderkey")
+    return uniqueness_check(li, "l_orderkey", layout="clustered") \
+        .withColumnRenamed("l_orderkey", "key_str")
+
+
 def q_referential(spark, sf):
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
@@ -572,9 +699,22 @@ def q_ann_ivf(spark, sf):
 
 
 def q_stats_profile(spark, sf):
+    """Exact half of the column profile (count/nulls/null_rate/min/max/
+    mean) — fully DuckDB-replicable; the approximate sketches live in
+    ``stats_profile_approx`` (rows-only by nature)."""
+    li = _t(spark, sf, "lineitem")
+    return column_profile_exact(li, ["l_quantity", "l_extendedprice",
+                                     "l_returnflag"])
+
+
+def q_stats_profile_approx(spark, sf):
+    """Approx half: HLL distinct + quantile sketch. Quantiles are
+    stringified (to_json) so the driver's rows-only canonicalizer can
+    sort the frame (raw array<double> cells break pandas lexsort)."""
     li = _t(spark, sf, "lineitem")
     return column_stats(li, ["l_quantity", "l_extendedprice",
-                             "l_returnflag"])
+                             "l_returnflag"]) \
+        .withColumn("quantiles", F.to_json("quantiles"))
 
 
 def q_audio_decode(spark, sf):
@@ -651,6 +791,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_with_without": q_rule_with_without,
         "rule_alphanum_token": q_rule_alphanum_token,
         "rule_custom_transform": q_rule_custom_transform,
+        "rule_prepend_transform": q_rule_prepend_transform,
+        "rule_number_check": q_rule_number_check,
+        "rule_number_convert": q_rule_number_convert,
+        "rule_string_convert": q_rule_string_convert,
+        "rule_array_check": q_rule_array_check,
+        "rule_string_type": q_rule_string_type,
+        "rule_array_type": q_rule_array_type,
+        "rule_object_type": q_rule_object_type,
         "drift_psi": q_drift_psi,
         "agg_pricing_summary": q_agg_pricing_summary,
         "violations_shape": q_violations_shape,
@@ -660,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_counts": q_summary_counts,
         "agg_stats_exact": q_agg_stats_exact,
         "uniqueness": q_uniqueness,
+        "uniqueness_clustered": q_uniqueness_clustered,
         "referential": q_referential,
         "topk_window": q_topk_window,
         "text_token_counts": q_text_token_counts,
@@ -672,12 +821,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "embed_cosine_pairs": q_embed_cosine_pairs,
         "ann_bruteforce": q_ann_bruteforce,
-        # rows-only checks (no SQL equivalent)
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "stats_profile": q_stats_profile,
+        # rows-only checks (no SQL equivalent)
+        "stats_profile_approx": q_stats_profile_approx,
         "audio_decode": q_audio_decode,
         "audio_validate": q_audio_validate,
         "audio_uniqueness": q_audio_uniqueness,
@@ -867,6 +1017,50 @@ def oracle_sql() -> dict[str, str]:
                         ELSE c_mktsegment END AS seg_norm,
                    strlen(c_mktsegment || '!') <= 10 AS seg_pass
             FROM customer""",
+        "rule_prepend_transform": """
+            SELECT c_custkey,
+                   CASE WHEN c_mktsegment IS NOT NULL
+                             AND strlen(c_mktsegment || 'xx') <= 11
+                        THEN c_mktsegment || 'xx'
+                        ELSE c_mktsegment END AS seg_norm,
+                   (c_mktsegment IS NOT NULL
+                    AND strlen(c_mktsegment || 'xx') <= 11) AS seg_pass
+            FROM customer""",
+        "rule_number_check": """
+            SELECT l_orderkey, l_linenumber,
+                   (l_linenumber IS NOT NULL AND l_linenumber % 2 = 0)
+                     AS even_pass
+            FROM lineitem""",
+        "rule_number_convert": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_quantity * 2 + 1 AS DOUBLE) AS qty_conv,
+                   l_quantity IS NOT NULL AS conv_pass
+            FROM lineitem""",
+        "rule_string_convert": """
+            SELECT o_orderkey, reverse(o_orderpriority) AS prio_rev
+            FROM orders""",
+        "rule_array_check": f"""
+            WITH t AS (SELECT doc_id, {_WS_WORDS} AS ws FROM documents)
+            SELECT doc_id, len(ws) >= 3 AS check_pass FROM t""",
+        "rule_string_type": f"""
+            SELECT l_orderkey, l_linenumber,
+                   l_quantity IS NULL AS type_pass,
+                   CASE WHEN l_quantity IS NULL THEN NULL
+                        ELSE 'field `l_quantity` value ' ||
+                             {go_num.format(v='l_quantity')} ||
+                             ' is not string' END AS msg
+            FROM lineitem""",
+        "rule_array_type": f"""
+            WITH t AS (SELECT doc_id, {_WS_WORDS} AS ws FROM documents)
+            SELECT doc_id, len(ws) >= 1 AS ws_pass,
+                   FALSE AS text_is_array
+            FROM t""",
+        "rule_object_type": """
+            SELECT event_id, props IS NULL AS obj_pass,
+                   CASE WHEN props IS NULL THEN NULL
+                        ELSE 'field `props` value ' || props ||
+                             ' is not object' END AS msg
+            FROM events""",
         "first_violation": f"""
             SELECT l_orderkey, l_linenumber,
                    CASE WHEN qfail THEN 'l_quantity'
@@ -945,6 +1139,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cnt AS VARCHAR) || ' times' AS message
             FROM (SELECT l_orderkey, count(*)::BIGINT AS cnt
                   FROM lineitem GROUP BY 1 HAVING count(*) > 1)""",
+        "uniqueness_clustered": """
+            SELECT CAST(l_orderkey AS VARCHAR) AS key_str,
+                   'l_orderkey' AS rule_path,
+                   'unique' AS rule_name,
+                   'unique' AS expected,
+                   'count=' || CAST(cnt AS VARCHAR) AS actual,
+                   'field `l_orderkey` value ' ||
+                   CAST(l_orderkey AS VARCHAR) || ' is duplicated ' ||
+                   CAST(cnt AS VARCHAR) || ' times' AS message
+            FROM (SELECT l_orderkey, count(*)::BIGINT AS cnt
+                  FROM lineitem GROUP BY 1 HAVING count(*) > 1)""",
+        "stats_profile": """
+            SELECT 'l_quantity' AS col_name, count(*)::BIGINT AS count,
+                   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0
+                   END)::BIGINT AS nulls,
+                   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0
+                   END)::DOUBLE / count(*) AS null_rate,
+                   min(l_quantity)::DOUBLE AS min,
+                   max(l_quantity)::DOUBLE AS max,
+                   round(avg(l_quantity), 4) AS mean
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*)::BIGINT,
+                   sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0
+                   END)::BIGINT,
+                   sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0
+                   END)::DOUBLE / count(*),
+                   min(l_extendedprice)::DOUBLE,
+                   max(l_extendedprice)::DOUBLE,
+                   round(avg(l_extendedprice), 4)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', count(*)::BIGINT,
+                   sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0
+                   END)::BIGINT,
+                   sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0
+                   END)::DOUBLE / count(*),
+                   NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE
+            FROM lineitem""",
         "referential": """
             SELECT o_orderkey, 'referential' AS rule_name,
                    CAST(o_custkey AS VARCHAR) AS actual

@@ -332,10 +332,12 @@ def _init_state(schema: BaseSchema, col: Optional[Column],
 
 
 def _null_type(want: str) -> T.DataType:
+    # struct maps to an EMPTY struct so fmt_col's to_json rendering of the
+    # (always-NULL) typed placeholder still analyzes
     return {"double": T.DoubleType(), "string": T.StringType(),
-            "boolean": T.BooleanType()}.get(
-        want, T.ArrayType(T.StringType()) if want == "array"
-        else T.StringType())
+            "boolean": T.BooleanType(),
+            "array": T.ArrayType(T.StringType()),
+            "struct": T.StructType([])}.get(want, T.StringType())
 
 
 # -- rule handlers -----------------------------------------------------------

@@ -69,6 +69,45 @@ def stats_exprs(df: DataFrame, columns: Optional[Sequence[str]] = None,
     return exprs
 
 
+def column_profile_exact(df: DataFrame,
+                         columns: Optional[Sequence[str]] = None
+                         ) -> DataFrame:
+    """One row per column of EXACT stats only: (col_name, count, nulls,
+    null_rate, min, max, mean) — everything a SQL engine reproduces
+    bit-for-bit (mean rounded to 4 decimals to absorb partial-agg
+    summation order). The approximate sketches (HLL distinct, quantile
+    sketch) live in :func:`column_stats`; splitting them keeps this frame
+    fully oracle-checkable while the sketches stay a rows-only check.
+
+    Same execution shape as ``column_stats``: a single whole-table
+    aggregation (map-side combinable, few-KB reduced state) reshaped
+    driver-side."""
+    cols = list(columns) if columns is not None else df.columns
+    exprs: List[Column] = [F.count(F.lit(1)).alias("rows")]
+    for c in cols:
+        col = F.col(c)
+        exprs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        if isinstance(df.schema[c].dataType, _NUMERIC):
+            exprs += [
+                F.min(col).cast("double").alias(f"{c}__min"),
+                F.max(col).cast("double").alias(f"{c}__max"),
+                F.round(F.avg(col), 4).alias(f"{c}__mean"),
+            ]
+    row = df.agg(*exprs).collect()[0]
+    d = row.asDict()
+    n = int(d["rows"])
+    out = []
+    for c in cols:
+        nulls = int(d.get(f"{c}__nulls") or 0)
+        out.append((c, n, nulls, (nulls / n) if n else 0.0,
+                    d.get(f"{c}__min"), d.get(f"{c}__max"),
+                    d.get(f"{c}__mean")))
+    return df.sparkSession.createDataFrame(
+        out,
+        "col_name string, count long, nulls long, null_rate double, "
+        "min double, max double, mean double")
+
+
 def column_stats(df: DataFrame, columns: Optional[Sequence[str]] = None,
                  quantiles: Sequence[float] = DEFAULT_QUANTILES,
                  accuracy: int = 10000) -> DataFrame:
