@@ -676,26 +676,45 @@ def q_ann_bruteforce(spark, sf):
 
 
 def q_dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH in md5 signature mode: every hash in the pipeline is
+    ``md5`` so the DuckDB oracle replays banding, candidate generation,
+    and the exact-Jaccard verify bit-for-bit (xxhash64 mode is the faster
+    scale default; the plans are identical in shape)."""
     d = _spread(_t(spark, sf, "documents"))
     return minhash_lsh_pairs(d, threshold=0.06, n=2,
-                             bands=8, rows_per_band=2)
+                             bands=8, rows_per_band=2,
+                             hash_mode="md5", cache_shingles=True)
 
 
 def q_dedup_simhash(spark, sf):
+    """SimHash in md5 bit mode (bits drawn from the md5 hex of each
+    shingle) — fully replayed by the DuckDB oracle, including the 16-bit
+    chunk candidate rule and the Hamming filter."""
     d = _spread(_t(spark, sf, "documents"))
-    return simhash_pairs(d, max_hamming=8, n=2)
+    return simhash_pairs(d, max_hamming=8, n=2, hash_mode="md5") \
+        .withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def q_ann_lsh(spark, sf):
+    """Random-hyperplane LSH top-k; the hyperplanes are deterministic
+    integer-hash sequences, so the oracle embeds them as literal arrays
+    and replays bucketing + scoring + ranking exactly."""
     e = _spread(_t(spark, sf, "embeddings"))
     q = e.where(F.col("vec_id") < 10)
-    return lsh_topk(e, q, k=5, dim=64, tables=4, bits=6)
+    return lsh_topk(e, q, k=5, dim=64, tables=4, bits=6) \
+        .select("query_id", F.col("rank").cast("long").alias("rnk"),
+                "neighbor_id", "score")
 
 
 def q_ann_ivf(spark, sf):
+    """IVF ANN: md5-ordered deterministic seeds + literal-centroid
+    assignment + rounded Lloyd means make the whole pipeline (including
+    which candidates each query probes) SQL-replicable."""
     e = _spread(_t(spark, sf, "embeddings"))
     q = e.where(F.col("vec_id") < 10)
-    return ivf_topk(e, q, k=5, n_centroids=8, nprobe=3)
+    return ivf_topk(e, q, k=5, n_centroids=8, nprobe=3) \
+        .select("query_id", F.col("rank").cast("long").alias("rnk"),
+                "neighbor_id", "score")
 
 
 def q_stats_profile(spark, sf):
@@ -842,11 +861,186 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _WS_WORDS = ("list_filter(regexp_split_to_array(text, '\\s+'), "
              "x -> x <> '')")
 
+# distinct 2-gram shingle sets — shared by the jaccard/minhash/simhash
+# oracles; mirrors _shingle_frame(n=2) (docs with <2 words drop out)
+_SHINGLES_2 = f"""w AS (SELECT doc_id, {_WS_WORDS} AS ws FROM documents),
+            sh AS (SELECT doc_id,
+                          list_distinct(list_transform(
+                            generate_series(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i + 1])) AS s
+                   FROM w WHERE len(ws) >= 2)"""
+
+
+def _minhash_lsh_oracle(threshold: float, bands: int, r: int) -> str:
+    """Replays minhash_lsh_pairs(hash_mode='md5') end-to-end: per-seed
+    lexicographic md5 mins, per-band md5 bucket hashes, the banded
+    candidate self-join, and the exact-Jaccard verify."""
+    k = bands * r
+    mins = ",\n                    ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x)))"
+        for i in range(k))
+    band_rows = "\n              UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sig".format(
+            b=b, parts=" || '|' || ".join(
+                f"g[{b * r + j + 1}]" for j in range(r)))
+        for b in range(bands))
+    return f"""
+            WITH {_SHINGLES_2},
+            sig AS (SELECT doc_id, s, [{mins}] AS g FROM sh),
+            bands AS ({band_rows}),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bh = b.bh
+                          AND a.doc_id < b.doc_id),
+            v AS (SELECT id_a, id_b,
+                         len(list_intersect(sa.s, sb.s))::DOUBLE /
+                         (len(sa.s) + len(sb.s)
+                          - len(list_intersect(sa.s, sb.s))) AS j
+                  FROM cand JOIN sh sa ON sa.doc_id = id_a
+                            JOIN sh sb ON sb.doc_id = id_b)
+            SELECT id_a, id_b, round(j, 6) AS jaccard FROM v
+            WHERE j >= {threshold}"""
+
+
+def _simhash_oracle(max_hamming: int) -> str:
+    """Replays simhash_pairs(hash_mode='md5'): per-shingle md5 bits
+    (bit b = (nibble[b//4] >> (3-b%4)) & 1 — the _pm_bits_md5 formula),
+    per-bit ±1 sums, sign signature, the 16-bit-chunk candidate rule,
+    and the Hamming filter."""
+    return f"""
+            WITH {_SHINGLES_2},
+            u AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            hx AS (SELECT doc_id, md5(g) AS m FROM u),
+            bits AS (SELECT doc_id, b,
+                            CASE WHEN ((CAST('0x' ||
+                                        substr(m, b // 4 + 1, 1) AS INT)
+                                        >> (3 - b % 4)) & 1) = 1
+                                 THEN 1 ELSE -1 END AS c
+                     FROM hx, range(64) t(b)),
+            sums AS (SELECT doc_id, b, sum(c) AS sm FROM bits
+                     GROUP BY 1, 2),
+            sig AS (SELECT doc_id,
+                           list(CASE WHEN sm > 0 THEN 1 ELSE 0 END
+                                ORDER BY b) AS bl
+                    FROM sums GROUP BY 1),
+            pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.bl AS ba, b.bl AS bb
+                     FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+            ham AS (SELECT id_a, id_b,
+                           len(list_filter(range(0, 64),
+                               i -> ba[i + 1] <> bb[i + 1])) AS hamming,
+                           len(list_filter(range(0, 4), c ->
+                               len(list_filter(range(0, 16), j ->
+                                   ba[16 * c + j + 1]
+                                   <> bb[16 * c + j + 1])) = 0))
+                             AS eq_chunks
+                    FROM pair)
+            SELECT id_a, id_b, hamming FROM ham
+            WHERE eq_chunks > 0 AND hamming <= {max_hamming}"""
+
+
+def _ann_lsh_oracle(k: int, dim: int, tables: int, bits: int) -> str:
+    """Replays lsh_topk with the deterministic hyperplanes embedded as
+    literal double arrays (the Spark side generates the identical planes
+    via _hyperplane — same integer-hash recurrence, no RNG state)."""
+    from jio_spark.operators.similarity import _hyperplane
+
+    def bucket_sql(t: int) -> str:
+        terms = []
+        for b in range(bits):
+            plane = "[" + ", ".join(repr(x) for x in
+                                    _hyperplane(dim, t, b)) + "]"
+            terms.append(f"(CASE WHEN list_dot_product(v, {plane}) > 0 "
+                         f"THEN {1 << b} ELSE 0 END)")
+        return " + ".join(terms)
+
+    table_rows = "\n              UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {bucket_sql(t)} AS bkt FROM e"
+        for t in range(tables))
+    return f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            b AS ({table_rows}),
+            q AS (SELECT vec_id AS query_id, tbl, bkt FROM b
+                  WHERE vec_id < 10),
+            cand AS (SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+                     FROM q JOIN b USING (tbl, bkt)
+                     WHERE q.query_id <> b.vec_id),
+            scored AS (SELECT query_id, neighbor_id,
+                              round(list_dot_product(qe.v, ne.v) /
+                                    (sqrt(list_dot_product(qe.v, qe.v))
+                                     * sqrt(list_dot_product(ne.v, ne.v))),
+                                    6) AS score
+                       FROM cand
+                       JOIN e qe ON qe.vec_id = cand.query_id
+                       JOIN e ne ON ne.vec_id = cand.neighbor_id)
+            SELECT query_id, rnk, neighbor_id, score FROM (
+              SELECT query_id, neighbor_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC) AS rnk
+              FROM scored) WHERE rnk <= {k}"""
+
 
 def _lang_hits(lang: str) -> str:
     markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
     return (f"len(list_filter(list_transform({_WS_WORDS}, x -> lower(x)), "
             f"x -> x IN ({markers})))")
+
+
+def _ann_ivf_oracle(k: int, dim: int, n_centroids: int,
+                    nprobe: int) -> str:
+    """Replays ivf_topk end-to-end in SQL: md5-ordered seeds, argmax-
+    cosine assignment (ties by cid asc), per-dimension Lloyd means
+    rounded to 6 decimals, re-assignment, query probe lists, candidate
+    join, final ranking."""
+    def cos(ve: str, ce: str) -> str:
+        return (f"list_dot_product({ve}, {ce}) / "
+                f"(sqrt(list_dot_product({ve}, {ve})) "
+                f"* sqrt(list_dot_product({ce}, {ce})))")
+
+    return f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            seeds AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid,
+                             v AS c
+                      FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v
+                            FROM e ORDER BY h LIMIT {n_centroids})),
+            a1 AS (SELECT e.vec_id, e.v, s.cid,
+                          row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos('e.v', 's.c')} DESC,
+                                     s.cid ASC) AS rn
+                   FROM e, seeds s),
+            asg1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+            ref AS (SELECT cid, list(mx ORDER BY pos) AS c
+                    FROM (SELECT cid, pos, round(avg(v[pos]), 6) AS mx
+                          FROM asg1, range(1, {dim + 1}) t(pos)
+                          GROUP BY 1, 2)
+                    GROUP BY 1),
+            a2 AS (SELECT e.vec_id, e.v, r.cid,
+                          row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos('e.v', 'r.c')} DESC,
+                                     r.cid ASC) AS rn
+                   FROM e, ref r),
+            asg2 AS (SELECT vec_id, v, cid FROM a2 WHERE rn = 1),
+            qp AS (SELECT e.vec_id AS query_id, e.v AS qv, r.cid,
+                          row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos('e.v', 'r.c')} DESC,
+                                     r.cid ASC) AS rn
+                   FROM e, ref r WHERE e.vec_id < 10),
+            probe AS (SELECT query_id, qv, cid FROM qp
+                      WHERE rn <= {nprobe}),
+            cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                            p.qv, a.v
+                     FROM probe p JOIN asg2 a USING (cid)
+                     WHERE p.query_id <> a.vec_id),
+            scored AS (SELECT query_id, neighbor_id,
+                              round({cos('qv', 'v')}, 6) AS score
+                       FROM cand)
+            SELECT query_id, rnk, neighbor_id, score FROM (
+              SELECT query_id, neighbor_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC) AS rnk
+              FROM scored) WHERE rnk <= {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1320,4 +1514,8 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY score DESC, neighbor_id ASC) AS rnk
               FROM scored) WHERE rnk <= 5""",
+        "dedup_minhash_lsh": _minhash_lsh_oracle(0.06, bands=8, r=2),
+        "dedup_simhash": _simhash_oracle(max_hamming=8),
+        "ann_lsh": _ann_lsh_oracle(k=5, dim=64, tables=4, bits=6),
+        "ann_ivf": _ann_ivf_oracle(k=5, dim=64, n_centroids=8, nprobe=3),
     }

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, ngrams_of_words, words
@@ -117,20 +117,46 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
 _MINHASH_SEED_BASE = 0x5EED
 
 
-def minhash_signature(shingles: Column, k: int) -> Column:
-    """k-permutation MinHash signature as array<long> — one xxhash64 pass
-    per permutation over the shingle array, all inside codegen."""
+def minhash_signature(shingles: Column, k: int,
+                      hash_mode: str = "xxhash64") -> Column:
+    """k-permutation MinHash signature — one hash pass per permutation
+    over the shingle array, all inside codegen.
+
+    ``hash_mode='xxhash64'`` (default): array<long> of xxhash64 mins —
+    the fast scale path. ``hash_mode='md5'``: array<string> of
+    lexicographic mins of ``md5('<i>:' || shingle)`` — slower, but every
+    step is replicable in any SQL engine with ``md5`` (the DuckDB
+    correctness oracle), and a min over uniform fixed-length hex strings
+    is exactly as much a random-permutation min as a numeric one."""
+    # NB: the per-permutation lambdas MUST stay unary — F.transform
+    # inspects the callable's arity, and a second (defaulted) parameter
+    # flips it into the (element, index) form
+    if hash_mode == "md5":
+        return F.array(*[
+            F.array_min(F.transform(
+                shingles, _md5_seeded(i))) for i in range(k)])
     return F.array(*[
         F.array_min(F.transform(
-            shingles, lambda s: F.xxhash64(s, F.lit(_MINHASH_SEED_BASE + i))))
+            shingles, _xxh_seeded(_MINHASH_SEED_BASE + i)))
         for i in range(k)])
+
+
+def _md5_seeded(i: int):
+    prefix = F.lit(f"{i}:")
+    return lambda s: F.md5(F.concat(prefix, s))
+
+
+def _xxh_seeded(seed: int):
+    return lambda s: F.xxhash64(s, F.lit(seed))
 
 
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
                       bands: int = 16, rows_per_band: int = 4,
                       text_col: str = "text",
                       id_col: str = "doc_id",
-                      max_bucket_size: Optional[int] = None) -> DataFrame:
+                      max_bucket_size: Optional[int] = None,
+                      hash_mode: str = "xxhash64",
+                      cache_shingles: bool = False) -> DataFrame:
     """Candidate generation by banded MinHash, then exact-Jaccard verify.
     Recall for true Jaccard j is 1-(1-j^r)^b (r=rows_per_band, b=bands);
     with the defaults, j=0.5 → ~0.66, j=0.8 → ~1.0. Only candidates are
@@ -139,30 +165,42 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
     ``max_bucket_size`` is the mandatory-at-scale hot-bucket guard: a
     band bucket holding f docs contributes f² candidate pairs, so one
     degenerate bucket (boilerplate, empty-ish docs) can dominate the
-    join. Buckets larger than the cap are dropped (anti-join against the
-    tiny hot-bucket list) — a documented recall trade: members of a
-    dropped bucket can still pair through their other b-1 bands. Default
-    None keeps exact LSH semantics for the small-scale oracle checks."""
+    join. Oversized buckets are dropped via ONE count-window pass over
+    (band, bh) — the window exchange doubles as the self-join's
+    partitioning, so the guard adds no extra shuffle — a documented
+    recall trade: members of a dropped bucket can still pair through
+    their other b-1 bands. Default None keeps exact LSH semantics for
+    the small-scale oracle checks.
+
+    ``cache_shingles`` materializes the tokenized shingle frame once
+    (localCheckpoint) instead of recomputing it for the signature pass
+    and both sides of the verify join — 3× less tokenization/hashing
+    work; off by default to keep the operator lazy/composable."""
     k = bands * rows_per_band
     sh = _shingle_frame(df, text_col, id_col, n)
-    sig = sh.select("did", "sh",
-                    minhash_signature(F.col("sh"), k).alias("sig"))
+    if cache_shingles:
+        sh = sh.localCheckpoint(eager=True)
+    sig = sh.select("did", minhash_signature(F.col("sh"), k,
+                                             hash_mode).alias("sig"))
+
+    def band_hash(b: int) -> Column:
+        elems = [F.col("sig")[b * rows_per_band + r]
+                 for r in range(rows_per_band)]
+        if hash_mode == "md5":
+            return F.md5(F.concat_ws("|", *elems))
+        return F.xxhash64(*elems)
+
     bands_df = sig.select(
         "did",
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                                  for r in range(rows_per_band)])
-                     .alias("bh"))
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
             for b in range(bands)])).alias("bb")) \
         .select("did", "bb.band", "bb.bh")
     if max_bucket_size is not None:
-        hot = (bands_df.groupBy("band", "bh")
-               .agg(F.count(F.lit(1)).alias("f"))
-               .where(F.col("f") > max_bucket_size)
-               .select("band", "bh"))
-        bands_df = bands_df.join(F.broadcast(hot), ["band", "bh"],
-                                 "left_anti")
+        w = Window.partitionBy("band", "bh")
+        bands_df = (bands_df
+                    .withColumn("_f", F.count(F.lit(1)).over(w))
+                    .where(F.col("_f") <= max_bucket_size).drop("_f"))
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
     cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -188,33 +226,87 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
 # SimHash
 
 
-def simhash64(shingles: Column) -> Column:
-    """64-bit SimHash of a shingle array: per bit, sign of the sum of ±1
-    contributions from each shingle's xxhash64 — all Column expressions."""
-    h = F.transform(shingles, lambda s: F.xxhash64(s))
-    bit_sums = [
-        F.aggregate(
-            h, F.lit(0),
-            lambda acc, v: acc + F.when(
-                v.bitwiseAND(F.lit(1 << b) if b < 63
-                             else F.lit(-(2 ** 63))) != 0,
-                F.lit(1)).otherwise(F.lit(-1)))
-        for b in range(64)]
+def _pm_bits_long(v: Column) -> Column:
+    """array<int> of ±1 for the 64 bits of a long hash (static masks —
+    no dynamic shifts, which Spark's shiftright doesn't support)."""
+    return F.array(*[
+        F.when(v.bitwiseAND(F.lit(1 << b) if b < 63
+                            else F.lit(-(2 ** 63))) != 0,
+               F.lit(1)).otherwise(F.lit(-1))
+        for b in range(64)])
+
+
+def _pm_bits_md5(m: Column) -> Column:
+    """array<int> of ±1 for the 64 bits carried by the first 16 hex chars
+    of an md5 string; bit b = (nibble[b//4] >> (3 - b%4)) & 1, the same
+    formula the DuckDB oracle uses. The md5 is hashed ONCE per shingle —
+    only cheap substring/bit ops happen per bit."""
+    nibbles = F.transform(
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda i: F.conv(F.substring(m, i, F.lit(1)), 16, 10).cast("int"))
+    return F.flatten(F.transform(
+        nibbles,
+        lambda d: F.array(*[
+            F.when(d.bitwiseAND(F.lit(mask)) != 0, F.lit(1))
+             .otherwise(F.lit(-1))
+            for mask in (8, 4, 2, 1)])))
+
+
+def simhash_bitsums(shingles: Column,
+                    hash_mode: str = "xxhash64") -> Column:
+    """The SimHash accumulator as ONE fold: array<int> of 64 per-bit sums
+    of ±1 contributions. A single pass over the shingle array (the
+    earlier form ran 64 separate ``F.aggregate`` folds — 64 re-traversals
+    and an unbounded codegen tree). ``hash_mode='md5'`` derives the bits
+    from ``md5(shingle)`` hex so a SQL oracle can replicate them."""
+    if hash_mode == "md5":
+        h = F.transform(shingles, lambda s: F.md5(s))
+        bits = _pm_bits_md5
+    else:
+        h = F.transform(shingles, lambda s: F.xxhash64(s))
+        bits = _pm_bits_long
+    return F.aggregate(
+        h, F.array_repeat(F.lit(0), 64),
+        lambda acc, hv: F.zip_with(acc, bits(hv),
+                                   lambda a, b: a + b))
+
+
+def pack_sign_bits(bit_sums: Column) -> Column:
+    """array<int> of 64 bit-sums → signed 64-bit SimHash (bit b set where
+    sum > 0). Reference ``bit_sums`` as a MATERIALIZED column: as an
+    inline subtree it would be copied 64×."""
     out = F.lit(0).cast("long")
-    for b, s in enumerate(bit_sums):
+    for b in range(64):
         bit = F.lit(1 << b) if b < 63 else F.lit(-(2 ** 63))
-        out = out + F.when(s > 0, bit).otherwise(F.lit(0))
+        out = out + F.when(F.element_at(bit_sums, b + 1) > 0, bit) \
+                     .otherwise(F.lit(0))
     return out
 
 
+def simhash64(shingles: Column, hash_mode: str = "xxhash64") -> Column:
+    """64-bit SimHash of a shingle array: per bit, sign of the sum of ±1
+    contributions from each shingle's hash — all Column expressions.
+    Convenience single-expression form; hot paths should materialize
+    :func:`simhash_bitsums` in its own projection first and pack with
+    :func:`pack_sign_bits` (codegen CSE computes the duplicated fold
+    once, but the optimizer tree stays 64× smaller)."""
+    return pack_sign_bits(simhash_bitsums(shingles, hash_mode))
+
+
 def simhash_pairs(df: DataFrame, max_hamming: int = 3, n: int = 3,
-                  text_col: str = "text", id_col: str = "doc_id"
-                  ) -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  hash_mode: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming,
     candidates generated by 16-bit chunk equality (pigeonhole: distance
-    ≤3 over 4 chunks ⇒ at least one chunk identical)."""
+    ≤3 over 4 chunks ⇒ at least one chunk identical; larger max_hamming
+    keeps the same candidate rule, trading recall)."""
     sh = _shingle_frame(df, text_col, id_col, n)
-    sig = sh.select("did", simhash64(F.col("sh")).alias("sim"))
+    # bit-sum fold materialized in its own projection; the 64-term pack
+    # references it as a named column (CollapseProject keeps expensive
+    # producer expressions un-inlined since SPARK-36718)
+    sig = sh.select("did",
+                    simhash_bitsums(F.col("sh"), hash_mode).alias("bs")) \
+            .select("did", pack_sign_bits(F.col("bs")).alias("sim"))
     chunks = sig.select(
         "did", "sim",
         F.explode(F.array(*[

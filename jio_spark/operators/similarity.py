@@ -126,61 +126,103 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return _rank_topk(scored, k)
 
 
+def _assign_expr(vec_col: Column, norm_col: Column,
+                 cents: List[tuple]) -> Column:
+    """Nearest-centroid id as a PURE column expression over literal
+    centroid arrays: argmax cosine via ``array_max`` of
+    ``struct(cos, -cid)`` (ties → smallest cid). Zero shuffle, zero row
+    expansion — the scan stays one codegen'd pass however large the
+    corpus. ``cents`` = [(cid, vector, norm)]."""
+    structs = []
+    for cid, vec, cn in cents:
+        c_arr = F.array(*[F.lit(float(x)) for x in vec])
+        cos = dot(vec_col, c_arr) / (norm_col * F.lit(cn))
+        structs.append(F.struct(cos.alias("cos"),
+                                F.lit(-cid).alias("ncid")))
+    return (-F.array_max(F.array(*structs))["ncid"]).cast("int")
+
+
+def _probe_expr(vec_col: Column, norm_col: Column, cents: List[tuple],
+                nprobe: int) -> Column:
+    """Top-``nprobe`` centroid ids by cosine (desc, cid asc) as a pure
+    expression: sort the literal struct array descending and slice."""
+    structs = []
+    for cid, vec, cn in cents:
+        c_arr = F.array(*[F.lit(float(x)) for x in vec])
+        cos = dot(vec_col, c_arr) / (norm_col * F.lit(cn))
+        structs.append(F.struct(cos.alias("cos"),
+                                F.lit(-cid).alias("ncid")))
+    ranked = F.sort_array(F.array(*structs), asc=False)
+    return F.transform(F.slice(ranked, 1, nprobe),
+                       lambda s: (-s.getField("ncid")).cast("int"))
+
+
+def _with_norms_py(rows: List[tuple]) -> List[tuple]:
+    """[(cid, vec)] → [(cid, vec, ||vec||)]; the sequential Python sum
+    matches the engines' left-to-right fold bit-for-bit."""
+    out = []
+    for cid, vec in rows:
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        out.append((cid, [float(x) for x in vec], acc ** 0.5))
+    return out
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              exclude_self: bool = True) -> DataFrame:
-    """IVF-style ANN: centroids = deterministic corpus sample refined by
-    one Lloyd step (both as DataFrame aggs), corpus partitioned by nearest
-    centroid, queries probe the ``nprobe`` nearest lists."""
-    # deterministic seed sample: lowest xxhash64(id) rows
-    seeds = (corpus
-             .select(F.col(id_col), F.col(vec_col))
-             .orderBy(F.xxhash64(F.col(id_col)))
-             .limit(n_centroids)
-             .select(F.monotonically_increasing_id().alias("cid"),
-                     F.col(vec_col).alias("centroid")))
-    seeds = seeds.select("cid", "centroid",
-                         l2_norm(F.col("centroid")).alias("cent_n"))
-    seeds_b = F.broadcast(seeds)
+    """IVF-style ANN with shuffle-free centroid assignment.
 
-    # one refinement pass: mean of members (element-wise via posexplode)
-    assigned = (_with_norm(corpus, id_col, vec_col, "nid", "v", "v_n")
-                .crossJoin(seeds_b)
-                .withColumn("_r", F.row_number().over(
-                    Window.partitionBy("nid").orderBy(
-                        F.desc(_cos("v", "centroid", "v_n", "cent_n")),
-                        F.asc("cid"))))
-                .where(F.col("_r") == 1).select("nid", "v", "cid"))
-    refined = (assigned
-               .select("cid", F.posexplode("v").alias("pos", "x"))
-               .groupBy("cid", "pos").agg(F.avg("x").alias("m"))
-               .groupBy("cid")
-               .agg(F.array_sort(
-                   F.collect_list(F.struct("pos", "m"))).alias("pm"))
-               .select("cid", F.transform(
-                   "pm", lambda s: s.getField("m").cast("float"))
-                   .alias("centroid")))
-    refined = refined.select("cid", "centroid",
-                             l2_norm(F.col("centroid")).alias("cent_n"))
-    refined_b = F.broadcast(refined)
+    1. Seeds: the ``n_centroids`` corpus rows with lexicographically
+       smallest ``md5(id)`` — a deterministic sample any SQL engine can
+       reproduce — collected to the driver (≤ a few KB: the one
+       legitimate driver-side step; everything row-scale stays
+       distributed).
+    2. Assignment is a pure column expression against the LITERAL
+       centroids (``_assign_expr``) — the earlier form crossJoined the
+       corpus with the centroid table (n_centroids× row expansion) and
+       ranked through ``Window.partitionBy(id)``, a full shuffle of the
+       expanded corpus, twice; now the corpus is never shuffled at all.
+    3. One Lloyd refinement: ``groupBy(cid).agg(avg(v[i]) …)`` —
+       map-side combinable, reduced state = n_centroids × dim doubles.
+       Means are rounded to 6 decimals so the refined centroids are
+       identical across engines (partial-agg summation order).
+    4. Queries (tiny) compute their ``nprobe`` probe lists as a pure
+       expression too; the only joins are candidate-list joins keyed on
+       cid with the broadcast query side."""
+    # 1. deterministic driver-side seeds
+    seed_rows = (corpus
+                 .select(F.col(id_col).alias("sid"),
+                         F.col(vec_col).alias("v"))
+                 .orderBy(F.md5(F.col("sid").cast("string")))
+                 .limit(n_centroids)
+                 .collect())
+    seeds = _with_norms_py([(cid, list(r["v"]))
+                            for cid, r in enumerate(seed_rows)])
+    dim = len(seeds[0][1])
 
-    corp = (_with_norm(corpus, id_col, vec_col,
-                       "neighbor_id", "c_vec", "c_n")
-            .crossJoin(refined_b))
-    w = Window.partitionBy("neighbor_id").orderBy(
-        F.desc(_cos("c_vec", "centroid", "c_n", "cent_n")), F.asc("cid"))
-    corp = (corp.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") == 1)
-            .select("neighbor_id", "c_vec", "c_n", "cid"))
+    # 2+3. assign to seed centroids (pure expr), refine by per-dim mean
+    c = _with_norm(corpus, id_col, vec_col, "neighbor_id", "c_vec", "c_n")
+    asg1 = c.withColumn("cid", _assign_expr(F.col("c_vec"),
+                                            F.col("c_n"), seeds))
+    mean_rows = (asg1.groupBy("cid")
+                 .agg(*[F.round(F.avg(F.col("c_vec")[i]), 6).alias(f"m{i}")
+                        for i in range(dim)])
+                 .collect())
+    refined = _with_norms_py(
+        [(int(r["cid"]), [r[f"m{i}"] for i in range(dim)])
+         for r in sorted(mean_rows, key=lambda r: r["cid"])])
 
-    qs = (_with_norm(queries, id_col, vec_col, "query_id", "q_vec", "q_n")
-          .crossJoin(refined_b))
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc(_cos("q_vec", "centroid", "q_n", "cent_n")), F.asc("cid"))
-    qs = (qs.withColumn("_r", F.row_number().over(wq))
-          .where(F.col("_r") <= nprobe)
-          .select("query_id", "q_vec", "q_n", "cid"))
+    # 4. final assignment + probe lists, all against refined literals
+    corp = c.withColumn("cid", _assign_expr(F.col("c_vec"),
+                                            F.col("c_n"), refined))
+    q = _with_norm(queries, id_col, vec_col, "query_id", "q_vec", "q_n")
+    qs = (q.withColumn("probe", _probe_expr(F.col("q_vec"),
+                                            F.col("q_n"), refined, nprobe))
+          .select("query_id", "q_vec", "q_n",
+                  F.explode("probe").alias("cid")))
 
     cand = corp.join(F.broadcast(qs), "cid")
     if exclude_self:
