@@ -177,32 +177,12 @@ def decode_coded(samples: np.ndarray, codec: str) -> np.ndarray:
 
 
 def decode_wav(raw: bytes) -> Tuple[np.ndarray, int, str]:
-    """WAV bytes → (int16 PCM, sample rate, codec name).
-
-    Raises ValueError on malformed/truncated input (drives the corrupt-
-    payload violations in FIXTURES.md §1)."""
-    if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
-    (fmt, channels, sr, _, _, bits) = struct.unpack("<HHIIHH", raw[20:36])
-    if raw[36:40] != b"data":
-        raise ValueError("missing data chunk")
-    (dlen,) = struct.unpack("<I", raw[40:44])
-    payload = raw[44:44 + dlen]
-    if len(payload) < dlen:
-        raise ValueError("truncated data chunk")
-    if channels != 1:
-        raise ValueError(f"unsupported channel count {channels}")
-    if fmt == _FMT_PCM16:
-        if bits != 16 or dlen % 2:
-            raise ValueError("malformed pcm16 payload")
-        pcm = np.frombuffer(payload, dtype="<i2")
-    elif fmt == _FMT_ULAW:
-        pcm = ulaw_decode(np.frombuffer(payload, dtype=np.uint8))
-    elif fmt == _FMT_ALAW:
-        pcm = alaw_decode(np.frombuffer(payload, dtype=np.uint8))
-    else:
-        raise ValueError(f"unsupported format tag {fmt}")
-    return pcm, sr, _FMT_CODEC[fmt]
+    """WAV bytes → (int16 PCM, sample rate, codec name). Delegates header
+    and payload validation to :func:`parse_wav` so the malformed-input
+    behavior (which drives the corrupt-payload violations, FIXTURES.md §1)
+    cannot drift between the parse-only and full-decode paths."""
+    coded, sr, codec = parse_wav(raw)
+    return decode_coded(coded, codec), sr, codec
 
 
 ENCODERS = {"pcm_s16le": encode_pcm16_wav, "ulaw": encode_ulaw_wav,
@@ -230,8 +210,14 @@ def _one_period(freq_hz: float, sr: int, amplitude: float) -> np.ndarray:
     return p
 
 
+#: fixture sine amplitude — shared by synth_wave's default and the fused
+#: SNR check's reference period (synth.expected_period), so the two can't
+#: silently diverge and fail every clip against the 30 dB threshold
+DEFAULT_AMPLITUDE = 0.5
+
+
 def synth_wave(freq_hz: float, dur_ms: int, sr: int,
-               amplitude: float = 0.5) -> np.ndarray:
+               amplitude: float = DEFAULT_AMPLITUDE) -> np.ndarray:
     """Deterministic sine clip as int16 PCM (FIXTURES.md §1 `bytes` spec).
     Integral frequencies take the exact tiled-period fast path."""
     n = int(round(sr * dur_ms / 1000.0))

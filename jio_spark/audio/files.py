@@ -86,14 +86,17 @@ def decode_check_files(spark: SparkSession, root: str,
                             dur_tolerance_ms, passthrough=[partition_col])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os
         import pyarrow as pa
         import pyarrow.parquet as pq
-        # ONE core per task: parallelism belongs to Spark's scheduler.
-        # pyarrow's implicit per-process thread pool (cpu_count threads in
-        # EVERY python worker) oversubscribes the box and silently borrows
-        # cores the task wasn't allocated — which also corrupts any
-        # fixed-core scaling measurement.
-        pa.set_cpu_count(1)
+        # use_threads=False on read_row_group already keeps THIS read on
+        # one core; the process-global clamp below additionally stops
+        # pyarrow's implicit cpu_count thread pool from borrowing cores
+        # in reused workers during fixed-core scaling measurements. It is
+        # opt-in (env flag) because it would persist in the reused worker
+        # and silently single-thread unrelated pyarrow work.
+        if _os.environ.get("JIO_PIN_ARROW_CPU") == "1":
+            pa.set_cpu_count(1)
         for pdf in batches:
             for path, rg, pval in zip(pdf["path"], pdf["rg"],
                                       pdf[partition_col]):

@@ -97,11 +97,11 @@ def expected_period(i: int, clean: bool = False):
     blocked SNR check (codecs.snr_db_vs_period): the reference is never
     tiled to full length. Falls back to the full signal as a length-n
     'period' if the frequency were ever non-integral."""
-    from .codecs import _one_period
+    from .codecs import DEFAULT_AMPLITUDE, _one_period
     _, freq, sr, dur, _, _ = _row_params(i, clean)
     n = int(round(sr * dur / 1000.0))
     if float(freq).is_integer():
-        return _one_period(freq, sr, 0.5), n
+        return _one_period(freq, sr, DEFAULT_AMPLITUDE), n
     return synth_wave(freq, dur, sr), n
 
 

@@ -17,6 +17,7 @@ and the drift snapshot/check.
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence
@@ -228,8 +229,19 @@ class ClipsValidationJob:
                 "audio_check": cfg.audio_check,
             })
 
-        parts = sorted(r[0] for r in
-                       df.select(cfg.partition_col).distinct().collect())
+        # partition discovery is metadata-only when the table location is
+        # known (filesystem listing of hive dirs / Iceberg .partitions);
+        # the distinct() job — a full scan at 10^12 rows — is only the
+        # fallback for ad-hoc in-memory frames
+        parts: List = []
+        if table_root:
+            from .sources.tables import list_partition_values
+            parts = list_partition_values(self.spark, table_root,
+                                          cfg.partition_col)
+        if not parts:
+            parts = sorted(r[0] for r in
+                           df.select(cfg.partition_col).distinct()
+                             .collect())
         done = manifest.completed_partitions() if (manifest and resume) \
             else set()
         todo = [p for p in parts if p not in done]
@@ -238,6 +250,12 @@ class ClipsValidationJob:
 
         total_viols = 0
         rows_processed = 0
+        # Spark job SUBMISSION stays concurrent across groups; only the
+        # sink COMMITS queue. Concurrent committers sharing one output
+        # root (directory listing, _SUCCESS markers, object-store rename)
+        # are not a guaranteed-safe pattern even with disjoint dynamic
+        # partitions.
+        sink_lock = threading.Lock()
 
         def run_group(group):
             gdf = df.where(F.col(cfg.partition_col).isin(group))
@@ -249,8 +267,9 @@ class ClipsValidationJob:
                                           table_root=table_root,
                                           observation=obs)
             if sink:
-                sink.overwrite_partitions(viols, "violations",
-                                          cfg.partition_col)
+                with sink_lock:
+                    sink.overwrite_partitions(viols, "violations",
+                                              cfg.partition_col)
                 g_viols = None  # counted lazily from written data if needed
             else:
                 g_viols = viols.count()
@@ -274,7 +293,8 @@ class ClipsValidationJob:
             uv = uniqueness_check(df, "clip_id",
                                   layout=cfg.uniqueness_layout)
             if sink:
-                sink.append(uv, "uniqueness_violations", None)
+                with sink_lock:
+                    sink.append(uv, "uniqueness_violations", None)
             n = uv.count()
             if manifest:
                 manifest.mark(uniq_key, [], {"violations": n})

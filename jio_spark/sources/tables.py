@@ -39,10 +39,55 @@ class TableAdapter:
 
     def partitions(self, spark: SparkSession, location: str) -> List:
         """Distinct partition values — drives the checkpoint manifest.
-        For parquet this is a metadata-only listing of partition dirs."""
+        Metadata-only: filesystem listing for parquet, the ``.partitions``
+        metadata table for Iceberg; the ``distinct()`` table scan is only
+        the last-resort fallback for unpartitioned layouts (at 10^12 rows
+        that scan is a full job — never the default)."""
+        vals = list_partition_values(spark, location, self.partition_col,
+                                     self.fmt)
+        if vals:
+            return vals
         df = self.read(spark, location)
         return sorted(r[0] for r in
                       df.select(self.partition_col).distinct().collect())
+
+
+def list_partition_values(spark: SparkSession, location: str,
+                          partition_col: str,
+                          fmt: str = "parquet") -> List:
+    """Partition values WITHOUT scanning any data.
+
+    * parquet: ONE filesystem listing of ``<location>/<col>=<value>``
+      directories through the Hadoop FileSystem API (same listing the
+      DataSource's file index performs; works for local paths, HDFS and
+      s3a alike) — no Spark job is launched at all.
+    * iceberg: the table's ``.partitions`` metadata table (manifest
+      read, no data files touched).
+
+    Hive directory names are strings; integral-looking values are parsed
+    back to int so they compare equal to the column values in
+    ``isin`` partition-pruning filters. Returns ``[]`` when the layout
+    isn't partitioned by ``partition_col`` (callers fall back)."""
+    if fmt == "iceberg":
+        meta = spark.read.format("iceberg").load(f"{location}.partitions")
+        return sorted(r[0] for r in
+                      meta.select(f"partition.{partition_col}").collect())
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(location)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    prefix = f"{partition_col}="
+    vals: List = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            raw = name[len(prefix):]
+            try:
+                vals.append(int(raw))
+            except ValueError:
+                vals.append(raw)
+    return sorted(vals)
 
 
 def read_table(spark: SparkSession, location: str,
