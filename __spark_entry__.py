@@ -682,8 +682,7 @@ def q_dedup_minhash_lsh(spark, sf):
     scale default; the plans are identical in shape)."""
     d = _spread(_t(spark, sf, "documents"))
     return minhash_lsh_pairs(d, threshold=0.06, n=2,
-                             bands=8, rows_per_band=2,
-                             hash_mode="md5", cache_shingles=True)
+                             bands=8, rows_per_band=2, hash_mode="md5")
 
 
 def q_dedup_simhash(spark, sf):
@@ -872,12 +871,14 @@ _SHINGLES_2 = f"""w AS (SELECT doc_id, {_WS_WORDS} AS ws FROM documents),
 
 
 def _minhash_lsh_oracle(threshold: float, bands: int, r: int) -> str:
-    """Replays minhash_lsh_pairs(hash_mode='md5') end-to-end: per-seed
-    lexicographic md5 mins, per-band md5 bucket hashes, the banded
-    candidate self-join, and the exact-Jaccard verify."""
+    """Replays minhash_lsh_pairs(hash_mode='md5') end-to-end: per-
+    permutation 8-hex md5 slice mins (_md5_slice), per-band md5 bucket
+    hashes, the banded candidate self-join, and the Jaccard verify over
+    60-bit hashed shingle fingerprints (_shingle_hash)."""
     k = bands * r
     mins = ",\n                    ".join(
-        f"list_min(list_transform(s, x -> md5('{i}:' || x)))"
+        f"list_min(list_transform(s, x -> "
+        f"substr(md5('{i // 4}:' || x), {1 + 8 * (i % 4)}, 8)))"
         for i in range(k))
     band_rows = "\n              UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sig".format(
@@ -886,18 +887,23 @@ def _minhash_lsh_oracle(threshold: float, bands: int, r: int) -> str:
         for b in range(bands))
     return f"""
             WITH {_SHINGLES_2},
-            sig AS (SELECT doc_id, s, [{mins}] AS g FROM sh),
+            sig AS (SELECT doc_id, [{mins}] AS g FROM sh),
             bands AS ({band_rows}),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                      FROM bands a JOIN bands b
                        ON a.band = b.band AND a.bh = b.bh
                           AND a.doc_id < b.doc_id),
+            hs AS (SELECT doc_id,
+                          list_distinct(list_transform(s, x ->
+                            CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)))
+                            AS h
+                   FROM sh),
             v AS (SELECT id_a, id_b,
-                         len(list_intersect(sa.s, sb.s))::DOUBLE /
-                         (len(sa.s) + len(sb.s)
-                          - len(list_intersect(sa.s, sb.s))) AS j
-                  FROM cand JOIN sh sa ON sa.doc_id = id_a
-                            JOIN sh sb ON sb.doc_id = id_b)
+                         len(list_intersect(ha.h, hb.h))::DOUBLE /
+                         (len(ha.h) + len(hb.h)
+                          - len(list_intersect(ha.h, hb.h))) AS j
+                  FROM cand JOIN hs ha ON ha.doc_id = id_a
+                            JOIN hs hb ON hb.doc_id = id_b)
             SELECT id_a, id_b, round(j, 6) AS jaccard FROM v
             WHERE j >= {threshold}"""
 
