@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -92,19 +93,30 @@ def main():
         codec_dim=default_codec_dim(spark))
 
     warm = os.environ.get("JIO_BENCH_WARMUP", "1") == "1"
+    repeats = int(os.environ.get("JIO_BENCH_REPEATS", "3"))
     if warm:
         job.run(clips, table_root=CLIPS_CACHE)  # warm cache + workers
-    t0 = time.time()
-    metrics = job.run(clips, table_root=CLIPS_CACHE)
-    full_pass_sec = time.time() - t0
+    # medians of N: the sandbox host shows 10-50% run-to-run variance
+    # under contention, so single-shot numbers aren't comparable
+    # round-over-round (BENCH/BASELINE.md protocol)
+    full_runs = []
+    metrics = None
+    for _ in range(repeats):
+        t0 = time.time()
+        metrics = job.run(clips, table_root=CLIPS_CACHE)
+        full_runs.append(time.time() - t0)
+    full_pass_sec = statistics.median(full_runs)
     clips_per_sec = N_CLIPS / full_pass_sec
 
     queries = {}
     qmap = E.queries()
     for name in BENCH_QUERIES:
-        t = time.time()
-        run_noop(qmap[name](spark, SF_DIR))
-        queries[name] = round(time.time() - t, 3)
+        runs = []
+        for _ in range(repeats):
+            t = time.time()
+            run_noop(qmap[name](spark, SF_DIR))
+            runs.append(time.time() - t)
+        queries[name] = round(statistics.median(runs), 3)
 
     out = {
         "metric": "validated clips/sec (full rule-set pass)",
@@ -113,6 +125,7 @@ def main():
         "clips": N_CLIPS,
         "clips_per_sec": round(clips_per_sec, 1),
         "cpus": CPUS,
+        "full_runs": [round(x, 3) for x in full_runs],
         "violations": metrics["violations"],
         "uniqueness_violations": metrics["uniqueness_violations"],
         "queries": queries,

@@ -4,7 +4,7 @@ uniqueness without a full shuffle, broadcast referential checks, KS/PSI
 distribution drift, plus the training-data-pipeline operators (dedup,
 similarity, text quality)."""
 
-from .stats import column_stats, stats_exprs
+from .stats import column_profile_exact, column_stats, stats_exprs
 from .uniqueness import duplicate_ids, uniqueness_check
 from .referential import referential_check
 from .drift import drift_check, snapshot
@@ -13,7 +13,7 @@ from .dedup import (dedup_exact, embedding_dup_pairs, exact_duplicates,
 from .similarity import brute_force_topk, ivf_topk, lsh_topk
 
 __all__ = [
-    "column_stats", "stats_exprs",
+    "column_profile_exact", "column_stats", "stats_exprs",
     "duplicate_ids", "uniqueness_check",
     "referential_check",
     "snapshot", "drift_check",

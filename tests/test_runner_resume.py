@@ -75,6 +75,29 @@ def test_resume_noop_when_complete(spark, clips_path, tmp_path):
     assert m2["groups_run"] == 0 and m2["rows"] == 0
 
 
+def test_partition_discovery_is_metadata_only(spark, clips_path):
+    """list_partition_values reads the hive directory names — no Spark
+    job, values parsed back to the column's int domain — and the runner
+    prefers it whenever table_root is known."""
+    from jio_spark.sources.tables import TableAdapter, list_partition_values
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    vals = list_partition_values(spark, clips_path, "bucket_id")
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert vals == sorted(set(vals)) and vals and all(
+        isinstance(v, int) for v in vals)
+    assert after == before          # zero Spark jobs launched
+    assert TableAdapter().partitions(spark, clips_path) == vals
+    # unpartitioned location → empty (callers fall back to a scan)
+    assert list_partition_values(spark, "/nonexistent/nowhere",
+                                 "bucket_id") == []
+
+    df = spark.read.parquet(clips_path)
+    cfg = ClipsJobConfig(group_size=8, audio_check=False, drift=False)
+    m = ClipsValidationJob(spark, cfg).run(df, table_root=clips_path)
+    assert m["partitions"] == len(vals)
+
+
 def test_merge_observed_stats_math():
     from jio_spark.runner import _merge_observed_stats
     g1 = {"rows": 10, "v__nulls": 2, "v__min": 1.0, "v__max": 5.0,

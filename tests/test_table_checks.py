@@ -4,7 +4,8 @@
 import pyspark.sql.functions as F
 import pytest
 
-from jio_spark.operators import (column_stats, drift_check, duplicate_ids,
+from jio_spark.operators import (column_profile_exact, column_stats,
+                                 drift_check, duplicate_ids,
                                  referential_check, snapshot,
                                  uniqueness_check)
 from jio_spark.operators.drift import (HistSpec, ks_from_quantiles,
@@ -24,6 +25,19 @@ def test_column_stats_single_pass(spark):
     assert stats["x"]["quantiles"][0] == 10.0
     assert stats["s"]["nulls"] == 1
     assert stats["s"]["approx_distinct"] == 2
+
+
+def test_column_profile_exact(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "a"), (4, 40.0, None)],
+        "id int, x double, s string")
+    prof = {r["col_name"]: r for r in column_profile_exact(df).collect()}
+    assert prof["x"]["count"] == 4 and prof["x"]["nulls"] == 1
+    assert prof["x"]["null_rate"] == 0.25
+    assert prof["x"]["min"] == 10.0 and prof["x"]["max"] == 40.0
+    assert prof["x"]["mean"] == round(70.0 / 3, 4)
+    # string columns carry only count/null stats in the exact profile
+    assert prof["s"]["nulls"] == 1 and prof["s"]["min"] is None
 
 
 def test_duplicate_ids_clustered(spark):

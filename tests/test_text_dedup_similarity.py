@@ -141,6 +141,35 @@ def test_simhash(spark, docs):
     assert pairs[(1, 2)] == 0
 
 
+def test_minhash_md5_mode_verifies_like_xxhash(spark, docs):
+    """md5 signature mode changes candidate RECALL (different random
+    permutations) but never verification: every emitted pair must carry
+    the true Jaccard and clear the threshold, and exact dups always
+    collide in every band in either mode."""
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, 0.5, 3).collect()}
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in minhash_lsh_pairs(docs, threshold=0.5, n=3,
+                                      bands=16, rows_per_band=2,
+                                      hash_mode="md5").collect()}
+    assert (1, 2) in got
+    assert set(got) <= set(exact)
+    for pair, j in got.items():
+        assert j == exact[pair]
+
+
+def test_simhash_md5_mode(spark, docs):
+    sigs = {r["doc_id"]: r["s"] for r in
+            docs.select("doc_id",
+                        simhash64(word_ngrams(F.col("text"), 2), "md5")
+                        .alias("s")).collect()}
+    assert sigs[1] == sigs[2]  # identical shingle sets → identical hash
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=3, n=2,
+                                    hash_mode="md5").collect()}
+    assert pairs[(1, 2)] == 0
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.RandomState(7)

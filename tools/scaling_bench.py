@@ -22,6 +22,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 RUNNER = r"""
 import json, os, statistics, sys, time
+# fixed-core measurement: stop pyarrow's implicit per-worker thread pool
+# from borrowing cores (opt-in clamp in audio/files.py)
+os.environ["JIO_PIN_ARROW_CPU"] = "1"
 sys.path.insert(0, {root!r})
 from pyspark.sql import SparkSession
 cpus = {cpus}
