@@ -358,6 +358,18 @@ def q_rule_array_check(spark, sf):
         "doc_id", res.compiled.row_pass.alias("check_pass"))
 
 
+def q_rule_regex(spark, sf):
+    """Regex rule (string.go:159-167): unanchored must-match; the
+    pattern stays in the RE2∩Java shared dialect so Spark's rlike and
+    the oracle's regexp_matches agree."""
+    ev = _t(spark, sf, "events")
+    res = validate(ev, K.object({
+        "event_type": K.string().required().regex("^[a-z]+_[a-z]+$")}),
+        id_cols=["event_id"])
+    return res.prepared.select(
+        "event_id", res.compiled.row_pass.alias("re_pass"))
+
+
 def q_rule_string_type(spark, sf):
     """String final type assertion (string.go:219-223): a number column
     under a String schema fails `is not string` for every non-null value
@@ -814,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_number_convert": q_rule_number_convert,
         "rule_string_convert": q_rule_string_convert,
         "rule_array_check": q_rule_array_check,
+        "rule_regex": q_rule_regex,
         "rule_string_type": q_rule_string_type,
         "rule_array_type": q_rule_array_type,
         "rule_object_type": q_rule_object_type,
@@ -1242,6 +1255,12 @@ def oracle_sql() -> dict[str, str]:
         "rule_array_check": f"""
             WITH t AS (SELECT doc_id, {_WS_WORDS} AS ws FROM documents)
             SELECT doc_id, len(ws) >= 3 AS check_pass FROM t""",
+        "rule_regex": """
+            SELECT event_id,
+                   (event_type IS NOT NULL AND
+                    regexp_matches(event_type, '^[a-z]+_[a-z]+$'))
+                     AS re_pass
+            FROM events""",
         "rule_string_type": f"""
             SELECT l_orderkey, l_linenumber,
                    l_quantity IS NULL AS type_pass,
