@@ -191,7 +191,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
        identical across engines (partial-agg summation order).
     4. Queries (tiny) compute their ``nprobe`` probe lists as a pure
        expression too; the only joins are candidate-list joins keyed on
-       cid with the broadcast query side."""
+       cid with the broadcast query side.
+
+    Sizing: the literal-centroid expression is n_centroids × dim
+    literals in the plan — comfortable to a few hundred centroids at
+    dim≈10². For IVF with thousands of centroids, swap step 2/4's
+    expression for a broadcast-join against a centroid table followed by
+    ``groupBy(id).agg(max_by(cid, cos))`` (one map-side-combined shuffle
+    of (id, cid) pairs — still no Window over the expanded corpus)."""
     # 1. deterministic driver-side seeds
     seed_rows = (corpus
                  .select(F.col(id_col).alias("sid"),
