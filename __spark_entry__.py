@@ -793,6 +793,35 @@ def q_audio_drift(spark, sf):
     return drift_check(cur, base)
 
 
+def q_stream_validate(spark, sf):
+    """Structured-Streaming face of the compiled rule set (SURVEY.md
+    §2.3 streaming row): the SAME compiled Column plan applied to a
+    streaming DataFrame, drained with Trigger.AvailableNow — so the
+    micro-batch union equals the batch result row-for-row and the query
+    carries a full DuckDB oracle like any batch rule."""
+    from jio_spark.streaming import validate_stream
+    static = _t(spark, sf, "events")
+    # the file-stream source wants a directory: stream the sf dir with a
+    # glob filter selecting just the events table file(s)
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf))
+    outs = validate_stream(stream, K.object({
+        "value": K.number().required().min(0).max(90)}),
+        id_cols=["event_id"])
+    name = "jio_stream_violations"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (outs["violations"].writeStream.format("memory")
+         .queryName(name).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .select("event_id", "rule_path", "rule_name",
+                    "expected", "actual", "message"))
+
+
 def q_multimodal_meta(spark, sf):
     _ensure_workers(spark)
     from jio_spark.audio.synth import clips_frame
@@ -857,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "stats_profile": q_stats_profile,
+        "stream_validate": q_stream_validate,
         # rows-only checks (no SQL equivalent)
         "stats_profile_approx": q_stats_profile_approx,
         "audio_decode": q_audio_decode,
@@ -1539,6 +1569,27 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY score DESC, neighbor_id ASC) AS rnk
               FROM scored) WHERE rnk <= 5""",
+        "stream_validate": f"""
+            SELECT event_id, 'value' AS rule_path,
+                   CASE WHEN value IS NULL THEN 'required'
+                        WHEN value < 0 THEN 'min'
+                        ELSE 'max' END AS rule_name,
+                   CASE WHEN value IS NULL THEN 'required'
+                        WHEN value < 0 THEN '>= 0'
+                        ELSE '<= 90' END AS expected,
+                   CASE WHEN value IS NULL THEN '<nil>'
+                        ELSE {go_num.format(v='value')} END AS actual,
+                   CASE WHEN value IS NULL
+                        THEN 'field `value` is required'
+                        WHEN value < 0
+                        THEN 'field `value` value ' ||
+                             {go_num.format(v='value')} ||
+                             ' less than 0'
+                        ELSE 'field `value` value ' ||
+                             {go_num.format(v='value')} ||
+                             ' exceeded 90' END AS message
+            FROM events
+            WHERE value IS NULL OR value < 0 OR value > 90""",
         "dedup_minhash_lsh": _minhash_lsh_oracle(0.06, bands=8, r=2),
         "dedup_simhash": _simhash_oracle(max_hamming=8),
         "ann_lsh": _ann_lsh_oracle(k=5, dim=64, tables=4, bits=6),
