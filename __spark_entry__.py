@@ -33,7 +33,7 @@ from jio_spark.operators.dedup import (embedding_dup_pairs, exact_duplicates,
                                        simhash_pairs)
 from jio_spark.operators.referential import referential_check
 from jio_spark.operators.similarity import (brute_force_topk, ivf_topk,
-                                            lsh_topk)
+                                            lsh_dup_pairs, lsh_topk)
 from jio_spark.operators.stats import column_profile_exact, column_stats
 from jio_spark.operators.uniqueness import uniqueness_check
 
@@ -717,6 +717,14 @@ def q_ann_lsh(spark, sf):
                 "neighbor_id", "score")
 
 
+def q_dedup_embed_lsh(spark, sf):
+    """LSH-bucketed embedding near-dup pairs — the sub-quadratic scale
+    path beside the exact `embed_cosine_pairs` baseline; deterministic
+    hyperplanes make it fully oracle-replicable."""
+    e = _spread(_t(spark, sf, "embeddings"))
+    return lsh_dup_pairs(e, threshold=0.4, dim=64, tables=4, bits=6)
+
+
 def q_ann_ivf(spark, sf):
     """IVF ANN: md5-ordered deterministic seeds + literal-centroid
     assignment + rounded Lloyd means make the whole pipeline (including
@@ -880,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "corpus_pipeline": q_corpus_pipeline,
         "embed_cosine_pairs": q_embed_cosine_pairs,
+        "dedup_embed_lsh": q_dedup_embed_lsh,
         "ann_bruteforce": q_ann_bruteforce,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1034,6 +1043,42 @@ def _lang_hits(lang: str) -> str:
     markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
     return (f"len(list_filter(list_transform({_WS_WORDS}, x -> lower(x)), "
             f"x -> x IN ({markers})))")
+
+
+def _embed_lsh_pairs_oracle(threshold: float, dim: int, tables: int,
+                            bits: int) -> str:
+    """Replays lsh_dup_pairs: hyperplane sign buckets (literal planes),
+    bucket self-join, distinct pairs, rounded-cosine threshold."""
+    from jio_spark.operators.similarity import _hyperplane
+
+    def bucket_sql(t: int) -> str:
+        terms = []
+        for b in range(bits):
+            plane = "[" + ", ".join(repr(x) for x in
+                                    _hyperplane(dim, t, b)) + "]"
+            terms.append(f"(CASE WHEN list_dot_product(v, {plane}) > 0 "
+                         f"THEN {1 << b} ELSE 0 END)")
+        return " + ".join(terms)
+
+    table_rows = "\n              UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {bucket_sql(t)} AS bkt FROM e"
+        for t in range(tables))
+    return f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            b AS ({table_rows}),
+            cand AS (SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+                     FROM b a JOIN b bb
+                       ON a.tbl = bb.tbl AND a.bkt = bb.bkt
+                          AND a.vec_id < bb.vec_id),
+            scored AS (SELECT id_a, id_b,
+                              round(list_dot_product(ea.v, eb.v) /
+                                    (sqrt(list_dot_product(ea.v, ea.v))
+                                     * sqrt(list_dot_product(eb.v, eb.v))),
+                                    6) AS cos
+                       FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                                 JOIN e eb ON eb.vec_id = cand.id_b)
+            SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold}"""
 
 
 def _ann_ivf_oracle(k: int, dim: int, n_centroids: int,
@@ -1594,4 +1639,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(max_hamming=8),
         "ann_lsh": _ann_lsh_oracle(k=5, dim=64, tables=4, bits=6),
         "ann_ivf": _ann_ivf_oracle(k=5, dim=64, n_centroids=8, nprobe=3),
+        "dedup_embed_lsh": _embed_lsh_pairs_oracle(0.4, dim=64,
+                                                   tables=4, bits=6),
     }

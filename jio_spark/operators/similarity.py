@@ -169,6 +169,41 @@ def _with_norms_py(rows: List[tuple]) -> List[tuple]:
     return out
 
 
+def lsh_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                  dim: int = 64, tables: int = 4, bits: int = 8,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup PAIRS via random-hyperplane LSH — the scale
+    path for :func:`jio_spark.operators.dedup.embedding_dup_pairs`
+    (which is an exact but quadratic self-join). Vectors meet only when
+    they share a sign-bucket in at least one table: expected scored
+    pairs ≈ Σ bucket² per table instead of n²; recall for cosine c is
+    1-(1-(1-θ/π)^bits)^tables with θ=arccos(c) (near-dups at c≥0.95
+    collide with high probability). Same deterministic hyperplanes as
+    lsh_topk, so a SQL oracle replays bucketing exactly."""
+    base = _with_norm(df, id_col, vec_col, "vid", "v", "n")
+    b = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 _bucket_expr(F.col("v"), dim, t, bits).alias("bkt"))
+        for t in range(tables)])).alias("tb")
+    buckets = (base.select("vid", "v", "n", b)
+               .select("vid", "v", "n", "tb.tbl", "tb.bkt"))
+    a = buckets.alias("a")
+    bb = buckets.alias("b")
+    cand = (a.join(bb, (F.col("a.tbl") == F.col("b.tbl"))
+                   & (F.col("a.bkt") == F.col("b.bkt"))
+                   & (F.col("a.vid") < F.col("b.vid")))
+            .select(F.col("a.vid").alias("id_a"),
+                    F.col("b.vid").alias("id_b"),
+                    F.col("a.v").alias("v_a"), F.col("b.v").alias("v_b"),
+                    F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    return (cand.withColumn("cos", F.round(cos, 6))
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -13,7 +13,7 @@ from jio_spark.operators.dedup import (dedup_exact, embedding_dup_pairs,
                                        ngram_jaccard_pairs, simhash_pairs,
                                        simhash64)
 from jio_spark.operators.similarity import (brute_force_topk, ivf_topk,
-                                            lsh_topk)
+                                            lsh_dup_pairs, lsh_topk)
 from jio_spark.multimodal import (decode_image_stub, extract_features,
                                   frame_sample, media_metadata)
 
@@ -201,6 +201,18 @@ def test_lsh_topk_contains_near_copy(spark, vectors):
     top = lsh_topk(vectors, queries, k=3, dim=16, tables=8, bits=4)
     rows = top.collect()
     assert rows and rows[0]["neighbor_id"] == 40
+
+
+def test_lsh_dup_pairs(spark, vectors):
+    """The LSH pair path must surface the planted near-copy, and every
+    pair it emits must also pass the exact quadratic baseline."""
+    got = {(r["id_a"], r["id_b"]) for r in
+           lsh_dup_pairs(vectors, threshold=0.99, dim=16,
+                         tables=8, bits=4).collect()}
+    assert (0, 40) in got
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_dup_pairs(vectors, threshold=0.99).collect()}
+    assert got <= exact
 
 
 def test_ivf_topk(spark, vectors):
