@@ -824,7 +824,10 @@ def q_stream_validate(spark, sf):
     q = (outs["violations"].writeStream.format("memory")
          .queryName(name).outputMode("append")
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_validate: AvailableNow drain did not "
+                           "finish within 300s; partial results discarded")
     return (spark.table(name)
             .select("event_id", "rule_path", "rule_name",
                     "expected", "actual", "message"))
@@ -1072,13 +1075,13 @@ def _embed_lsh_pairs_oracle(threshold: float, dim: int, tables: int,
                        ON a.tbl = bb.tbl AND a.bkt = bb.bkt
                           AND a.vec_id < bb.vec_id),
             scored AS (SELECT id_a, id_b,
-                              round(list_dot_product(ea.v, eb.v) /
-                                    (sqrt(list_dot_product(ea.v, ea.v))
-                                     * sqrt(list_dot_product(eb.v, eb.v))),
-                                    6) AS cos
+                              list_dot_product(ea.v, eb.v) /
+                              (sqrt(list_dot_product(ea.v, ea.v))
+                               * sqrt(list_dot_product(eb.v, eb.v))) AS c
                        FROM cand JOIN e ea ON ea.vec_id = cand.id_a
                                  JOIN e eb ON eb.vec_id = cand.id_b)
-            SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold}"""
+            SELECT id_a, id_b, round(c, 6) AS cos FROM scored
+            WHERE c >= {threshold}"""
 
 
 def _ann_ivf_oracle(k: int, dim: int, n_centroids: int,

@@ -143,13 +143,26 @@ def minhash_signature(shingles: Column, k: int,
 
 def _md5_slice(i: int):
     """Permutation i's hash: an 8-hex-char (32-bit) slice of
-    ``md5('<i//4>:' || shingle)`` — one md5 yields FOUR independent
-    slices, so k permutations cost k/4 md5 evaluations per shingle
-    instead of k. 32 bits is ample for a min statistic (collision of two
-    distinct shingles per slice: 2^-32)."""
+    ``md5('<i//4>:' || shingle)`` — one md5 carries FOUR independent
+    slices. 32 bits is ample for a min statistic (collision of two
+    distinct shingles per slice: 2^-32). NOTE: as a single inline
+    expression each slice re-evaluates its group's md5 (lambda scoping
+    defeats CSE — the round-1 trap); the k/4 hashing saving is realized
+    in :func:`minhash_lsh_pairs`, which materializes one hashed array
+    per prefix group in its own projection and slices those."""
     prefix = F.lit(f"{i // 4}:")
     start = 1 + 8 * (i % 4)
     return lambda s: F.substring(F.md5(F.concat(prefix, s)), start, 8)
+
+
+def _md5_prefix_hash(g: int):
+    prefix = F.lit(f"{g}:")
+    return lambda s: F.md5(F.concat(prefix, s))
+
+
+def _hex_slice(j: int):
+    start = 1 + 8 * j
+    return lambda m: F.substring(m, start, 8)
 
 
 def _xxh_seeded(seed: int):
@@ -201,8 +214,24 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
     sh = _shingle_frame(df, text_col, id_col, n)
     if cache_shingles:
         sh = sh.localCheckpoint(eager=True)
-    sig = sh.select("did", minhash_signature(F.col("sh"), k,
-                                             hash_mode).alias("sig"))
+    if hash_mode == "md5":
+        # materialize ONE md5 array per 4-slice prefix group, then take
+        # mins over cheap substring slices of those arrays — k/4 md5
+        # evaluations per shingle (an inline minhash_signature would
+        # recompute the md5 inside every slice's lambda; values are
+        # identical either way)
+        groups = (k + 3) // 4
+        hashed = sh.select(
+            "did",
+            *[F.transform("sh", _md5_prefix_hash(g)).alias(f"_h{g}")
+              for g in range(groups)])
+        sig = hashed.select("did", F.array(*[
+            F.array_min(F.transform(F.col(f"_h{i // 4}"),
+                                    _hex_slice(i % 4)))
+            for i in range(k)]).alias("sig"))
+    else:
+        sig = sh.select("did", minhash_signature(F.col("sh"), k,
+                                                 hash_mode).alias("sig"))
 
     def band_hash(b: int) -> Column:
         elems = [F.col("sig")[b * rows_per_band + r]

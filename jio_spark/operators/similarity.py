@@ -199,9 +199,12 @@ def lsh_dup_pairs(df: DataFrame, threshold: float = 0.95,
                     F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"))
             .dropDuplicates(["id_a", "id_b"]))
     cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
-    return (cand.withColumn("cos", F.round(cos, 6))
-            .where(F.col("cos") >= threshold)
-            .select("id_a", "id_b", "cos"))
+    # filter on the RAW cosine, round only for output — the same order
+    # as the exact embedding_dup_pairs baseline, so the LSH result is a
+    # strict subset of the exact result even at the rounding boundary
+    return (cand.withColumn("_cos", cos)
+            .where(F.col("_cos") >= threshold)
+            .select("id_a", "id_b", F.round("_cos", 6).alias("cos")))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -241,6 +244,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  .orderBy(F.md5(F.col("sid").cast("string")))
                  .limit(n_centroids)
                  .collect())
+    if not seed_rows:   # empty corpus → empty result, not an IndexError
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, score double")
     seeds = _with_norms_py([(cid, list(r["v"]))
                             for cid, r in enumerate(seed_rows)])
     dim = len(seeds[0][1])

@@ -91,7 +91,11 @@ def column_profile_exact(df: DataFrame,
             exprs += [
                 F.min(col).cast("double").alias(f"{c}__min"),
                 F.max(col).cast("double").alias(f"{c}__max"),
-                F.round(F.avg(col), 4).alias(f"{c}__mean"),
+                # avg over the double-cast input: a DecimalType column
+                # would otherwise produce a Decimal mean that the
+                # DoubleType output field rejects
+                F.round(F.avg(col.cast("double")), 4)
+                 .alias(f"{c}__mean"),
             ]
     row = df.agg(*exprs).collect()[0]
     d = row.asDict()

@@ -217,6 +217,17 @@ class ClipsValidationJob:
     def run(self, df: DataFrame, output_root: Optional[str] = None,
             resume: bool = False,
             table_root: Optional[str] = None) -> Dict:
+        """Run the full job over ``df``.
+
+        ``table_root`` — the table's storage location — enables
+        metadata-only partition discovery and payload-local decode.
+        CONTRACT: when given, ``df`` must span the FULL table at that
+        location (as `bench.py`/`submit_job.py` do — they read df from
+        table_root itself). Passing a pre-filtered df with table_root
+        would enumerate partitions df doesn't contain and mark their
+        empty groups complete in the resume manifest; filter by
+        partition via the manifest/resume machinery instead, or omit
+        table_root so discovery derives from df."""
         cfg = self.cfg
         t0 = time.time()
         sink = RunSink(output_root) if output_root else None

@@ -69,25 +69,42 @@ def list_partition_values(spark: SparkSession, location: str,
     ``isin`` partition-pruning filters. Returns ``[]`` when the layout
     isn't partitioned by ``partition_col`` (callers fall back)."""
     if fmt == "iceberg":
-        meta = spark.read.format("iceberg").load(f"{location}.partitions")
-        return sorted(r[0] for r in
-                      meta.select(f"partition.{partition_col}").collect())
+        try:
+            meta = spark.read.format("iceberg") \
+                .load(f"{location}.partitions")
+            return sorted(r[0] for r in
+                          meta.select(f"partition.{partition_col}")
+                              .collect())
+        except Exception:
+            # unpartitioned / differently-partitioned table: the
+            # .partitions schema has no such field — degrade to the
+            # caller's scan fallback like the parquet path does
+            return []
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(location)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(path):
         return []
     prefix = f"{partition_col}="
-    vals: List = []
+    raw_vals: List[str] = []
     for st in fs.listStatus(path):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith(prefix):
             raw = name[len(prefix):]
-            try:
-                vals.append(int(raw))
-            except ValueError:
-                vals.append(raw)
-    return sorted(vals)
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                # a null-partition directory exists: hive dir names
+                # cannot express NULL as an isin()-matchable value, so
+                # report "not listable" and let callers fall back to
+                # the scan path rather than silently skipping the
+                # null partition's rows
+                return []
+            raw_vals.append(raw)
+    # parse to int only when EVERY value parses (a mixed int/str list
+    # would not be sortable and would not compare equal to the column)
+    try:
+        return sorted(int(v) for v in raw_vals)
+    except ValueError:
+        return sorted(raw_vals)
 
 
 def read_table(spark: SparkSession, location: str,
