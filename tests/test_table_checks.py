@@ -67,6 +67,31 @@ def test_duplicate_ids_boundary_spanning(spark):
     assert {r["clip_id"] for r in v2} == {"a", "b", "c"}
 
 
+def test_duplicate_ids_randomized_vs_counter(spark):
+    """Randomized stress of the boundary-exchange path: random key
+    multisets (heavy duplication, runs spanning many partitions, empty
+    partitions) under random range-partition fan-outs must always agree
+    with a plain Python Counter."""
+    import random
+    from collections import Counter
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        keys = []
+        for _ in range(rng.randint(5, 40)):
+            k = f"k{rng.randint(0, 30):03d}"
+            keys += [k] * rng.randint(1, 12)
+        rng.shuffle(keys)
+        expect = {k: c for k, c in Counter(keys).items() if c > 1}
+        for parts in (1, 3, 8, 17):
+            df = (spark.createDataFrame([(k,) for k in keys],
+                                        "clip_id string")
+                  .repartitionByRange(parts, "clip_id"))
+            got = {r["key"]: r["cnt"]
+                   for r in duplicate_ids(df, "clip_id").collect()}
+            assert got == expect, (seed, parts)
+
+
 def test_uniqueness_no_dups(spark):
     df = (spark.createDataFrame([(f"k{i}",) for i in range(100)],
                                 "clip_id string")
