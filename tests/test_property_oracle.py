@@ -103,3 +103,44 @@ def test_parse_string_chain(spark, values):
 def test_bool_coercions(spark, values):
     s = K.bool().truthy("on", "yes").falsy("off", "no")
     check(spark, s, values, "string")
+
+
+_MEMBER_POOL = ["a", "bc", "", "é9", "X _"]
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.one_of(st.none(), st.sampled_from(_MEMBER_POOL),
+                          safe_text),
+                min_size=1, max_size=30),
+       st.lists(st.sampled_from(_MEMBER_POOL), min_size=1, max_size=4,
+                unique=True),
+       st.sampled_from(["valid", "equal", "set_then_equal"]))
+def test_string_membership_chains(spark, values, members, op):
+    """Valid / Equal / Set against the pure-Python oracle — including
+    Set's unconditional replacement being visible to a later Equal."""
+    if op == "valid":
+        s = K.string().valid(*members)
+    elif op == "equal":
+        s = K.string().equal(members[0])
+    else:
+        s = K.string().set(members[0]).equal(members[0])
+    check(spark, s, values, "string")
+
+
+@settings(**SETTINGS)
+@given(st.lists(finite_doubles, min_size=1, max_size=30),
+       st.lists(st.integers(-3, 3).map(float), min_size=1, max_size=4,
+                unique=True))
+def test_number_membership_chains(spark, values, members):
+    check(spark, K.number().valid(*members), values, "double")
+
+
+@settings(**SETTINGS)
+@given(st.lists(safe_text, min_size=1, max_size=30),
+       st.sampled_from([r"^a", r"[0-9]", r"c$", r"a.c", r"^[abc]+$",
+                        r"\d\d"]))
+def test_regex_chain(spark, values, pattern):
+    """Unanchored must-match regex — patterns restricted to the
+    RE2∩Java∩Python shared dialect (SURVEY.md conformance corpus
+    note)."""
+    check(spark, K.string().regex(pattern), values, "string")
