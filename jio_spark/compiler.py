@@ -218,6 +218,12 @@ class CompileCtx:
         dt: T.DataType = self.root_schema
         col = None
         for p in parts:
+            if isinstance(dt, T.MapType):
+                # jio's ctx.Ref walks map documents too (context.go:
+                # 29-44); try_element_at: NULL for absent keys
+                col = F.try_element_at(col, F.lit(p))
+                dt = dt.valueType
+                continue
             if not isinstance(dt, T.StructType) or p not in dt.fieldNames():
                 raise KeyError(
                     f"when(): refPath {ref_path!r} not found in schema")
@@ -265,12 +271,22 @@ def _skip_step(cc: CompileCtx, st: ColState, skip_cond: Column) -> None:
 
 def compile_chain(schema: BaseSchema, col: Optional[Column],
                   dtype: Optional[T.DataType], path: str, cc: CompileCtx,
-                  init_ev: Column) -> ColState:
+                  init_ev: Column,
+                  seed: Optional[ColState] = None) -> ColState:
     """Compile one field's rule list — the analog of ``Validate``
     (any.go:122-132): run rules in order with skip/abort threading, then the
     final type assertion. ``init_ev`` gates the whole chain (rows where the
-    walk already stopped never evaluate it)."""
-    st = _init_state(schema, col, dtype)
+    walk already stopped never evaluate it). ``seed`` continues from an
+    existing dynamic-value state instead of re-initializing from the raw
+    column — used by `When` sub-chains, which in the reference operate on
+    the CURRENT ctx.Value including earlier coercions (schema.go:34-36)."""
+    if seed is not None:
+        st = ColState(typed=seed.typed, is_typed=seed.is_typed,
+                      untyped=seed.untyped, utype=seed.utype,
+                      vtype=seed.vtype, ev=F.lit(False), err=F.lit(False),
+                      spark_type=seed.spark_type)
+    else:
+        st = _init_state(schema, col, dtype)
     st.ev = init_ev
     st.err = F.lit(False)
 
@@ -503,18 +519,32 @@ def _h_integer(cc, st, path, spec, schema):
     _gated_check(cc, st, path, "integer", "integer", pred_fn, "not integer")
 
 
+# any double with |v| >= 2^53 is already integral, so trunc/ceil/floor/
+# round are the identity there — and Spark's F.floor/F.ceil return
+# LongType, which would clamp (or, under ANSI, throw) past 2^63 where
+# Go's float-domain math.* functions are exact. Guarding at 2^53 keeps
+# the long-based path safely inside range AND reproduces Go.
+_INTEGRAL_ABOVE = 2.0 ** 53
+
+
+def _big_identity(fn):
+    return lambda c: F.when(F.abs(c) >= F.lit(_INTEGRAL_ABOVE), c) \
+                      .otherwise(fn(c).cast("double"))
+
+
 def _trunc(c: Column) -> Column:
     # Go math.Trunc: toward zero
-    return F.when(c >= 0, F.floor(c)).otherwise(F.ceil(c)).cast("double")
+    return _big_identity(
+        lambda x: F.when(x >= 0, F.floor(x)).otherwise(F.ceil(x)))(c)
 
 
 def _h_ceil(cc, st, path, spec, schema):
-    _gated_transform(cc, st, path, "ceil", lambda c: F.ceil(c),
+    _gated_transform(cc, st, path, "ceil", _big_identity(F.ceil),
                      result_cast="double")
 
 
 def _h_floor(cc, st, path, spec, schema):
-    _gated_transform(cc, st, path, "floor", lambda c: F.floor(c),
+    _gated_transform(cc, st, path, "floor", _big_identity(F.floor),
                      result_cast="double")
 
 
@@ -524,7 +554,8 @@ def _h_round(cc, st, path, spec, schema):
     # translation for both signs:
     _gated_transform(
         cc, st, path, "round",
-        lambda c: F.signum(c) * F.floor(F.abs(c) + F.lit(0.5)),
+        _big_identity(lambda c: F.signum(c) * F.floor(F.abs(c)
+                                                      + F.lit(0.5))),
         result_cast="double")
 
 
@@ -534,13 +565,29 @@ def _h_convert(cc, st, path, spec, schema):
     _gated_transform(cc, st, path, "convert", fn, result_cast=cast)
 
 
+# Go strconv.ParseFloat syntax (decimal + inf/infinity/nan forms, NO
+# surrounding whitespace — Spark's bare string→double cast would trim).
+# Documented exactness corners: Go's hex-float literals (0x1p-3) are not
+# accepted here, and a parsed NaN later diverges on Max only (Spark
+# orders NaN largest; Go's NaN>max is false ⇒ Go passes Max, Spark
+# fails) — both outside the conformance corpus.
+_GO_FLOAT_NUM = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
+_GO_FLOAT_INF = r"^[+-]?[iI][nN][fF]([iI][nN][iI][tT][yY])?$"
+
+
 def _h_parse_string(cc, st, path, spec, schema):
     # number.go:190-201: strings parse to float64 (abort on failure),
     # non-strings pass through untouched.
     if st.untyped is None or st.utype != "string":
         return  # nothing string-typed can flow here
-    parsed = st.untyped.try_cast("double")
-    attempt = ~st.is_typed & st.untyped.isNotNull()
+    u = st.untyped
+    parsed = F.when(u.rlike(_GO_FLOAT_NUM), u.try_cast("double")) \
+              .when(u.rlike(_GO_FLOAT_INF),
+                    F.when(u.startswith("-"),
+                           F.lit(float("-inf")))
+                     .otherwise(F.lit(float("inf")))) \
+              .when(F.lower(u) == "nan", F.lit(float("nan")))
+    attempt = ~st.is_typed & u.isNotNull()
     ok = attempt & parsed.isNotNull()
     fail = attempt & parsed.isNull()
     cc.add(path, "parse_string", "parseable number", st.ev & attempt,
@@ -590,12 +637,14 @@ def _h_uppercase(cc, st, path, spec, schema):
 
 
 def _h_strim(cc, st, path, spec, schema):
-    # Go strings.TrimSpace trims Unicode whitespace (string.go:204-206);
-    # F.trim strips ASCII ' ' only, so use a regexp.
+    # Go strings.TrimSpace trims Unicode whitespace = the White_Space
+    # property (string.go:204-206); bare Java \s is ASCII-only, so lift
+    # it with (?U) (UNICODE_CHARACTER_CLASS: \s == \p{IsWhite_Space},
+    # Go-equivalent -- covers the full Zs range, not just the two
+    # hand-listed code points the old class had).
     _gated_transform(
-        cc, st, path, "trim",
-        lambda c: F.regexp_replace(c, r"^[\s ]+|[\s ]+$",
-                                   ""))
+        cc, st, path, 'trim',
+        lambda c: F.regexp_replace(c, r'(?U)^\s+|\s+$', ''))
 
 
 # bools ------------------------------------------------------------------
@@ -648,6 +697,11 @@ def _h_items(cc, st, path, spec, schema):
     def elem_ok(e: Column) -> Column:
         preds = [compile_pass_predicate(s, e, elem_type, cc.root_schema)
                  for s in schemas]
+        if not preds:
+            # Items() with zero schemas is legal in the reference: no
+            # schema can validate an element, so every element fails and
+            # only empty arrays pass (array.go:95-113)
+            return F.lit(False)
         out = preds[0]
         for p in preds[1:]:
             out = out | p
@@ -672,9 +726,23 @@ def _presence(st: ColState, key: str) -> Column:
     raise TypeError("with/without on a non-object field")
 
 
+def _object_gate(cc, st, path, name: str, expected: str) -> bool:
+    """With/Without on a non-object value: the reference aborts per-row
+    with `is not object` (object.go:96-99, 114-117) rather than failing
+    schema compilation. Returns True when the chain can proceed."""
+    if isinstance(st.spark_type, (T.MapType, T.StructType)):
+        return True
+    cc.add(path, name, expected, st.ev, F.lit(False), st.display(),
+           _type_fail_msg(path, st))
+    _abort_step(cc, st, F.lit(True))
+    return False
+
+
 def _h_with(cc, st, path, spec, schema):
     # object.go:94-109: abort naming the FIRST missing key
     keys = spec.params["keys"]
+    if not _object_gate(cc, st, path, "with", go_repr_list(keys)):
+        return
     presences = [(k, _presence(st, k)) for k in keys]
     passed = F.lit(True)
     for _, p in presences:
@@ -692,6 +760,8 @@ def _h_with(cc, st, path, spec, schema):
 def _h_without(cc, st, path, spec, schema):
     # object.go:112-131: abort listing ALL present keys, comma-joined
     keys = spec.params["keys"]
+    if not _object_gate(cc, st, path, "without", go_repr_list(keys)):
+        return
     presences = [(k, _presence(st, k)) for k in keys]
     passed = F.lit(True)
     for _, p in presences:
@@ -721,6 +791,30 @@ def _h_keys(cc, st, path, spec, schema):
         cc.add(path, "keys", "object", st.ev, st.is_typed, st.display(),
                _type_fail_msg(path, st))
         _abort_step(cc, st, ~st.is_typed)
+    if isinstance(st.spark_type, T.MapType):
+        # map-backed document: children validate the VALUE at each key
+        # (missing key ⇒ NULL ⇒ jio's nil, so Required/Optional behave
+        # exactly like the reference's absent-key case). Write-back into
+        # the map value is not representable in a typed column, so the
+        # normalized map keeps its original values — verdicts and the
+        # walk's first-error stop are full-fidelity.
+        walk_ok = st.ev
+        walk_err = F.lit(False)
+        vtype = st.spark_type.valueType
+        for key, child_schema in _sorted_children(children):
+            # try_element_at: NULL for missing keys (ANSI-mode getItem
+            # would throw MAP_KEY_DOES_NOT_EXIST)
+            child_col = F.try_element_at(st.typed, F.lit(key))
+            child_path = f"{path}.{key}" if path else key
+            sub = compile_chain(child_schema, child_col, vtype,
+                                child_path, cc, init_ev=walk_ok)
+            walk_ok = cc.emit("walkok", walk_ok & ~sub.err)
+            walk_err = cc.emit("walkerr", walk_err | sub.err)
+            norm = cc.emit("norm", _normalized_value(sub, child_col))
+            cc.completed[child_path] = (norm, sub.vtype)
+            cc.normalized[child_path] = norm
+        _abort_step(cc, st, walk_err)
+        return
     if not isinstance(st.spark_type, T.StructType):
         return
 
@@ -783,9 +877,20 @@ def _normalized_value(sub: ColState, original: Column) -> Column:
 
 def _h_transform(cc, st, path, spec, schema):
     """Custom Transform (any.go:38-41): fn is Column -> Column; the result
-    replaces the value. Use a pandas_udf-wrapped fn for Python logic."""
+    replaces the value. Use a pandas_udf-wrapped fn for Python logic.
+    The reference transforms the CURRENT raw value whatever its type, so
+    fn applies to the untyped branch too (e.g. PrependTransform stripping
+    '$' from a string before ParseString on a Number schema) — the typed
+    placeholder alone would hand fn an always-NULL column. If fn cannot
+    analyze against the untyped column's type, that branch keeps its
+    value (typed-column constraint, documented)."""
     fn = spec.params["fn"]
     st.typed = fn(st.typed)
+    if st.untyped is not None:
+        try:
+            st.untyped = fn(st.untyped)
+        except Exception:
+            pass
 
 
 def _h_check(cc, st, path, spec, schema):
@@ -819,14 +924,32 @@ def _h_when(cc, st, path, spec, schema):
                                          _tag_to_type(ref_tag),
                                          cc.root_schema)
     else:
-        cond_ok = F.coalesce(ref_col.eqNullSafe(F.lit(condition)),
-                             F.lit(False))
+        # Go interface equality (schema.go:35-37): values of DIFFERENT
+        # dynamic types are simply unequal — never Spark's implicit-cast
+        # equality ('5' == 5 must NOT match), and array/struct/map refs
+        # compare false rather than failing analysis
+        cond_tag = _lit_tag(condition)
+        if ref_tag not in ("double", "string", "boolean", "any") \
+                or (cond_tag != ref_tag and ref_tag != "any"):
+            cond_ok = F.lit(False)
+        else:
+            cond_ok = F.coalesce(ref_col.eqNullSafe(F.lit(condition)),
+                                 F.lit(False))
 
     gate = cc.emit("whengate", st.ev & cond_ok)
-    # run `then` as a sub-chain seeded with the current dynamic value;
-    # entries register in the parent ctx so violations surface normally
-    base_col, base_dt = _current_as_column(st)
-    sub = compile_chain(then, base_col, base_dt, path, cc, init_ev=gate)
+    # run `then` as a CONTINUATION of this field's state: the reference
+    # validates the current ctx.Value (schema.go:34-36), which includes
+    # earlier coercions (parse_string/truthy/default). When the `then`
+    # schema's type matches the field's, seed the sub-chain with the live
+    # (typed, is_typed, untyped) triple; for a type-changing `then` fall
+    # back to the raw column (typed-column constraint).
+    if then.TYPE == st.vtype:
+        sub = compile_chain(then, None, st.spark_type, path, cc,
+                            init_ev=gate, seed=st)
+    else:
+        base_col, base_dt = _current_as_column(st)
+        sub = compile_chain(then, base_col, base_dt, path, cc,
+                            init_ev=gate)
     # merge effects back where the condition held
     st.err = st.err | sub.err
     st.ev = F.when(gate, sub.ev).otherwise(st.ev)

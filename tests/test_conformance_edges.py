@@ -1,0 +1,144 @@
+"""Reference-semantics edge cases pinned after the round-2 compiler
+review: map-backed keys() walks, `when` as a continuation of the coerced
+value, Transform over untyped values, float-domain number mutations,
+Unicode trim, Go ParseFloat syntax, empty Items, and With/Without type
+gating. Each cites the reference behavior it reproduces."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from jio_spark import K, validate
+from helpers import message, mutated, passes, run_leaf
+
+
+def test_keys_walk_over_map_column(spark):
+    """object.go:139-169 over a map document: children validate the value
+    at each key; a missing key is nil (Required fails, Optional skips)."""
+    df = spark.createDataFrame(
+        [(1, {"hi": "abcdef", "n": "x"}),
+         (2, {"hi": "x", "n": "x"}),          # hi too short
+         (3, {"n": "x"})],                    # hi absent -> required fails
+        "id int, m map<string,string>")
+    schema = K.object({"m": K.object().keys({
+        "hi": K.string().required().min(5)})})
+    res = validate(df, schema, id_cols=["id"])
+    got = {r["id"]: r["_pass"] for r in res.annotated.collect()}
+    assert got == {1: True, 2: False, 3: False}
+    msgs = {r["id"]: r["message"] for r in res.violations.collect()}
+    assert "length less than 5" in msgs[2]
+    assert msgs[3] == "field `m.hi` is required"
+    # optional absent key passes
+    opt = validate(df, K.object({"m": K.object().keys({
+        "absent": K.string().min(2)})}), id_cols=["id"])
+    assert all(r["_pass"] for r in opt.annotated.collect())
+
+
+def test_when_continues_from_coerced_value(spark):
+    """schema.go:34-36: `then` validates the CURRENT ctx.Value — here a
+    string already parsed to a number by ParseString — not the raw
+    column."""
+    df = spark.createDataFrame(
+        [(1, "10", "strict"), (2, "3", "strict"), (3, "3", "lax")],
+        "id int, v string, mode string")
+    schema = K.object({
+        "mode": K.string().required(),
+        "v": K.number().parse_string()
+              .when("mode", "strict", K.number().min(5)),
+    })
+    res = validate(df, schema, id_cols=["id"])
+    got = {r["id"]: r["_pass"] for r in res.annotated.collect()}
+    # parsed 10 >= 5 passes; parsed 3 fails ONLY under strict
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_when_equality_is_type_strict(spark):
+    """schema.go:35-37 is Go interface equality: a string '5' does NOT
+    equal the number 5, so the conditional never fires."""
+    df = spark.createDataFrame([(1, "5", "x")],
+                               "id int, status string, v string")
+    schema = K.object({
+        "status": K.string(),
+        "v": K.string().when("status", 5, K.string().min(10)),
+    })
+    res = validate(df, schema, id_cols=["id"])
+    assert res.annotated.collect()[0]["_pass"]   # then never applied
+
+
+def test_when_ref_through_map(spark):
+    """context.go:29-44: Ref walks map documents; m.mode resolves."""
+    df = spark.createDataFrame(
+        [(1, {"mode": "strict"}, "ab"), (2, {"mode": "lax"}, "ab")],
+        "id int, m map<string,string>, v string")
+    schema = K.object({
+        "m": K.object(),
+        "v": K.string().when("m.mode", "strict", K.string().min(5)),
+    })
+    # m under K.object() (no keys) is a map -> passes the type check;
+    # the ref resolves through the map for the sibling's when
+    res = validate(df, schema, id_cols=["id"])
+    got = {r["id"]: r["_pass"] for r in res.annotated.collect()}
+    assert got == {1: False, 2: True}
+
+
+def test_prepend_transform_on_untyped_value(spark):
+    """any.go:32-41: Transform receives the raw value whatever its type —
+    stripping '$' from a string column under a Number schema before
+    ParseString."""
+    s = (K.number()
+         .prepend_transform(lambda c: F.regexp_replace(c, r"[$]", ""))
+         .parse_string().min(2))
+    rows = run_leaf(spark, s, ["$5", "5", "$1", "x"], "string")
+    assert [r[1] for r in rows] == [True, True, False, False]
+    assert rows[0][2] == 5.0
+
+
+def test_number_mutations_beyond_long_range(spark):
+    """Go math.Trunc/Ceil/Floor/Round operate in the float domain: any
+    |v| >= 2^53 is already integral and maps to itself (no int64 clamp)."""
+    big = 1e19
+    assert mutated(spark, K.number().floor(), big, "double") == big
+    assert mutated(spark, K.number().ceil(), -big, "double") == -big
+    assert mutated(spark, K.number().round(), big, "double") == big
+    assert passes(spark, K.number().integer(), big, "double")
+
+
+def test_trim_unicode_whitespace(spark):
+    """strings.TrimSpace trims the Unicode White_Space set: NBSP, NEL,
+    EM SPACE, IDEOGRAPHIC SPACE — not just ASCII."""
+    v = "  a　"
+    assert mutated(spark, K.string().trim(), v, "string") == "a"
+    assert passes(spark, K.string().trim().length(1), v, "string")
+
+
+def test_parse_string_go_float_syntax(spark):
+    """strconv.ParseFloat: no surrounding whitespace, but inf/infinity/
+    nan forms parse (number.go:190-201)."""
+    s = K.number().parse_string()
+    assert not passes(spark, s, " 1 ", "string")     # Go rejects padding
+    assert not passes(spark, s, "1 2", "string")
+    assert mutated(spark, s, "+inf", "string") == float("inf")
+    assert mutated(spark, s, "-Infinity", "string") == float("-inf")
+    assert math.isnan(mutated(spark, s, "NaN", "string"))
+    assert mutated(spark, s, "-1.5e2", "string") == -150.0
+
+
+def test_items_with_no_schemas(spark):
+    """array.go:95-113 with zero Items schemas: no schema can validate an
+    element, so empty arrays pass and non-empty arrays abort."""
+    df = spark.createDataFrame([(1, []), (2, ["x"])],
+                               "id int, v array<string>")
+    res = validate(df, K.object({"v": K.array().items()}), id_cols=["id"])
+    got = {r["id"]: r["_pass"] for r in res.annotated.collect()}
+    assert got == {1: True, 2: False}
+
+
+def test_with_on_non_object_aborts_per_row(spark):
+    """object.go:96-99: With on a non-object value is a per-row
+    `is not object` abort, not a compile error."""
+    rows = run_leaf(spark, K.object().with_keys("a"), ["x", None],
+                    "string")
+    assert rows[0][1] is False
+    assert rows[0][3] == "field `v` value x is not object"
+    assert rows[1][1] is True     # null skips via implicit Optional
