@@ -519,16 +519,20 @@ def _h_integer(cc, st, path, spec, schema):
     _gated_check(cc, st, path, "integer", "integer", pred_fn, "not integer")
 
 
-# any double with |v| >= 2^53 is already integral, so trunc/ceil/floor/
-# round are the identity there — and Spark's F.floor/F.ceil return
-# LongType, which would clamp (or, under ANSI, throw) past 2^63 where
-# Go's float-domain math.* functions are exact. Guarding at 2^53 keeps
-# the long-based path safely inside range AND reproduces Go.
+# any double with |v| >= 2^52 is already integral (spacing >= 1), so
+# trunc/ceil/floor/round are the identity there — and Spark's F.floor/
+# F.ceil return LongType, which would clamp (or, under ANSI, throw) past
+# 2^63 where Go's float-domain math.* functions are exact. floor/ceil/
+# trunc guard at 2^53 (they're exact below it); ROUND must guard at 2^52:
+# for odd integral v in [2^52, 2^53), v+0.5 is not representable and
+# round-to-even pushes abs(v)+0.5 to v+1, so floor(abs+0.5) would return
+# v+1 where Go math.Round returns v.
 _INTEGRAL_ABOVE = 2.0 ** 53
+_INTEGRAL_ABOVE_ROUND = 2.0 ** 52
 
 
-def _big_identity(fn):
-    return lambda c: F.when(F.abs(c) >= F.lit(_INTEGRAL_ABOVE), c) \
+def _big_identity(fn, threshold: float = _INTEGRAL_ABOVE):
+    return lambda c: F.when(F.abs(c) >= F.lit(threshold), c) \
                       .otherwise(fn(c).cast("double"))
 
 
@@ -555,7 +559,8 @@ def _h_round(cc, st, path, spec, schema):
     _gated_transform(
         cc, st, path, "round",
         _big_identity(lambda c: F.signum(c) * F.floor(F.abs(c)
-                                                      + F.lit(0.5))),
+                                                      + F.lit(0.5)),
+                      threshold=_INTEGRAL_ABOVE_ROUND),
         result_cast="double")
 
 
@@ -567,11 +572,19 @@ def _h_convert(cc, st, path, spec, schema):
 
 # Go strconv.ParseFloat syntax (decimal + inf/infinity/nan forms, NO
 # surrounding whitespace — Spark's bare string→double cast would trim).
+# Go 1.13+ underscore separators are accepted per the float-literal
+# grammar (single '_' strictly between digits: 1_000.5, 1e1_0; never
+# adjacent to the dot, sign, or ends), and stripped before the cast.
+# Out-of-range magnitudes (1e309) are a parse FAILURE: Go returns
+# ErrRange (number.go:193-197 aborts on any err), detected here as the
+# cast overflowing to ±Inf while the literal isn't an inf form.
 # Documented exactness corners: Go's hex-float literals (0x1p-3) are not
-# accepted here, and a parsed NaN later diverges on Max only (Spark
+# accepted here; extreme underflow (≈<1e-323, ErrRange in Go with f=0)
+# passes here as 0.0; and a parsed NaN later diverges on Max only (Spark
 # orders NaN largest; Go's NaN>max is false ⇒ Go passes Max, Spark
-# fails) — both outside the conformance corpus.
-_GO_FLOAT_NUM = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
+# fails) — all outside the conformance corpus.
+_D = r"\d+(?:_\d+)*"
+_GO_FLOAT_NUM = rf"^[+-]?({_D}(\.(?:{_D})?)?|\.{_D})([eE][+-]?{_D})?$"
 _GO_FLOAT_INF = r"^[+-]?[iI][nN][fF]([iI][nN][iI][tT][yY])?$"
 
 
@@ -581,7 +594,10 @@ def _h_parse_string(cc, st, path, spec, schema):
     if st.untyped is None or st.utype != "string":
         return  # nothing string-typed can flow here
     u = st.untyped
-    parsed = F.when(u.rlike(_GO_FLOAT_NUM), u.try_cast("double")) \
+    num = F.replace(u, F.lit("_"), F.lit("")).try_cast("double")
+    finite = (num > F.lit(float("-inf"))) & (num < F.lit(float("inf")))
+    parsed = F.when(u.rlike(_GO_FLOAT_NUM),
+                    F.when(finite, num)) \
               .when(u.rlike(_GO_FLOAT_INF),
                     F.when(u.startswith("-"),
                            F.lit(float("-inf")))
@@ -823,6 +839,7 @@ def _h_keys(cc, st, path, spec, schema):
     walk_ok = st.ev
     walk_err = F.lit(False)
     norm_fields: Dict[str, Column] = {}
+    fallback_fields: Dict[str, Column] = {}
     for key, child_schema in _sorted_children(children):
         if key not in st.spark_type.fieldNames():
             raise KeyError(f"keys(): column {key!r} missing under "
@@ -838,18 +855,38 @@ def _h_keys(cc, st, path, spec, schema):
         # child chain completed without skip/abort (= sub.ev at end)
         norm = cc.emit("norm", _normalized_value(sub, child_col))
         norm_fields[key] = norm
+        fallback_fields[key] = _fallback_value(sub, child_col)
         cc.completed[child_path] = (norm, sub.vtype)
         cc.normalized[child_path] = norm
 
-    # rebuild the struct with written-back children (object.go:163-165)
+    # rebuild the struct with written-back children (object.go:163-165);
+    # the walk_err fallback is applied PER FIELD with an explicit
+    # try_cast to the normalized field's type — a whole-struct
+    # `when(walk_err, st.typed)` would make Spark insert an implicit
+    # struct cast that HARD-casts original values (e.g. a '$5' string
+    # under a Number child) and crashes at runtime on any row where a
+    # sibling failed
     rebuilt = F.struct(*[
-        (norm_fields[f.name] if f.name in norm_fields
+        (F.when(walk_err, fallback_fields[f.name])
+          .otherwise(norm_fields[f.name])
+         if f.name in norm_fields
          else st.typed.getField(f.name)).alias(f.name)
         for f in st.spark_type.fields])
-    st.typed = F.when(walk_err, st.typed).otherwise(rebuilt)
+    st.typed = rebuilt
     _abort_step(cc, st, walk_err)
     if path:
         cc.normalized[path] = st.typed
+
+
+def _fallback_value(sub: ColState, original: Column) -> Column:
+    """The original value, explicitly coerced to the same Spark type as
+    :func:`_normalized_value`'s result for this child — so the per-field
+    ``when(walk_err, fallback).otherwise(norm)`` branches agree on type
+    and no implicit (hard-failing) cast is inserted."""
+    if sub.untyped is None or sub.vtype not in ("double", "boolean",
+                                                "string"):
+        return original
+    return original.try_cast(_null_type(sub.vtype))
 
 
 def _normalized_value(sub: ColState, original: Column) -> Column:
@@ -881,16 +918,39 @@ def _h_transform(cc, st, path, spec, schema):
     The reference transforms the CURRENT raw value whatever its type, so
     fn applies to the untyped branch too (e.g. PrependTransform stripping
     '$' from a string before ParseString on a Number schema) — the typed
-    placeholder alone would hand fn an always-NULL column. If fn cannot
-    analyze against the untyped column's type, that branch keeps its
-    value (typed-column constraint, documented)."""
+    placeholder alone would hand fn an always-NULL column. Whether fn can
+    handle the untyped column's type is checked EAGERLY by analyzing a
+    probe expression against a one-row frame (Column building is lazy, so
+    a bare try/except here could never catch the AnalysisException that
+    would otherwise surface at action time and fail the whole plan); if
+    the probe fails analysis, that branch keeps its value (typed-column
+    constraint, documented). fns that analyze only via implicit casts
+    behave as Spark casts them — also documented."""
     fn = spec.params["fn"]
     st.typed = fn(st.typed)
-    if st.untyped is not None:
+    if st.untyped is not None and _fn_analyzes(fn, st.spark_type):
         try:
             st.untyped = fn(st.untyped)
         except Exception:
             pass
+
+
+def _fn_analyzes(fn, dtype: Optional[T.DataType]) -> bool:
+    """Can ``fn`` analyze against a column of ``dtype``? Probed against a
+    one-row dummy frame — schema access forces analysis only, no job. With
+    no active session (or unknown dtype) fall back to optimistic apply,
+    the legacy behavior."""
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    if spark is None or dtype is None:
+        return True
+    try:
+        probe = spark.range(1).select(
+            F.lit(None).cast(dtype).alias("_probe"))
+        probe.select(fn(F.col("_probe"))).schema
+        return True
+    except Exception:
+        return False
 
 
 def _h_check(cc, st, path, spec, schema):
@@ -950,12 +1010,19 @@ def _h_when(cc, st, path, spec, schema):
         base_col, base_dt = _current_as_column(st)
         sub = compile_chain(then, base_col, base_dt, path, cc,
                             init_ev=gate)
-    # merge effects back where the condition held
+    # merge effects back where the condition held — the reference mutates
+    # ctx.Value in place (schema.go:34-36), so later rules and the
+    # normalized write-back observe `then`'s Set/Convert/Transform/
+    # ParseString mutations; the typed triple AND the untyped branch both
+    # merge under the gate
     st.err = st.err | sub.err
     st.ev = F.when(gate, sub.ev).otherwise(st.ev)
     merged_typed, merged_is_typed = _merge_when_value(st, sub, gate)
     st.typed = merged_typed
     st.is_typed = merged_is_typed
+    if st.untyped is not None and sub.untyped is not None \
+            and sub.utype == st.utype:
+        st.untyped = F.when(gate, sub.untyped).otherwise(st.untyped)
 
 
 def _current_as_column(st: ColState) -> Tuple[Column, Optional[T.DataType]]:

@@ -351,11 +351,23 @@ def simhash64(shingles: Column, hash_mode: str = "xxhash64") -> Column:
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3, n: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
-                  hash_mode: str = "xxhash64") -> DataFrame:
+                  hash_mode: str = "xxhash64",
+                  max_bucket_size: Optional[int] = None) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming,
     candidates generated by 16-bit chunk equality (pigeonhole: distance
     ≤3 over 4 chunks ⇒ at least one chunk identical; larger max_hamming
-    keeps the same candidate rule, trading recall)."""
+    keeps the same candidate rule, trading recall).
+
+    ``max_bucket_size`` is the mandatory-at-scale hot-bucket guard (the
+    same one-pass count-window cap as :func:`minhash_lsh_pairs`): a
+    degenerate corpus — thousands of near-empty docs all hashing to
+    sim=0 — puts f docs in one chunk bucket and the self-join emits f²
+    candidate pairs. Oversized (chunk, value) buckets are dropped before
+    the join; the window's (chunk, ch) exchange doubles as the join's
+    partitioning, so the guard adds no extra shuffle. Documented recall
+    trade: members of a dropped bucket can still pair through their
+    other 3 chunks. Default None keeps exact pigeonhole semantics for
+    the small-scale oracle checks."""
     sh = _shingle_frame(df, text_col, id_col, n)
     # bit-sum fold materialized in its own projection; the 64-term pack
     # references it as a named column (CollapseProject keeps expensive
@@ -371,6 +383,11 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, n: int = 3,
                      .alias("ch"))
             for c in range(4)])).alias("cc")) \
         .select("did", "sim", "cc.chunk", "cc.ch")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("chunk", "ch")
+        chunks = (chunks
+                  .withColumn("_f", F.count(F.lit(1)).over(w))
+                  .where(F.col("_f") <= max_bucket_size).drop("_f"))
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))

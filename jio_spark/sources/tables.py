@@ -98,13 +98,40 @@ def list_partition_values(spark: SparkSession, location: str,
                 # the scan path rather than silently skipping the
                 # null partition's rows
                 return []
-            raw_vals.append(raw)
+            raw_vals.append(_unescape_hive(raw))
     # parse to int only when EVERY value parses (a mixed int/str list
     # would not be sortable and would not compare equal to the column)
     try:
         return sorted(int(v) for v in raw_vals)
     except ValueError:
         return sorted(raw_vals)
+
+
+def _unescape_hive(name: str) -> str:
+    """Invert Hive/Spark partition-path escaping (ExternalCatalogUtils.
+    escapePathName percent-encodes space, ':', '%', '/', control chars …
+    as ``%XX``). Without this, a string partition value containing such a
+    character lists as its ESCAPED form, never matches the real column
+    value in the manifest's ``isin`` pruning filter, and that partition
+    would validate zero rows yet be marked complete — a silent skip.
+    Only well-formed ``%`` + 2-hex-digit sequences decode; anything else
+    passes through verbatim (a literal stray '%' written by a non-Hive
+    writer stays a literal '%')."""
+    if "%" not in name:
+        return name
+    out: List[str] = []
+    i, n = 0, len(name)
+    while i < n:
+        ch = name[i]
+        if ch == "%" and i + 3 <= n:
+            hx = name[i + 1:i + 3]
+            if all(c in "0123456789abcdefABCDEF" for c in hx):
+                out.append(chr(int(hx, 16)))
+                i += 3
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def read_table(spark: SparkSession, location: str,

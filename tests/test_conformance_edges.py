@@ -142,3 +142,82 @@ def test_with_on_non_object_aborts_per_row(spark):
     assert rows[0][1] is False
     assert rows[0][3] == "field `v` value x is not object"
     assert rows[1][1] is True     # null skips via implicit Optional
+
+
+# -- round-3 advisory fixes --------------------------------------------------
+
+
+def test_round_in_2_52_to_2_53_window(spark):
+    """Go math.Round is exact everywhere; the floor(abs+0.5) translation
+    breaks for odd integral v in [2^52, 2^53) (v+0.5 rounds-to-even to
+    v+1), so round's identity guard sits at 2^52 while floor/ceil/trunc
+    keep 2^53."""
+    odd = float(2**52 + 1)            # representable, odd, in the window
+    assert mutated(spark, K.number().round(), odd, "double") == odd
+    assert mutated(spark, K.number().round(), -odd, "double") == -odd
+    # below the window the half-away-from-zero translation is exact
+    assert mutated(spark, K.number().round(), 2.5, "double") == 3.0
+    assert mutated(spark, K.number().round(), -2.5, "double") == -3.0
+    # floor/ceil unchanged in the window (exact below 2^53)
+    assert mutated(spark, K.number().floor(), odd + 0.0, "double") == odd
+
+
+def test_parse_string_underscores_and_range(spark):
+    """strconv.ParseFloat accepts Go-literal underscores (single, strictly
+    between digits) and returns ErrRange — an abort in number.go:193-197 —
+    for out-of-range magnitudes like 1e309."""
+    s = K.number().parse_string()
+    assert mutated(spark, s, "1_000.5", "string") == 1000.5
+    assert mutated(spark, s, "1_000", "string") == 1000.0
+    assert mutated(spark, s, "1e1_0", "string") == 1e10
+    for bad in ["_1", "1_", "1__0", "1_.5", "1._5", "1.5_", "1e_1"]:
+        assert not passes(spark, s, bad, "string"), bad
+    # overflow: syntactically valid but ErrRange in Go -> abort, not +Inf
+    assert not passes(spark, s, "1e309", "string")
+    assert not passes(spark, s, "-1e309", "string")
+    assert mutated(spark, s, "1e308", "string") == 1e308
+    # explicit inf forms still parse (they are not range errors)
+    assert mutated(spark, s, "+inf", "string") == float("inf")
+
+
+def test_when_then_mutations_write_back(spark):
+    """schema.go:34-36 mutates ctx.Value in place: Set/Transform/
+    ParseString inside a `when` branch are visible to later rules and in
+    the normalized output — including mutations on the UNTYPED branch
+    (a string being coerced under a Number schema)."""
+    df = spark.createDataFrame(
+        [(1, "strict", "$5"), (2, "lax", "$5")],
+        "id int, mode string, v string")
+    schema = K.object({
+        "mode": K.string().required(),
+        "v": K.number().when(
+            "mode", "strict",
+            K.number()
+             .prepend_transform(lambda c: F.regexp_replace(c, r"[$]", ""))
+             .parse_string().min(2)),
+    })
+    res = validate(df, schema, id_cols=["id"])
+    rows = {r["id"]: r for r in res.prepared.withColumn(
+        "v_norm", res.compiled.normalized["v"]).collect()}
+    assert rows[1]["v_norm"] == 5.0        # then-branch coercion lands
+    assert rows[2]["v_norm"] is None       # '$5' never became a number
+    # same-type Set under when
+    df2 = spark.createDataFrame([(1, "ERROR", "x"), (2, "OK", "y")],
+                                "id int, t string, v string")
+    res2 = validate(df2, K.object({
+        "t": K.string().required(),
+        "v": K.string().when("t", "ERROR", K.string().set("MUT")),
+    }), id_cols=["id"])
+    got = {r["id"]: r["v"] for r in res2.normalized.collect()}
+    assert got == {1: "MUT", 2: "y"}
+
+
+def test_transform_probe_keeps_plan_runnable(spark):
+    """A Transform fn that cannot analyze against the untyped column's
+    type (sort_array over a string) must not poison the whole plan with
+    an action-time AnalysisException: the eager probe skips the untyped
+    branch and the per-row type check reports normally."""
+    rows = run_leaf(spark, K.array().transform(F.sort_array),
+                    ["x", None], "string")
+    assert rows[0][1] is False             # 'x' is not array
+    assert rows[1][1] is True              # null skips

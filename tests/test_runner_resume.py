@@ -111,3 +111,27 @@ def test_merge_observed_stats_math():
     # weighted by non-null counts: (3*8 + 6*30) / 38
     assert abs(m["v"]["mean"] - (3.0 * 8 + 6.0 * 30) / 38) < 1e-12
     assert m["v"]["distinct_lower_bound"] == 7
+
+
+def test_partition_values_unescape_hive_encoding(spark, tmp_path):
+    """Hive/Spark percent-encode special chars in partition dir names
+    (escapePathName: space, ':', '%', …). Listing must return the REAL
+    values or the manifest's isin() pruning filter silently skips those
+    partitions."""
+    from jio_spark.sources.tables import (_unescape_hive,
+                                          list_partition_values)
+    assert _unescape_hive("a%3Ab") == "a:b"
+    assert _unescape_hive("sp%20ace") == "sp ace"
+    assert _unescape_hive("100%25") == "100%"
+    assert _unescape_hive("plain") == "plain"
+    assert _unescape_hive("bad%zz") == "bad%zz"   # not an escape: verbatim
+    path = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "sp ace"), (3, "plain")], "id int, part string")
+    df.write.partitionBy("part").parquet(path)
+    vals = list_partition_values(spark, path, "part")
+    assert vals == ["a:b", "plain", "sp ace"]
+    # and the listed values actually prune rows (the failure mode was
+    # zero-row groups marked complete)
+    got = spark.read.parquet(path).where(F.col("part").isin(vals)).count()
+    assert got == 3

@@ -245,3 +245,29 @@ def test_multimodal_plumbing(spark):
     for r in frames:
         by_id.setdefault(r["id"], []).append(r["frame_idx"])
     assert by_id["1"] == [0, 1]  # 9003 bytes -> 2 frames
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """Adversarial degenerate corpus: many near-empty docs share
+    identical simhash chunks (one chunk bucket of size f -> f^2 candidate
+    pairs). The max_bucket_size guard bounds the candidate join; a
+    generous cap leaves results identical to the uncapped run."""
+    n = 2000
+    rows = [(i, "aa bb") for i in range(n)]          # all identical sims
+    rows += [(n + 1, "the quick brown fox jumps over the lazy dog"),
+             (n + 2, "the quick brown fox jumps over the lazy dog")]
+    df = spark.createDataFrame(rows, "doc_id int, text string") \
+              .repartition(8)
+    capped = simhash_pairs(df, max_hamming=3, n=2, max_bucket_size=10)
+    # every bucket the degenerate docs share holds 2000 > 10 members ->
+    # dropped; only the two real near-dups (bucket size 2) survive
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(n + 1, n + 2)}
+    # bounded work: the candidate frame itself stays tiny (the uncapped
+    # run would enumerate ~2000^2/2 = 2M pairs)
+    small = df.where((F.col("doc_id") >= n) | (F.col("doc_id") < 20))
+    uncapped = simhash_pairs(small, max_hamming=3, n=2)
+    roomy = simhash_pairs(small, max_hamming=3, n=2,
+                          max_bucket_size=1000)
+    assert ({tuple(r) for r in roomy.collect()}
+            == {tuple(r) for r in uncapped.collect()})
