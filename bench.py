@@ -57,6 +57,9 @@ def build_spark() -> SparkSession:
             .getOrCreate())
 
 
+CLIPS_CLUSTERED = f"/tmp/jio_spark_bench/clips_clustered_{N_CLIPS}"
+
+
 def ensure_clips(spark: SparkSession):
     from jio_spark.audio.synth import write_clips
     marker = os.path.join(CLIPS_CACHE, "_SUCCESS")
@@ -64,6 +67,21 @@ def ensure_clips(spark: SparkSession):
         write_clips(spark, N_CLIPS, CLIPS_CACHE,
                     partitions=max(CPUS * 2, 16))
     return spark.read.parquet(CLIPS_CACHE)
+
+
+def ensure_clustered_clips(spark: SparkSession):
+    """The same table in the INTENDED 10^12-row layout: globally
+    range-partitioned + sorted by clip_id (an Iceberg sort-ordered
+    table; duplicate ids land in one file by construction). bucket_id
+    stays as a data column — the layout is keyed by clip_id, not hive
+    dirs."""
+    marker = os.path.join(CLIPS_CLUSTERED, "_SUCCESS")
+    if not os.path.exists(marker):
+        (spark.read.parquet(CLIPS_CACHE)
+         .repartitionByRange(max(CPUS, 16), "clip_id")
+         .sortWithinPartitions("clip_id")
+         .write.mode("overwrite").parquet(CLIPS_CLUSTERED))
+    return spark.read.parquet(CLIPS_CLUSTERED)
 
 
 def run_noop(df) -> None:
@@ -108,6 +126,47 @@ def main():
     full_pass_sec = statistics.median(full_runs)
     clips_per_sec = N_CLIPS / full_pass_sec
 
+    # -- the north-star clustered layout -----------------------------------
+    # same full job over the clip_id-sorted table with the shuffle-free
+    # boundary-exchange uniqueness; violation counts must match the
+    # any-layout run exactly (same data, different physical layout)
+    clustered = ensure_clustered_clips(spark)
+    cjob = ClipsValidationJob(
+        spark,
+        ClipsJobConfig(group_size=16, drift=True,
+                       decode_source="files",
+                       decode_partitions=CPUS * 3,
+                       group_concurrency=4,
+                       uniqueness_layout="clustered"),
+        codec_dim=default_codec_dim(spark))
+    if warm:
+        cjob.run(clustered, table_root=CLIPS_CLUSTERED)
+    cl_runs, cmetrics = [], None
+    for _ in range(repeats):
+        t0 = time.time()
+        cmetrics = cjob.run(clustered, table_root=CLIPS_CLUSTERED)
+        cl_runs.append(time.time() - t0)
+    assert cmetrics["violations"] == metrics["violations"], \
+        (cmetrics["violations"], metrics["violations"])
+    assert (cmetrics["uniqueness_violations"]
+            == metrics["uniqueness_violations"]), \
+        (cmetrics["uniqueness_violations"],
+         metrics["uniqueness_violations"])
+
+    # isolated uniqueness-step timing, any-layout groupBy vs clustered
+    # boundary exchange (medians; forced through count())
+    from jio_spark.operators.uniqueness import uniqueness_check
+    ua, uc = [], []
+    for _ in range(repeats):
+        t0 = time.time()
+        n_any = uniqueness_check(clips, "clip_id", layout="any").count()
+        ua.append(time.time() - t0)
+        t0 = time.time()
+        n_cl = uniqueness_check(clustered, "clip_id",
+                                layout="clustered").count()
+        uc.append(time.time() - t0)
+    assert n_any == n_cl, (n_any, n_cl)
+
     queries = {}
     qmap = E.queries()
     for name in BENCH_QUERIES:
@@ -126,6 +185,10 @@ def main():
         "clips_per_sec": round(clips_per_sec, 1),
         "cpus": CPUS,
         "full_runs": [round(x, 3) for x in full_runs],
+        "full_clustered_sec": round(statistics.median(cl_runs), 3),
+        "full_clustered_runs": [round(x, 3) for x in cl_runs],
+        "uniqueness_any_sec": round(statistics.median(ua), 3),
+        "uniqueness_clustered_sec": round(statistics.median(uc), 3),
         "violations": metrics["violations"],
         "uniqueness_violations": metrics["uniqueness_violations"],
         "queries": queries,

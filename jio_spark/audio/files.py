@@ -42,17 +42,29 @@ def list_row_group_splits(root: str,
     Metadata-only: reads footers, not data. ``partition_filter`` prunes
     whole partition directories before any footer is touched."""
     import pyarrow.parquet as pq
-    out = []
-    wanted = set(partition_filter) if partition_filter is not None else None
-    for path in sorted(glob.glob(os.path.join(root, "**", "*.parquet"),
-                                 recursive=True)):
+    paths = sorted(glob.glob(os.path.join(root, "**", "*.parquet"),
+                             recursive=True))
+    tagged = []
+    any_hive = False
+    for path in paths:
         m = re.search(rf"{partition_col}=([^/]+)/", path)
         pval = None
         if m:
+            any_hive = True
             try:
                 pval = int(m.group(1))
             except ValueError:
                 pval = m.group(1)
+        tagged.append((path, pval))
+    # a non-hive layout (e.g. a sort-ordered/clustered table: one dir of
+    # range files, partition value carried as a DATA column) cannot be
+    # dir-pruned — ignore the filter rather than silently pruning
+    # EVERYTHING (pval None matches no wanted set); callers run such
+    # tables as one full-table group
+    wanted = set(partition_filter) \
+        if partition_filter is not None and any_hive else None
+    out = []
+    for path, pval in tagged:
         if wanted is not None and pval not in wanted:
             continue
         n_rg = pq.ParquetFile(path).metadata.num_row_groups
@@ -100,10 +112,20 @@ def decode_check_files(spark: SparkSession, root: str,
         for pdf in batches:
             for path, rg, pval in zip(pdf["path"], pdf["rg"],
                                       pdf[partition_col]):
-                tbl = pq.ParquetFile(path).read_row_group(
-                    int(rg), columns=_COLUMNS, use_threads=False)
+                pf = pq.ParquetFile(path)
+                cols = list(_COLUMNS)
+                # non-hive layouts carry the partition value as a data
+                # column inside the file — read it instead of the
+                # (absent) directory value
+                col_backed = (pd.isna(pval)
+                              and partition_col in pf.schema_arrow.names)
+                if col_backed:
+                    cols.append(partition_col)
+                tbl = pf.read_row_group(int(rg), columns=cols,
+                                        use_threads=False)
                 block = tbl.to_pandas()
-                block[partition_col] = pval
+                if not col_backed:
+                    block[partition_col] = pval
                 yield from inner(iter([block]))
 
     schema = DECODE_RESULT_SCHEMA + f", {partition_col} int"

@@ -155,6 +155,9 @@ class ColState:
         return F.when(self.is_typed, t).otherwise(u)
 
 
+_CTX_SEQ = 0
+
+
 class CompileCtx:
     """Per-compilation registry: verdict entries (in jio walk order), the
     normalized value of every completed field (for `When` ref visibility —
@@ -180,6 +183,13 @@ class CompileCtx:
         self.internal_cols: List[str] = []
         self._n = 0
         self._ecnt = 0
+        # unique per-compilation prefix: a second validate() CHAINED over
+        # a prior result's prepared frame must not collide with (and
+        # silently replace, via withColumns) the first compile's SSA
+        # columns
+        global _CTX_SEQ
+        _CTX_SEQ += 1
+        self._prefix = f"_js{_CTX_SEQ}"
 
     def add(self, path: str, name: str, expected: str, evaluated: Column,
             passed: Column, actual: Column, message: Column) -> None:
@@ -197,7 +207,7 @@ class CompileCtx:
         become attribute refs instead of copied subtrees."""
         if self.pure:
             return col
-        name = f"_js_{kind}_{self._ecnt}"
+        name = f"{self._prefix}_{kind}_{self._ecnt}"
         self._ecnt += 1
         self.stages.append({name: col})
         self.internal_cols.append(name)
@@ -322,7 +332,7 @@ def _materialize_state(cc: CompileCtx, st: ColState, prev: tuple) -> None:
     for attr, old in zip(_STATE_ATTRS, prev):
         new = getattr(st, attr)
         if new is not old and new is not None:
-            name = f"_js_{attr}_{cc._ecnt}"
+            name = f"{cc._prefix}_{attr}_{cc._ecnt}"
             cc._ecnt += 1
             batch[name] = new
             setattr(st, attr, F.col(name))

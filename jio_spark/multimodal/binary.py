@@ -3,12 +3,23 @@
 ``mapInPandas``.
 
 The Spark-side plumbing — schemas, column pruning before the Arrow
-exchange, batch shapes, partitioning — is real and tested. The actual
-image/video DECODE step is stubbed (the sandbox has no PIL/opencv/ffmpeg):
-``decode_image_stub`` produces a deterministic fake pixel tensor derived
-from the payload hash, clearly marked, so pipelines exercise realistic
-data volumes end-to-end; swap ``_decode_rgb`` for a real decoder when the
-libs exist. Audio is NOT stubbed — see :mod:`jio_spark.audio`.
+exchange, batch shapes, partitioning — is real and tested. Two decode
+paths:
+
+* ``decode_image`` — a REAL stdlib+numpy decoder for uncompressed
+  formats: 24-bit BI_RGB Windows BMP (bottom-up or top-down, 4-byte row
+  padding, BGR→RGB) and binary PPM (P6, maxval≤255, '#' comments).
+  Compressed formats (JPEG/PNG/…) report ``ok=false`` with an explicit
+  error — the sandbox has no PIL/opencv/ffmpeg, and pretending otherwise
+  would be a silent lie.
+* ``decode_image_stub`` — the deterministic fake-pixel path for
+  compressed payloads, clearly marked, so pipelines can exercise
+  realistic data volumes end-to-end regardless of format.
+
+Deterministic fixture generators (``synth_bmp``/``synth_ppm``) mirror
+:mod:`jio_spark.audio.synth`: tests and the driver query decode REAL
+bytes and pin exact pixel statistics. Audio is NOT stubbed — see
+:mod:`jio_spark.audio`.
 """
 
 from __future__ import annotations
@@ -32,6 +43,8 @@ _MAGIC = [
     (b"RIFF", "audio/wav"),
     (b"\x1A\x45\xDF\xA3", "video/webm"),
     (b"GIF8", "image/gif"),
+    (b"BM", "image/bmp"),
+    (b"P6", "image/ppm"),
 ]
 
 
@@ -50,6 +63,155 @@ def media_metadata(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
         F.crc32(b).alias("crc32"),
         F.hex(F.substring(b, 1, 4)).alias("magic"),
         kind.alias("kind"))
+
+
+# -- real stdlib-only decoders ----------------------------------------------
+
+
+def parse_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed (BI_RGB) Windows BMP to an RGB
+    uint8 array of shape (h, w, 3). Pure numpy: the pixel block is one
+    frombuffer + reshape + stride slice — no per-pixel Python. Handles
+    bottom-up (positive height) and top-down rows and the 4-byte row
+    padding mandated by the format."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError("degenerate BMP dimensions")
+    stride = (w * 3 + 3) // 4 * 4
+    if len(payload) < off + stride * h:
+        raise ValueError("truncated BMP pixel block")
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=off)
+    img = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def parse_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, maxval <= 255, '#' comments allowed in
+    the header) to an RGB uint8 array of shape (h, w, 3)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos:pos + 1]
+        if c == b"#":                       # comment to end of line
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    pos += 1                                # single whitespace after maxval
+    need = w * h * 3
+    if len(payload) < pos + need:
+        raise ValueError("truncated PPM pixel block")
+    return np.frombuffer(payload, dtype=np.uint8, count=need,
+                         offset=pos).reshape(h, w, 3).copy()
+
+
+def decode_payload(payload: bytes) -> np.ndarray:
+    """Real decode of an uncompressed image payload (BMP / P6 PPM).
+    Compressed formats raise NotImplementedError — the honest boundary:
+    this sandbox has no PIL/cv2, and the calling plumbing is identical
+    whichever decoder backs this function."""
+    if payload[:2] == b"BM":
+        return parse_bmp(payload)
+    if payload[:2] == b"P6":
+        return parse_ppm(payload)
+    raise NotImplementedError(
+        "compressed image decode requires PIL/cv2 (payload magic: "
+        f"{payload[:4].hex() if payload else '<empty>'})")
+
+
+def synth_bmp(seed: int, h: int = 12, w: int = 9) -> bytes:
+    """Deterministic valid bottom-up 24-bit BMP fixture: pixel (y, x, c)
+    = (seed*7 + y*5 + x*3 + c*11) mod 256. Same formula as
+    :func:`synth_pixels`, so tests pin exact decode output."""
+    img = synth_pixels(seed, h, w)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    off = 14 + 40
+    header = (b"BM" + (off + len(pix)).to_bytes(4, "little")
+              + b"\x00\x00\x00\x00" + off.to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little")
+              + len(pix).to_bytes(4, "little")
+              + (2835).to_bytes(4, "little") * 2
+              + (0).to_bytes(4, "little") * 2)
+    return header + pix
+
+
+def synth_ppm(seed: int, h: int = 10, w: int = 7) -> bytes:
+    """Deterministic valid P6 PPM fixture with a header comment."""
+    img = synth_pixels(seed, h, w)
+    return (f"P6\n# jio_spark fixture {seed}\n{w} {h}\n255\n"
+            .encode("ascii") + img.tobytes())
+
+
+def synth_pixels(seed: int, h: int, w: int) -> np.ndarray:
+    """The shared fixture pixel formula (uint8, shape (h, w, 3))."""
+    y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3),
+                          indexing="ij")
+    return ((seed * 7 + y * 5 + x * 3 + c * 11) % 256).astype(np.uint8)
+
+
+def decode_image(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """Arrow-batched REAL decode (BMP/PPM) → per-image stats with actual
+    header dimensions. Columns are pruned to (id, bytes) before the
+    exchange so parquet reads only the payload; unknown/compressed
+    formats come back ``ok=false`` with the error string."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {"id": pdf["id"].astype(str).values,
+                   "height": np.zeros(n, dtype=np.int32),
+                   "width": np.zeros(n, dtype=np.int32),
+                   "channels": np.full(n, 3, dtype=np.int32),
+                   "mean_pixel": np.full(n, np.nan),
+                   "ok": np.zeros(n, dtype=bool),
+                   "error": np.array([None] * n, dtype=object)}
+            for j in range(n):
+                try:
+                    img = decode_payload(bytes(pdf["bytes"].iloc[j]))
+                    out["height"][j] = img.shape[0]
+                    out["width"][j] = img.shape[1]
+                    out["mean_pixel"][j] = float(img.mean())
+                    out["ok"][j] = True
+                except (NotImplementedError, ValueError) as e:
+                    out["error"][j] = str(e)
+            yield pd.DataFrame(out)
+
+    slim = df.select(F.col(id_col).cast("string").alias("id"),
+                     F.col(bytes_col).alias("bytes"))
+    return slim.mapInPandas(run, DECODED_SCHEMA)
 
 
 def _decode_rgb(payload: bytes, h: int, w: int) -> np.ndarray:

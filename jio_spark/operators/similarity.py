@@ -207,10 +207,59 @@ def lsh_dup_pairs(df: DataFrame, threshold: float = 0.95,
             .select("id_a", "id_b", F.round("_cos", 6).alias("cos")))
 
 
+def _centroid_frame(spark, cents: List[tuple]) -> DataFrame:
+    """[(cid, vec, norm)] → broadcast-ready centroid table. The floats
+    are the same Python doubles the literal-expression path embeds, so
+    both assignment paths score bit-identically."""
+    return spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec], float(n))
+         for cid, vec, n in cents],
+        "cid int, cv array<double>, cn double")
+
+
+def _assign_join(c: DataFrame, cents: List[tuple]) -> DataFrame:
+    """Nearest-centroid assignment via broadcast join — the documented
+    >10²-centroid variant (the literal-expression path embeds
+    n_centroids × dim literals in the plan, fine to a few hundred
+    centroids; beyond that the plan itself becomes the bottleneck).
+
+    corpus × broadcast(centroids) expands k× but flows straight into a
+    map-side-combined ``max(struct(cos, -cid))`` groupBy — ONE shuffle of
+    one row per corpus id (vec and norm ride along with ``first``, values
+    identical within a group), and no Window over the expanded corpus.
+    Tie-break matches ``_assign_expr``: max of (cos, -cid) ⇒ smallest cid
+    on equal cosine."""
+    cdf = F.broadcast(_centroid_frame(c.sparkSession, cents))
+    cos = dot(F.col("c_vec"), F.col("cv")) / (F.col("c_n") * F.col("cn"))
+    scored = c.crossJoin(cdf).select(
+        "neighbor_id", "c_vec", "c_n",
+        F.struct(cos.alias("cos"),
+                 (-F.col("cid")).alias("ncid")).alias("sc"))
+    return (scored.groupBy("neighbor_id")
+            .agg(F.first("c_vec").alias("c_vec"),
+                 F.first("c_n").alias("c_n"),
+                 (-F.max("sc")["ncid"]).cast("int").alias("cid")))
+
+
+def _probe_join(q: DataFrame, cents: List[tuple], nprobe: int) -> DataFrame:
+    """Top-``nprobe`` probe list via broadcast join + row_number — the
+    query side is tiny, so the Window is over a broadcast-size frame."""
+    cdf = F.broadcast(_centroid_frame(q.sparkSession, cents))
+    cos = dot(F.col("q_vec"), F.col("cv")) / (F.col("q_n") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("cid").asc())
+    return (q.crossJoin(cdf)
+            .select("query_id", "q_vec", "q_n", "cid", cos.alias("_cos"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= nprobe)
+            .select("query_id", "q_vec", "q_n", "cid"))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             exclude_self: bool = True) -> DataFrame:
+             exclude_self: bool = True,
+             assign: str = "expr") -> DataFrame:
     """IVF-style ANN with shuffle-free centroid assignment.
 
     1. Seeds: the ``n_centroids`` corpus rows with lexicographically
@@ -233,10 +282,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     Sizing: the literal-centroid expression is n_centroids × dim
     literals in the plan — comfortable to a few hundred centroids at
-    dim≈10². For IVF with thousands of centroids, swap step 2/4's
-    expression for a broadcast-join against a centroid table followed by
-    ``groupBy(id).agg(max_by(cid, cos))`` (one map-side-combined shuffle
-    of (id, cid) pairs — still no Window over the expanded corpus)."""
+    dim≈10². ``assign='join'`` switches steps 2 and 4 to the
+    broadcast-join variant for thousands of centroids
+    (:func:`_assign_join` / :func:`_probe_join`: centroid table
+    broadcast, argmax via map-side-combined ``max(struct(cos, -cid))``
+    — one corpus shuffle, no Window over the expanded corpus). Both
+    paths score with identical double arithmetic, so their outputs are
+    bit-identical (pinned by test_ivf_join_assignment_matches_expr)."""
     # 1. deterministic driver-side seeds
     seed_rows = (corpus
                  .select(F.col(id_col).alias("sid"),
@@ -251,10 +303,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                             for cid, r in enumerate(seed_rows)])
     dim = len(seeds[0][1])
 
-    # 2+3. assign to seed centroids (pure expr), refine by per-dim mean
+    # 2+3. assign to seed centroids, refine by per-dim mean
     c = _with_norm(corpus, id_col, vec_col, "neighbor_id", "c_vec", "c_n")
-    asg1 = c.withColumn("cid", _assign_expr(F.col("c_vec"),
-                                            F.col("c_n"), seeds))
+    if assign == "join":
+        asg1 = _assign_join(c, seeds)
+    else:
+        asg1 = c.withColumn("cid", _assign_expr(F.col("c_vec"),
+                                                F.col("c_n"), seeds))
     mean_rows = (asg1.groupBy("cid")
                  .agg(*[F.round(F.avg(F.col("c_vec")[i]), 6).alias(f"m{i}")
                         for i in range(dim)])
@@ -263,14 +318,19 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         [(int(r["cid"]), [r[f"m{i}"] for i in range(dim)])
          for r in sorted(mean_rows, key=lambda r: r["cid"])])
 
-    # 4. final assignment + probe lists, all against refined literals
-    corp = c.withColumn("cid", _assign_expr(F.col("c_vec"),
-                                            F.col("c_n"), refined))
+    # 4. final assignment + probe lists against the refined centroids
     q = _with_norm(queries, id_col, vec_col, "query_id", "q_vec", "q_n")
-    qs = (q.withColumn("probe", _probe_expr(F.col("q_vec"),
-                                            F.col("q_n"), refined, nprobe))
-          .select("query_id", "q_vec", "q_n",
-                  F.explode("probe").alias("cid")))
+    if assign == "join":
+        corp = _assign_join(c, refined)
+        qs = _probe_join(q, refined, nprobe)
+    else:
+        corp = c.withColumn("cid", _assign_expr(F.col("c_vec"),
+                                                F.col("c_n"), refined))
+        qs = (q.withColumn("probe",
+                           _probe_expr(F.col("q_vec"), F.col("q_n"),
+                                       refined, nprobe))
+              .select("query_id", "q_vec", "q_n",
+                      F.explode("probe").alias("cid")))
 
     cand = corp.join(F.broadcast(qs), "cid")
     if exclude_self:

@@ -221,3 +221,29 @@ def test_transform_probe_keeps_plan_runnable(spark):
                     ["x", None], "string")
     assert rows[0][1] is False             # 'x' is not array
     assert rows[1][1] is True              # null skips
+
+
+def test_chained_validates_are_independent(spark):
+    """Two compiled rule sets stack over one scan: validate() over a
+    prior result's prepared frame must leave the first result's
+    expressions intact (collision-free SSA prefixes) and produce the
+    same verdicts as two independent runs."""
+    df = spark.createDataFrame(
+        [(1, 5.0, "A"), (2, 99.0, "B"), (3, None, "A")],
+        "id int, v double, t string")
+    r1 = validate(df, K.object({"v": K.number().required().max(50)}),
+                  id_cols=["id"])
+    r2 = validate(r1.prepared, K.object({"t": K.string().equal("A")}),
+                  id_cols=["id"])
+    rows = {r["id"]: (r["p1"], r["p2"]) for r in r2.prepared.select(
+        "id", r1.compiled.row_pass.alias("p1"),
+        r2.compiled.row_pass.alias("p2")).collect()}
+    assert rows == {1: (True, True), 2: (False, False), 3: (False, True)}
+    # equal to the independent runs
+    solo1 = {r["id"]: r["_pass"] for r in validate(
+        df, K.object({"v": K.number().required().max(50)}),
+        id_cols=["id"]).annotated.collect()}
+    solo2 = {r["id"]: r["_pass"] for r in validate(
+        df, K.object({"t": K.string().equal("A")}),
+        id_cols=["id"]).annotated.collect()}
+    assert all(rows[i] == (solo1[i], solo2[i]) for i in rows)

@@ -271,3 +271,47 @@ def test_simhash_hot_bucket_cap(spark):
                           max_bucket_size=1000)
     assert ({tuple(r) for r in roomy.collect()}
             == {tuple(r) for r in uncapped.collect()})
+
+
+def test_multimodal_real_decode(spark):
+    """Real stdlib-only BMP/P6-PPM decode: synthesized payloads round-trip
+    to the exact fixture pixel array; header dims and mean_pixel are
+    value-pinned; compressed formats report the honest not-implemented
+    error."""
+    import numpy as np
+    from jio_spark.multimodal import (decode_image, parse_bmp, parse_ppm,
+                                      synth_bmp, synth_pixels, synth_ppm)
+    # pure round-trips, bit-exact
+    for seed in (0, 3, 17):
+        assert np.array_equal(parse_bmp(synth_bmp(seed, 12, 9)),
+                              synth_pixels(seed, 12, 9))
+        assert np.array_equal(parse_ppm(synth_ppm(seed, 10, 7)),
+                              synth_pixels(seed, 10, 7))
+    # BMP row padding exercised: width 9 -> stride 28 != 27
+    rows = [(1, bytearray(synth_bmp(1, 12, 9))),
+            (2, bytearray(synth_ppm(2, 10, 7))),
+            (3, bytearray(b"\xFF\xD8\xFF" + b"x" * 100)),   # jpeg
+            (4, bytearray(b""))]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    dec = {r["id"]: r for r in
+           decode_image(df, "id", "payload").collect()}
+    assert (dec["1"]["height"], dec["1"]["width"]) == (12, 9)
+    assert (dec["2"]["height"], dec["2"]["width"]) == (10, 7)
+    exp1 = float(synth_pixels(1, 12, 9).mean())
+    assert abs(dec["1"]["mean_pixel"] - exp1) < 1e-9
+    assert dec["1"]["ok"] and dec["2"]["ok"]
+    assert not dec["3"]["ok"] and "requires PIL" in dec["3"]["error"]
+    assert not dec["4"]["ok"]
+
+
+def test_ivf_join_assignment_matches_expr(spark, vectors):
+    """The broadcast-join centroid assignment (>10^2-centroid variant)
+    must produce bit-identical results to the literal-expression path on
+    the same seeds: same doubles, same fold order, same (cos, -cid)
+    tie-break."""
+    q = vectors.where(F.col("vec_id") < 5)
+    a = ivf_topk(vectors, q, k=4, n_centroids=6, nprobe=3,
+                 assign="expr").collect()
+    b = ivf_topk(vectors, q, k=4, n_centroids=6, nprobe=3,
+                 assign="join").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
