@@ -77,8 +77,11 @@ def ensure_clustered_clips(spark: SparkSession):
     dirs."""
     marker = os.path.join(CLIPS_CLUSTERED, "_SUCCESS")
     if not os.path.exists(marker):
+        # CPUS*4 range files ≈ the split granularity of the bucketed
+        # layout: payload-local decode parallelism = row-group count, and
+        # 32 big files gave only 64 splits with a straggler tail
         (spark.read.parquet(CLIPS_CACHE)
-         .repartitionByRange(max(CPUS, 16), "clip_id")
+         .repartitionByRange(CPUS * 4, "clip_id")
          .sortWithinPartitions("clip_id")
          .write.mode("overwrite").parquet(CLIPS_CLUSTERED))
     return spark.read.parquet(CLIPS_CLUSTERED)

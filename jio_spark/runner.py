@@ -187,8 +187,11 @@ class ClipsValidationJob:
                        F.concat("_violations", F.array(ref_struct)))
                  .otherwise(F.col("_violations")))
 
-        viols = (ann.where(F.size("_violations") > 0)
-                 .select(*ids, F.explode("_violations").alias("_v"))
+        # no size()>0 pre-filter: explode drops empty arrays itself;
+        # the filter variant re-evaluates the violations-array expr in a
+        # separate Filter node for surviving rows (measured cost-neutral
+        # at sf0.1 — the single-evaluation plan is simply simpler)
+        viols = (ann.select(*ids, F.explode("_violations").alias("_v"))
                  .select("clip_id",
                          *[F.col(f"_v.{c}") for c in VIOLATION_COLS[1:]],
                          self.cfg.partition_col))
