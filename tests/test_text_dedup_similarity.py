@@ -315,3 +315,22 @@ def test_ivf_join_assignment_matches_expr(spark, vectors):
     b = ivf_topk(vectors, q, k=4, n_centroids=6, nprobe=3,
                  assign="join").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bmp_ppm_roundtrip_property():
+    """Property: any (seed, h, w) fixture round-trips bit-exactly through
+    the stdlib BMP and PPM codecs — covers every row-padding remainder
+    (w*3 mod 4) and degenerate 1-pixel shapes. Pure numpy, no Spark."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from jio_spark.multimodal import (parse_bmp, parse_ppm, synth_bmp,
+                                      synth_pixels, synth_ppm)
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(0, 10**6), st.integers(1, 24), st.integers(1, 24))
+    def check(seed, h, w):
+        exp = synth_pixels(seed, h, w)
+        assert np.array_equal(parse_bmp(synth_bmp(seed, h, w)), exp)
+        assert np.array_equal(parse_ppm(synth_ppm(seed, h, w)), exp)
+
+    check()
