@@ -1279,13 +1279,19 @@ def oracle_sql() -> dict[str, str]:
                     OR o_orderstatus IN ('F', 'O')) AS status_pass
             FROM orders""",
         "rule_number_mutations": """
+            WITH t AS (SELECT event_id, value - 17.5 AS v,
+                              abs(value - 17.5) AS a
+                       FROM events)
             SELECT event_id,
-                   ceil(value - 17.5) + 0.0 AS v_ceil,
-                   floor(value - 17.5) AS v_floor,
-                   CASE WHEN value - 17.5 < 0
-                        THEN -floor(abs(value - 17.5) + 0.5)
-                        ELSE floor(abs(value - 17.5) + 0.5) END AS v_round
-            FROM events""",
+                   ceil(v) + 0.0 AS v_ceil,
+                   floor(v) AS v_floor,
+                   -- Go math.Round via the exact-fraction form (the
+                   -- floor(abs+0.5) shortcut rounds up across integer
+                   -- boundaries when abs+0.5 is unrepresentable)
+                   (CASE WHEN v < 0 THEN -1 ELSE 1 END)
+                   * (floor(a) + CASE WHEN a - floor(a) >= 0.5
+                                      THEN 1 ELSE 0 END) AS v_round
+            FROM t""",
         "rule_default": """
             SELECT event_id,
                    CASE WHEN event_id % 7 = 0 THEN 0.0

@@ -44,6 +44,7 @@ compile straight-line and verdict masking is applied only at reporting.
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -155,7 +156,10 @@ class ColState:
         return F.when(self.is_typed, t).otherwise(u)
 
 
-_CTX_SEQ = 0
+# thread-safe: the runner compiles validate() inside ThreadPoolExecutor
+# workers (group_concurrency > 1); a bare `+= 1` on a module int could
+# hand two compilations the same SSA prefix
+_CTX_SEQ = itertools.count(1)
 
 
 class CompileCtx:
@@ -187,9 +191,7 @@ class CompileCtx:
         # a prior result's prepared frame must not collide with (and
         # silently replace, via withColumns) the first compile's SSA
         # columns
-        global _CTX_SEQ
-        _CTX_SEQ += 1
-        self._prefix = f"_js{_CTX_SEQ}"
+        self._prefix = f"_js{next(_CTX_SEQ)}"
 
     def add(self, path: str, name: str, expected: str, evaluated: Column,
             passed: Column, actual: Column, message: Column) -> None:
@@ -529,16 +531,12 @@ def _h_integer(cc, st, path, spec, schema):
     _gated_check(cc, st, path, "integer", "integer", pred_fn, "not integer")
 
 
-# any double with |v| >= 2^52 is already integral (spacing >= 1), so
-# trunc/ceil/floor/round are the identity there — and Spark's F.floor/
-# F.ceil return LongType, which would clamp (or, under ANSI, throw) past
-# 2^63 where Go's float-domain math.* functions are exact. floor/ceil/
-# trunc guard at 2^53 (they're exact below it); ROUND must guard at 2^52:
-# for odd integral v in [2^52, 2^53), v+0.5 is not representable and
-# round-to-even pushes abs(v)+0.5 to v+1, so floor(abs+0.5) would return
-# v+1 where Go math.Round returns v.
+# any double with |v| >= 2^53 is already integral, so trunc/ceil/floor/
+# round are the identity there — and Spark's F.floor/F.ceil return
+# LongType, which would clamp (or, under ANSI, throw) past 2^63 where
+# Go's float-domain math.* functions are exact. Guarding at 2^53 keeps
+# the long-based path safely inside range AND reproduces Go.
 _INTEGRAL_ABOVE = 2.0 ** 53
-_INTEGRAL_ABOVE_ROUND = 2.0 ** 52
 
 
 def _big_identity(fn, threshold: float = _INTEGRAL_ABOVE):
@@ -563,15 +561,20 @@ def _h_floor(cc, st, path, spec, schema):
 
 
 def _h_round(cc, st, path, spec, schema):
-    # Go math.Round = half away from zero (number.go:183-185). Spark's
-    # F.round is HALF_UP toward +inf on doubles; this is the exact
-    # translation for both signs:
-    _gated_transform(
-        cc, st, path, "round",
-        _big_identity(lambda c: F.signum(c) * F.floor(F.abs(c)
-                                                      + F.lit(0.5)),
-                      threshold=_INTEGRAL_ABOVE_ROUND),
-        result_cast="double")
+    # Go math.Round = half away from zero (number.go:183-185). The naive
+    # floor(abs + 0.5) translation is WRONG whenever abs+0.5 is not
+    # representable and rounds up across an integer boundary — both for
+    # odd integral v in [2^52, 2^53) (v+0.5 → v+1) and for fractions one
+    # ulp below .5 (0.49999999999999994 + 0.5 → 1.0, Go returns 0).
+    # Comparing the exact fractional part avoids the addition entirely:
+    # round(|v|) = floor(|v|) + (|v| - floor(|v|) >= 0.5 ? 1 : 0).
+    def go_round(c: Column) -> Column:
+        a = F.abs(c)
+        fl = F.floor(a)
+        return F.signum(c) * (fl + F.when(a - fl >= 0.5, F.lit(1))
+                                    .otherwise(F.lit(0)))
+    _gated_transform(cc, st, path, "round", _big_identity(go_round),
+                     result_cast="double")
 
 
 def _h_convert(cc, st, path, spec, schema):

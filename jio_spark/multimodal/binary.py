@@ -121,7 +121,9 @@ def parse_ppm(payload: bytes) -> np.ndarray:
             fields.append(int(payload[pos:end]))
             pos = end
     w, h, maxval = fields
-    if maxval > 255:
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate PPM dimensions")
+    if maxval > 255 or maxval <= 0:
         raise NotImplementedError("16-bit PPM not supported")
     pos += 1                                # single whitespace after maxval
     need = w * h * 3
@@ -199,8 +201,12 @@ def decode_image(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
                    "ok": np.zeros(n, dtype=bool),
                    "error": np.array([None] * n, dtype=object)}
             for j in range(n):
+                payload = pdf["bytes"].iloc[j]
+                if payload is None:
+                    out["error"][j] = "null payload"
+                    continue
                 try:
-                    img = decode_payload(bytes(pdf["bytes"].iloc[j]))
+                    img = decode_payload(bytes(payload))
                     out["height"][j] = img.shape[0]
                     out["width"][j] = img.shape[1]
                     out["mean_pixel"][j] = float(img.mean())

@@ -228,7 +228,12 @@ def _assign_join(c: DataFrame, cents: List[tuple]) -> DataFrame:
     one row per corpus id (vec and norm ride along with ``first``, values
     identical within a group), and no Window over the expanded corpus.
     Tie-break matches ``_assign_expr``: max of (cos, -cid) ⇒ smallest cid
-    on equal cosine."""
+    on equal cosine.
+
+    CONTRACT: corpus ids must be unique (the standard ANN corpus shape —
+    vec_id keyed). The groupBy collapses duplicate ids to one row, so on
+    a corpus with repeated ids this path and the expr path diverge; the
+    bit-identical claim and its pinning test hold for unique-id corpora."""
     cdf = F.broadcast(_centroid_frame(c.sparkSession, cents))
     cos = dot(F.col("c_vec"), F.col("cv")) / (F.col("c_n") * F.col("cn"))
     scored = c.crossJoin(cdf).select(

@@ -248,10 +248,12 @@ class ClipsValidationJob:
         # the distinct() job — a full scan at 10^12 rows — is only the
         # fallback for ad-hoc in-memory frames
         parts: List = []
+        hive_listed = False
         if table_root:
             from .sources.tables import list_partition_values
             parts = list_partition_values(self.spark, table_root,
                                           cfg.partition_col)
+            hive_listed = bool(parts)
         if not parts:
             parts = sorted(r[0] for r in
                            df.select(cfg.partition_col).distinct()
@@ -259,8 +261,18 @@ class ClipsValidationJob:
         done = manifest.completed_partitions() if (manifest and resume) \
             else set()
         todo = [p for p in parts if p not in done]
-        groups = [todo[i:i + cfg.group_size]
-                  for i in range(0, len(todo), cfg.group_size)]
+        if table_root and not hive_listed:
+            # non-hive layout (e.g. a clip_id-sorted clustered table: the
+            # partition value is a DATA column, no directories to prune):
+            # run ONE full-table group. Splitting by column values would
+            # make decode_check_files — which cannot dir-prune such a
+            # layout — decode the ENTIRE table once per group, count the
+            # same decode violations per group, and overwrite every
+            # sink partition from each group.
+            groups = [todo] if todo else []
+        else:
+            groups = [todo[i:i + cfg.group_size]
+                      for i in range(0, len(todo), cfg.group_size)]
 
         total_viols = 0
         rows_processed = 0

@@ -114,24 +114,13 @@ def _unescape_hive(name: str) -> str:
     character lists as its ESCAPED form, never matches the real column
     value in the manifest's ``isin`` pruning filter, and that partition
     would validate zero rows yet be marked complete — a silent skip.
-    Only well-formed ``%`` + 2-hex-digit sequences decode; anything else
-    passes through verbatim (a literal stray '%' written by a non-Hive
-    writer stays a literal '%')."""
+    ``urllib.parse.unquote`` has exactly the needed semantics: decodes
+    well-formed ``%XX`` (incl. multi-byte UTF-8 runs), passes malformed
+    sequences and stray '%' through verbatim, leaves '+' alone."""
     if "%" not in name:
         return name
-    out: List[str] = []
-    i, n = 0, len(name)
-    while i < n:
-        ch = name[i]
-        if ch == "%" and i + 3 <= n:
-            hx = name[i + 1:i + 3]
-            if all(c in "0123456789abcdefABCDEF" for c in hx):
-                out.append(chr(int(hx, 16)))
-                i += 3
-                continue
-        out.append(ch)
-        i += 1
-    return "".join(out)
+    from urllib.parse import unquote
+    return unquote(name)
 
 
 def read_table(spark: SparkSession, location: str,

@@ -86,8 +86,14 @@ def jio_validate(schema: BaseSchema, value: Any) -> Tuple[Optional[str], Any]:
         elif name == "round":
             if not _is_number(v):
                 return "type", value
-            # Go math.Round: half away from zero
-            v = float(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+            # Go math.Round: half away from zero. Not floor(abs+0.5):
+            # that addition rounds up across integer boundaries whenever
+            # abs+0.5 is unrepresentable (odd ints in [2^52,2^53),
+            # fractions one ulp below .5) — compare the exact fraction
+            a = abs(v)
+            fl = math.floor(a)
+            v = float(fl + (1 if a - fl >= 0.5 else 0)) \
+                * (1 if v >= 0 else -1)
         elif name == "parse_string":
             if isinstance(v, str):
                 try:

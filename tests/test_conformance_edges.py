@@ -147,17 +147,22 @@ def test_with_on_non_object_aborts_per_row(spark):
 # -- round-3 advisory fixes --------------------------------------------------
 
 
-def test_round_in_2_52_to_2_53_window(spark):
-    """Go math.Round is exact everywhere; the floor(abs+0.5) translation
-    breaks for odd integral v in [2^52, 2^53) (v+0.5 rounds-to-even to
-    v+1), so round's identity guard sits at 2^52 while floor/ceil/trunc
-    keep 2^53."""
+def test_round_ulp_boundaries(spark):
+    """Go math.Round is exact everywhere; the naive floor(abs+0.5)
+    translation rounds up across integer boundaries whenever abs+0.5 is
+    unrepresentable — odd integral v in [2^52, 2^53) AND fractions one
+    ulp below .5. The exact-fraction form handles both."""
     odd = float(2**52 + 1)            # representable, odd, in the window
     assert mutated(spark, K.number().round(), odd, "double") == odd
     assert mutated(spark, K.number().round(), -odd, "double") == -odd
-    # below the window the half-away-from-zero translation is exact
+    # largest double < 0.5: Go math.Round returns 0, floor(abs+0.5)=1
+    ulp = 0.49999999999999994
+    assert mutated(spark, K.number().round(), ulp, "double") == 0.0
+    assert mutated(spark, K.number().round(), -ulp, "double") == -0.0
     assert mutated(spark, K.number().round(), 2.5, "double") == 3.0
     assert mutated(spark, K.number().round(), -2.5, "double") == -3.0
+    assert mutated(spark, K.number().round(), 2.4999999999999996,
+                   "double") == 2.0
     # floor/ceil unchanged in the window (exact below 2^53)
     assert mutated(spark, K.number().floor(), odd + 0.0, "double") == odd
 

@@ -135,3 +135,42 @@ def test_partition_values_unescape_hive_encoding(spark, tmp_path):
     # zero-row groups marked complete)
     got = spark.read.parquet(path).where(F.col("part").isin(vals)).count()
     assert got == 3
+
+
+def test_nonhive_layout_runs_one_group(spark, clips_path, tmp_path):
+    """A sort-ordered (non-hive) table layout must run as ONE full-table
+    group: decode_check_files cannot dir-prune it, so per-bucket groups
+    would each decode the whole table and multiply-count decode
+    violations. Violation totals must match the hive-layout run."""
+    hive_df = spark.read.parquet(clips_path)
+    flat = str(tmp_path / "flat")
+    (hive_df.repartitionByRange(4, "clip_id")
+     .sortWithinPartitions("clip_id")
+     .write.parquet(flat))                  # bucket_id is a DATA column
+    cfg = dict(group_size=4, decode_source="files",
+               uniqueness_layout="clustered")
+    ref = ClipsValidationJob(
+        spark, ClipsJobConfig(group_size=4, decode_source="files"),
+        codec_dim=default_codec_dim(spark)) \
+        .run(hive_df, table_root=clips_path)
+    job = ClipsValidationJob(spark, ClipsJobConfig(**cfg),
+                             codec_dim=default_codec_dim(spark))
+    m = job.run(spark.read.parquet(flat), table_root=flat)
+    assert m["groups_run"] == 1             # not 16/group_size groups
+    assert m["rows"] == ref["rows"] == 1200
+    assert m["violations"] == ref["violations"]
+    assert m["uniqueness_violations"] == ref["uniqueness_violations"]
+
+
+def test_ppm_degenerate_and_null_payloads(spark):
+    from jio_spark.multimodal import decode_image, parse_ppm
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        parse_ppm(b"P6\n0 0\n255\n")
+    with _pt.raises(ValueError):
+        parse_ppm(b"P6\n-5 3\n255\n")
+    rows = [(1, None), (2, bytearray(b"P6\n0 0\n255\n"))]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    dec = {r["id"]: r for r in decode_image(df, "id", "payload").collect()}
+    assert not dec["1"]["ok"] and dec["1"]["error"] == "null payload"
+    assert not dec["2"]["ok"] and "degenerate" in dec["2"]["error"]
