@@ -263,6 +263,10 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
     # candidate joins shuffle ~2.4KB/doc of longs instead of raw shingle
     # strings, and array_intersect compares longs, not strings
     hx = _shingle_hash(hash_mode)
+    # NOT checkpointed even under cache_shingles: the verify join reads
+    # this frame twice, but checkpointing the hashed arrays measured
+    # slower (3.70 s vs 3.46 s at sf0.1) — the extra materialization
+    # write outweighs the saved hash pass
     shh = sh.select("did",
                     F.array_distinct(F.transform("sh", hx)).alias("sh"))
     sh_a = shh.withColumnsRenamed({"did": "id_a", "sh": "sh_a"})
