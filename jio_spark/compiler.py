@@ -388,8 +388,28 @@ def _h_default(cc, st, path, spec, schema):
     # any.go:67-74: substitute when nil
     v = spec.params["value"]
     was_null = st.cur_null()
-    lit = F.lit(v)
     vt = _lit_tag(v)
+    if isinstance(v, dict):
+        # Object().Default({...}) (object_test.go:86-94): F.lit has no
+        # dict support — build the literal to match the column's own
+        # map/struct type
+        vt = "struct"
+        if isinstance(st.spark_type, T.MapType):
+            pairs = [x for k, val in v.items()
+                     for x in (F.lit(k), F.lit(val))]
+            lit = F.create_map(*pairs).cast(st.spark_type)
+        elif isinstance(st.spark_type, T.StructType):
+            names = st.spark_type.fieldNames()
+            lit = F.struct(*[
+                (F.lit(v[n]) if n in v
+                 else F.lit(None).cast(st.spark_type[n].dataType))
+                .alias(n) for n in names]).cast(st.spark_type)
+        else:
+            raise TypeError(
+                f"default({v!r}) incompatible with {st.vtype} "
+                f"field {path}")
+    else:
+        lit = F.lit(v)
     if st.vtype == "any" or vt == st.vtype:
         st.typed = F.when(was_null, lit).otherwise(st.typed)
         st.is_typed = st.is_typed | was_null

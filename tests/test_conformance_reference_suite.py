@@ -1,0 +1,278 @@
+"""Systematic port of the reference's own test functions that were not
+yet line-cited elsewhere in the corpus — one test (or documented n/a)
+per ``func Test*`` in ``/root/reference/*_test.go``, so the
+reference-suite → repo mapping is complete and auditable.
+
+n/a-by-design (no table-scale analog, per SURVEY.md §2 rows 41/42/44):
+
+* ``TestContext_SetAndGet`` (context_test.go:86-107): the ctx KV store
+  exists so Go closures can pass state between rules; the compiled
+  expression DAG carries intermediates as named columns instead.
+* ``TestContext_AssertKind`` (context_test.go:109-124): reflection-kind
+  caching is Go-runtime bookkeeping; Spark columns are statically typed.
+* ``TestValidateBody`` (jio_test.go:43-98): HTTP middleware (serving) —
+  out of scope for a batch/stream table engine; the closest analog is
+  ``tools/submit_job.py`` (a validated-ingest entry point), and the
+  rule set used by that reference test (truthy bool + nested object +
+  items/length + without) is exercised below in
+  ``test_validate_json_semantics``.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from jio_spark import K, validate
+from jio_spark.compiler import compile_ruleset
+from helpers import message, mutated, passes, run_leaf
+
+
+# -- SetPriority / rule ordering (DSL level) --------------------------------
+
+
+def test_set_priority_stored_all_types():
+    """any_test.go:9-15, bool_test.go:9-15, number_test.go:9-15,
+    string_test.go:9-15, array_test.go:10-16, object_test.go:24-30:
+    SetPriority stores the given priority verbatim (incl. negative)."""
+    for mk in (K.any, K.bool, K.number, K.string, K.array, K.object):
+        for p in (-1, 0, 100):
+            assert mk().set_priority(p).priority == p
+
+
+def test_transform_prepend_ordering_all_types(spark):
+    """any_test.go:17-37, string_test.go:17-37, bool_test.go:17-37,
+    number_test.go:17-37, array_test.go:18-38, object_test.go:32-52
+    (identical table in each): Transform appends, PrependTransform
+    inserts at the FRONT, successive prepends stack before earlier ones
+    — execution order is prepend-last first, then appends in call
+    order."""
+    s = (K.string()
+         .transform(lambda c: F.concat(c, F.lit("2")))
+         .transform(lambda c: F.concat(c, F.lit("3")))
+         .prepend_transform(lambda c: F.concat(c, F.lit("1")))
+         .prepend_transform(lambda c: F.concat(c, F.lit("0"))))
+    assert mutated(spark, s, "v", "string") == "v0123"
+
+
+def test_k_sort_walk_order(spark):
+    """object_test.go:10-22: K.sort orders children by priority
+    DESCENDING; the compiled walk emits verdicts in that order."""
+    df = spark.createDataFrame([(1, "a", "b", "c", "d")],
+                               "id int, f0 string, f1 string, "
+                               "f2 string, f3 string")
+    schema = K.object({
+        "f2": K.string().set_priority(2).required(),
+        "f0": K.string().set_priority(0).required(),
+        "f1": K.string().set_priority(1).required(),
+        "f3": K.string().set_priority(3).required(),
+    })
+    compiled = compile_ruleset(df, schema)
+    walk = [e.path for e in compiled.entries if e.path]
+    # first occurrence of each field follows priority 3,2,1,0
+    seen = list(dict.fromkeys(walk))
+    assert seen == ["f3", "f2", "f1", "f0"]
+
+
+# -- Required / Optional / Default / Set / Equal per type -------------------
+
+
+def test_required_optional_default_any(spark):
+    """any_test.go:39-65: Required fails nil, Optional passes nil,
+    Default writes back on nil."""
+    assert not passes(spark, K.any().required(), None, "string")
+    assert passes(spark, K.any().optional(), None, "string")
+    assert mutated(spark, K.any().default("default_value"), None,
+                   "string") == "default_value"
+
+
+def test_set_any(spark):
+    """any_test.go:67-75: Set replaces unconditionally."""
+    assert mutated(spark, K.any().set("default_value"), "othor_value",
+                   "string") == "default_value"
+
+
+def test_required_optional_default_set_equal_bool(spark):
+    """bool_test.go:39-89: nil handling, Set replacement, Equal —
+    including Go interface inequality for a non-bool value ('???' is
+    simply unequal to true, an abort not a crash)."""
+    assert not passes(spark, K.bool().required(), None, "boolean")
+    assert passes(spark, K.bool().optional(), None, "boolean")
+    assert mutated(spark, K.bool().default(True), None, "boolean") is True
+    assert mutated(spark, K.bool().set(True), False, "boolean") is True
+    assert passes(spark, K.bool().equal(True), True, "boolean")
+    assert not passes(spark, K.bool().equal(True), "???", "string")
+
+
+def test_required_optional_default_array(spark):
+    """array_test.go:40-66: nil handling and Default on arrays."""
+    assert not passes(spark, K.array().required(), None, "array<string>")
+    assert passes(spark, K.array().optional(), None, "array<string>")
+    # array Default has no write-back coercion path in a typed column
+    # (compiler._normalized_value: array schemas keep the original) but
+    # the verdict side must pass like the reference
+    assert passes(spark, K.array().default(["1"]), None, "array<string>")
+
+
+def test_required_optional_object(spark):
+    """object_test.go:54-84: Required fails nil; Optional passes nil;
+    an empty document with a String child passes (the child is
+    implicitly optional and absent keys stay absent).
+    object_test.go:86-94 (Default): verdict-level pass on nil (an
+    object default has no typed write-back, like arrays).
+    object_test.go:167-183 (Keys): a present required child passes, a
+    non-object document under Keys fails.
+    object_test.go:185-198 (Validate): bare Object() passes nil and
+    fails a non-object value."""
+    df = spark.createDataFrame(
+        [(1, None), (2, {})],
+        "id int, m map<string,string>")
+    res = validate(df, K.object({
+        "m": K.object().keys({"hi": K.string()})}), id_cols=["id"])
+    got = {r["id"]: r["_pass"] for r in res.annotated.collect()}
+    assert got == {1: True, 2: True}       # nil skips (optional), {} ok
+    req = validate(df, K.object({
+        "m": K.object().required()}), id_cols=["id"])
+    got = {r["id"]: r["_pass"] for r in req.annotated.collect()}
+    assert got == {1: False, 2: True}
+    # Default on nil writes the document back (object_test.go:86-94
+    # asserts len(ctx.Value) == 1)
+    assert mutated(spark, K.object().default({"1": "2"}), None,
+                   "map<string,string>") == {"1": "2"}
+    # Keys over a present bool child / non-object doc (object_test:167)
+    df2 = spark.createDataFrame([(1, {"exist": True})],
+                                "id int, m map<string,boolean>")
+    r2 = validate(df2, K.object({
+        "m": K.object().keys({"exist": K.bool().required()})}),
+        id_cols=["id"])
+    assert r2.annotated.collect()[0]["_pass"] is True
+    assert not passes(spark, K.object().keys({"x": K.string()}),
+                      "???", "string")
+    # bare Object() (object_test:185): nil passes, non-object fails
+    assert passes(spark, K.object(), None, "string")
+    assert not passes(spark, K.object(), "hhh", "string")
+
+
+def test_number_set_priority_rules_run(spark):
+    """number_test.go:9-37: SetPriority + transform ordering hold for
+    Number too (value-level check: prepend runs before the range
+    rule)."""
+    s = (K.number().min(10)
+         .prepend_transform(lambda c: c * 10))
+    assert passes(spark, s, 5.0, "double")      # 5*10 >= 10
+    assert not passes(spark, s, 0.5, "double")  # 5 < 10
+
+
+# -- Context semantics ------------------------------------------------------
+
+
+def test_context_ref_paths(spark):
+    """context_test.go:9-50: Ref resolves top-level keys and dotted
+    paths through nested documents; refs into arrays ('4.1') and
+    missing keys ('5') are NOT found — the `when` carrying them becomes
+    a no-op instead of failing."""
+    df = spark.createDataFrame(
+        [(1, {"2": "2"}, 3.0, ["1", "2"], "x")],
+        "id int, m1 map<string,string>, n3 double, "
+        "a4 array<string>, v string")
+    schema = K.object({
+        "m1": K.object(),
+        "n3": K.number(),
+        "a4": K.array(),
+        # ref through the map: fires (m1.2 == '2') -> min(5) fails on 'x'
+        "v": K.string().when("m1.2", "2", K.string().min(5)),
+    })
+    res = validate(df, schema, id_cols=["id"])
+    assert res.annotated.collect()[0]["_pass"] is False
+    # ref into an array element / missing key: when() no-ops
+    for ref in ("a4.1", "nope"):
+        s2 = K.object({
+            "a4": K.array(),
+            "v": K.string().when(ref, "2", K.string().min(5)),
+        })
+        r2 = validate(df, s2, id_cols=["id"])
+        assert r2.annotated.collect()[0]["_pass"] is True
+
+
+def test_context_field_path(spark):
+    """context_test.go:52-62: FieldPath joins nested field names with
+    '.' — surfaced as the violation's rule_path."""
+    df = spark.createDataFrame([(1, {"hi": "x"})],
+                               "id int, m map<string,string>")
+    res = validate(df, K.object({
+        "m": K.object().keys({"hi": K.string().min(5)})}), id_cols=["id"])
+    v = res.violations.collect()[0]
+    assert v["rule_path"] == "m.hi"
+
+
+def test_context_abort_stops_with_error(spark):
+    """context_test.go:64-73: Abort records the error AND stops the
+    chain — rules after a failed check are never evaluated."""
+    s = (K.string().check(lambda c: F.lit(False), "boom")
+         .transform(lambda c: F.concat(c, F.lit("!"))))
+    rows = run_leaf(spark, s, ["v"], "string")
+    assert rows[0][1] is False
+    assert rows[0][2] == "v"               # mutation never applied
+    assert "boom" in rows[0][3]
+
+
+def test_context_skip_stops_without_error(spark):
+    """context_test.go:75-84: Skip stops the chain with NO error —
+    Optional on nil skips the rest and the row passes."""
+    s = K.string().optional().min(3)
+    rows = run_leaf(spark, s, [None], "string")
+    assert rows[0][1] is True
+    assert rows[0][3] is None
+
+
+# -- ValidateJSON / ValidateQuery semantics ---------------------------------
+
+
+def test_validate_json_semantics(spark):
+    """jio_test.go:13-35: the document-level verdicts — {"1": 10} fails
+    Number().Max(5), passes bare Number(). The malformed-JSON unmarshal
+    error has no typed-column analog (from_json yields a NULL document
+    → Required on the document is the equivalent gate). The rule-set
+    SHAPE of jio_test.go:44-50 (truthy bool + nested object + items +
+    without) compiles and validates as one plan."""
+    df = spark.createDataFrame([(1, '{"1": 10}'), (2, "{")],
+                               "id int, doc string")
+    parsed = df.withColumn("p", F.from_json("doc", "`1` int"))
+    res = validate(parsed, K.object({
+        "p": K.object().keys({"1": K.number().max(5)})}), id_cols=["id"])
+    got = {r["id"]: r["_pass"] for r in res.annotated.collect()}
+    assert got[1] is False                  # 10 > 5
+    ok = validate(parsed, K.object({
+        "p": K.object().keys({"1": K.number()})}), id_cols=["id"])
+    got = {r["id"]: r["_pass"] for r in ok.annotated.collect()}
+    assert got[1] is True
+    # malformed JSON: Spark's PERMISSIVE from_json yields a document of
+    # NULL fields (not a nil document), so the reference's unmarshal
+    # error maps to Required on the parsed FIELD rejecting the row
+    gate = validate(parsed, K.object({
+        "p": K.object().keys({"1": K.number().required()})}),
+        id_cols=["id"])
+    got = {r["id"]: r["_pass"] for r in gate.annotated.collect()}
+    assert got == {1: True, 2: False}
+    # the ValidateBody rule-set shape (jio_test.go:44-50)
+    body = spark.createDataFrame(
+        [(1, "on", "Sample Widget", [500.0, 500.0]),
+         (2, "on", "Sample Widget", [500.0])],
+        "id int, debug string, title string, size array<double>")
+    shape = K.object({
+        "debug": K.bool().truthy("on").required(),
+        "title": K.string().min(3).max(18).required(),
+        "size": K.array().items(K.number().integer()).length(2)
+                 .required(),
+    })
+    r = validate(body, shape, id_cols=["id"])
+    got = {x["id"]: x["_pass"] for x in r.annotated.collect()}
+    assert got == {1: True, 2: False}       # [500] fails Length(2)
+
+
+def test_validate_query_semantics(spark):
+    """jio_test.go:100-136: the query-string idiom — every input is a
+    string; limit '1' parses and is integral, '1.1' parses but fails
+    Integer (the 400 path)."""
+    s = K.number().parse_string().integer()
+    assert passes(spark, s, "1", "string")
+    assert not passes(spark, s, "1.1", "string")
+    assert passes(spark, K.string(), "test", "string")   # keyword
