@@ -35,8 +35,8 @@ CLIPS_CACHE = f"/tmp/jio_spark_bench/clips_{N_CLIPS}"
 
 BENCH_QUERIES = [
     "rule_number_range", "rule_when_cross_field", "violations_shape",
-    "uniqueness", "topk_window", "text_quality", "dedup_minhash_lsh",
-    "ann_bruteforce",
+    "uniqueness", "uniqueness_clustered", "topk_window", "text_quality",
+    "dedup_minhash_lsh", "dedup_minhash_capped", "ann_bruteforce",
 ]
 # dedup_ngram_jaccard stays correctness-only: the exact inverted-index
 # join degenerates on the synthetic corpus's high-frequency 2-gram
