@@ -247,8 +247,10 @@ def q_rule_bool_truthy(spark, sf):
 
 def q_rule_number_mutations(spark, sf):
     """Ceil/Floor/Round value mutations (number.go:173-185); Round is Go
-    math.Round half-away-from-zero, compiled as
-    signum*floor(abs+0.5) (SURVEY.md §2.2 row 11)."""
+    math.Round half-away-from-zero, compiled via the exact-fraction form
+    signum*(floor(abs) + [abs-floor(abs) >= 0.5]) — the floor(abs+0.5)
+    shortcut rounds up across integer boundaries when abs+0.5 is
+    unrepresentable (SURVEY.md §2.2 row 11)."""
     ev = _t(spark, sf, "events").select(
         "event_id",
         (F.col("value") - F.lit(17.5)).alias("v_ceil"),

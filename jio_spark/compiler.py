@@ -390,10 +390,12 @@ def _h_default(cc, st, path, spec, schema):
     was_null = st.cur_null()
     vt = _lit_tag(v)
     if isinstance(v, dict):
-        # Object().Default({...}) (object_test.go:86-94): F.lit has no
-        # dict support — build the literal to match the column's own
-        # map/struct type
-        vt = "struct"
+        # Object()/Any().Default({...}) (object_test.go:86-94): F.lit
+        # has no dict support — build the literal to match the column's
+        # own map/struct type. vt takes the FIELD's tag (an Any schema
+        # over a map column has vtype 'map', not 'struct') so the match
+        # check below accepts the literal we just shaped for it.
+        vt = st.vtype
         if isinstance(st.spark_type, T.MapType):
             pairs = [x for k, val in v.items()
                      for x in (F.lit(k), F.lit(val))]

@@ -123,7 +123,9 @@ def parse_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = fields
     if w <= 0 or h <= 0:
         raise ValueError("degenerate PPM dimensions")
-    if maxval > 255 or maxval <= 0:
+    if maxval <= 0:
+        raise ValueError("degenerate PPM maxval")
+    if maxval > 255:
         raise NotImplementedError("16-bit PPM not supported")
     pos += 1                                # single whitespace after maxval
     need = w * h * 3

@@ -74,6 +74,35 @@ def _merge_observed_stats(group_stats: List[Dict],
     return out
 
 
+def _part_filter(col: str, group: Sequence):
+    """Row filter for one partition group; a None member selects the
+    NULL partition explicitly (isin never matches NULL)."""
+    vals = [v for v in group if v is not None]
+    cond = F.col(col).isin(vals) if vals else F.lit(False)
+    if any(v is None for v in group):
+        cond = cond | F.col(col).isNull()
+    return cond
+
+
+def _group_key(group: Sequence) -> str:
+    """Stable manifest/observation key for a group (None-safe)."""
+    vals = [v for v in group if v is not None]
+    key = f"{min(vals)}_{max(vals)}" if vals else "none"
+    if any(v is None for v in group):
+        key += "_null"
+    return key
+
+
+def _has_hive_dirs(table_root: str, partition_col: str) -> bool:
+    """Does the table carry <col>=<value> hive directories (dir-prunable
+    by decode_check_files) — distinct from whether the METADATA listing
+    succeeded."""
+    import glob as _glob
+    import os as _os
+    return bool(_glob.glob(_os.path.join(table_root,
+                                         f"{partition_col}=*")))
+
+
 def default_clip_rules() -> ObjectSchema:
     """The jio-style rule set for the north-star clips shape
     (BASELINE.json input_hint)."""
@@ -255,20 +284,31 @@ class ClipsValidationJob:
                                           cfg.partition_col)
             hive_listed = bool(parts)
         if not parts:
-            parts = sorted(r[0] for r in
-                           df.select(cfg.partition_col).distinct()
-                             .collect())
+            raw = [r[0] for r in
+                   df.select(cfg.partition_col).distinct().collect()]
+            # NULL partition values (the very case the hive listing
+            # degrades to this fallback for): they can't sort against
+            # ints/strings and isin() never matches NULL, so None rides
+            # as an explicit last member whose filter is isNull()
+            parts = sorted(v for v in raw if v is not None)
+            if any(v is None for v in raw):
+                parts = parts + [None]
         done = manifest.completed_partitions() if (manifest and resume) \
             else set()
         todo = [p for p in parts if p not in done]
-        if table_root and not hive_listed:
+        if table_root and not hive_listed and cfg.audio_check \
+                and cfg.decode_source == "files" \
+                and not _has_hive_dirs(table_root, cfg.partition_col):
             # non-hive layout (e.g. a clip_id-sorted clustered table: the
             # partition value is a DATA column, no directories to prune):
             # run ONE full-table group. Splitting by column values would
             # make decode_check_files — which cannot dir-prune such a
             # layout — decode the ENTIRE table once per group, count the
             # same decode violations per group, and overwrite every
-            # sink partition from each group.
+            # sink partition from each group. A hive-laid-out table whose
+            # METADATA listing merely degraded (null-partition dir,
+            # unreadable catalog) keeps its normal per-group batches:
+            # decode_check_files dir-prunes it fine.
             groups = [todo] if todo else []
         else:
             groups = [todo[i:i + cfg.group_size]
@@ -284,11 +324,11 @@ class ClipsValidationJob:
         sink_lock = threading.Lock()
 
         def run_group(group):
-            gdf = df.where(F.col(cfg.partition_col).isin(group))
+            gdf = df.where(_part_filter(cfg.partition_col, group))
             obs = None
             if cfg.observe_stats:
                 from pyspark.sql import Observation
-                obs = Observation(f"stats_{min(group)}_{max(group)}")
+                obs = Observation(f"stats_{_group_key(group)}")
             viols = self.group_violations(gdf, group=group,
                                           table_root=table_root,
                                           observation=obs)
@@ -307,7 +347,7 @@ class ClipsValidationJob:
                 agg = gdf.agg(F.count(F.lit(1)).alias("rows")).collect()[0]
                 g_rows = int(agg["rows"])
             if manifest:  # marked LAST, after the group's writes → resume-safe
-                manifest.mark(f"group_{min(group)}_{max(group)}", group,
+                manifest.mark(f"group_{_group_key(group)}", group,
                               {"rows": g_rows})
             return group, g_rows, g_viols, g_stats
 

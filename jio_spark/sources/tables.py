@@ -114,13 +114,21 @@ def _unescape_hive(name: str) -> str:
     character lists as its ESCAPED form, never matches the real column
     value in the manifest's ``isin`` pruning filter, and that partition
     would validate zero rows yet be marked complete — a silent skip.
-    ``urllib.parse.unquote`` has exactly the needed semantics: decodes
-    well-formed ``%XX`` (incl. multi-byte UTF-8 runs), passes malformed
-    sequences and stray '%' through verbatim, leaves '+' alone."""
+    ``urllib.parse.unquote`` decodes well-formed ``%XX`` (incl.
+    multi-byte UTF-8 runs), passes malformed sequences and stray '%'
+    through verbatim, and leaves '+' alone — but its default
+    ``errors='replace'`` would turn an invalid-UTF-8 escape run (e.g. a
+    lone ``%FF``) into U+FFFD, a value that matches NOTHING in the
+    ``isin`` filter (the silent-skip failure again). Strict decoding
+    with a verbatim fallback keeps such names matchable when the '%'
+    was literal data."""
     if "%" not in name:
         return name
     from urllib.parse import unquote
-    return unquote(name)
+    try:
+        return unquote(name, errors="strict")
+    except UnicodeDecodeError:
+        return name
 
 
 def read_table(spark: SparkSession, location: str,

@@ -23,7 +23,7 @@ import pytest
 
 from jio_spark import K, validate
 from jio_spark.compiler import compile_ruleset
-from helpers import message, mutated, passes, run_leaf
+from helpers import mutated, passes, run_leaf
 
 
 # -- SetPriority / rule ordering (DSL level) --------------------------------
@@ -276,3 +276,11 @@ def test_validate_query_semantics(spark):
     assert passes(spark, s, "1", "string")
     assert not passes(spark, s, "1.1", "string")
     assert passes(spark, K.string(), "test", "string")   # keyword
+
+
+def test_any_default_dict_on_map_column(spark):
+    """any_test.go:57-65 with a document default: Any().Default({...})
+    over a map column substitutes on nil (the dict literal is shaped to
+    the column's own type)."""
+    assert mutated(spark, K.any().default({"a": "b"}), None,
+                   "map<string,string>") == {"a": "b"}

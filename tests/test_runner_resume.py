@@ -174,3 +174,26 @@ def test_ppm_degenerate_and_null_payloads(spark):
     dec = {r["id"]: r for r in decode_image(df, "id", "payload").collect()}
     assert not dec["1"]["ok"] and dec["1"]["error"] == "null payload"
     assert not dec["2"]["ok"] and "degenerate" in dec["2"]["error"]
+
+
+def test_null_partition_values_fallback(spark, tmp_path):
+    """A NULL in the partition column (the case the hive listing
+    deliberately degrades for): the distinct() fallback must not crash
+    sorting mixed None/int, and the NULL-partition rows must be
+    validated in their own group, not silently skipped by isin()."""
+    base = clips_frame(spark, 300, partitions=2)
+    nulled = base.withColumn(
+        "bucket_id",
+        F.when(F.col("bucket_id") == 3,
+               F.lit(None).cast("int")).otherwise(F.col("bucket_id")))
+    job = ClipsValidationJob(
+        spark, ClipsJobConfig(group_size=8, drift=False,
+                              audio_check=False),
+        codec_dim=default_codec_dim(spark))
+    m = job.run(nulled)
+    assert m["rows"] == 300                # NULL-bucket rows included
+    ref = ClipsValidationJob(
+        spark, ClipsJobConfig(group_size=8, drift=False,
+                              audio_check=False),
+        codec_dim=default_codec_dim(spark)).run(base)
+    assert m["violations"] == ref["violations"]
