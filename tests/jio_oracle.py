@@ -11,6 +11,12 @@ from typing import Any, Optional, Tuple
 
 from jio_spark.dsl import BaseSchema
 
+# Go strconv.ParseFloat decimal syntax (mirrors compiler._GO_FLOAT_NUM)
+_GO_D = r"\d+(?:_\d+)*"
+_GO_NUM = re.compile(
+    rf"^[+-]?({_GO_D}(\.(?:{_GO_D})?)?|\.{_GO_D})([eE][+-]?{_GO_D})?$")
+_GO_INF = re.compile(r"^[+-]?inf(inity)?$", re.IGNORECASE)
+
 
 def _is_number(v) -> bool:
     return isinstance(v, (int, float)) and not isinstance(v, bool)
@@ -95,10 +101,22 @@ def jio_validate(schema: BaseSchema, value: Any) -> Tuple[Optional[str], Any]:
             v = float(fl + (1 if a - fl >= 0.5 else 0)) \
                 * (1 if v >= 0 else -1)
         elif name == "parse_string":
+            # Go strconv.ParseFloat, not Python float(): no surrounding
+            # whitespace, Go-literal underscores only between digits,
+            # inf/infinity/nan forms, and ErrRange (an abort,
+            # number.go:193-197) for out-of-range magnitudes
             if isinstance(v, str):
-                try:
-                    v = float(v)
-                except ValueError:
+                if _GO_NUM.match(v):
+                    f = float(v.replace("_", ""))
+                    if math.isinf(f):
+                        return "parse_string", value   # ErrRange
+                    v = f
+                elif _GO_INF.match(v):
+                    v = float("-inf") if v.startswith("-") \
+                        else float("inf")
+                elif v.lower() == "nan":
+                    v = float("nan")
+                else:
                     return "parse_string", value
         elif name == "smin":
             if not isinstance(v, str):

@@ -47,8 +47,11 @@ def check(spark, schema, values, dtype):
         assert g_pass == (err is None), \
             f"value={val!r}: spark pass={g_pass}, oracle err={err}"
         if err is None and isinstance(o_val, float) and g_norm is not None:
-            assert math.isclose(float(g_norm), o_val, rel_tol=1e-9,
-                                abs_tol=1e-9), (val, g_norm, o_val)
+            if math.isnan(o_val):
+                assert math.isnan(float(g_norm)), (val, g_norm, o_val)
+            else:
+                assert math.isclose(float(g_norm), o_val, rel_tol=1e-9,
+                                    abs_tol=1e-9), (val, g_norm, o_val)
 
 
 @settings(**SETTINGS)
@@ -144,3 +147,43 @@ def test_regex_chain(spark, values, pattern):
     RE2∩Java∩Python shared dialect (SURVEY.md conformance corpus
     note)."""
     check(spark, K.string().regex(pattern), values, "string")
+
+
+_GOISH_CORNERS = [
+    "1_000.5", "1_000", "1e1_0", "_1", "1_", "1__0", "1_.5", "1._5",
+    "1.5_", "1e_1", "1e309", "-1e309", "1e308", "1e-400", " 1", "1 ",
+    "+inf", "-Infinity", "NaN", "nan", "INF", ".5", "5.", "+.5e-2",
+    "0x1p-3", "1e", "e1", ".", "+", "-", "", "1..2", "1e+.2",
+]
+
+goish_literals = st.one_of(
+    st.sampled_from(_GOISH_CORNERS),
+    st.text(alphabet="0123456789_.eE+- ", min_size=0, max_size=12))
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.one_of(st.none(), goish_literals),
+                min_size=1, max_size=40))
+def test_parse_string_go_syntax_differential(spark, values):
+    """Differential fuzz of the Go ParseFloat translation: random
+    digit/underscore/exponent/sign/space strings (plus a corner pool:
+    underscore placements, ErrRange magnitudes, padding, inf/nan forms,
+    hex floats) must get the same verdict and parsed value from the
+    compiled regex+cast path and the pure-Python Go-syntax oracle.
+
+    Documented exactness corners excluded: extreme underflow ('1e-400'
+    and random tiny exponents parse to 0.0 here but ErrRange in Go —
+    compiler.py documents this), so magnitude-underflow strings are
+    filtered from the random pool."""
+    def underflows(x):
+        if x is None or not any(ch.isdigit() for ch in x):
+            return False
+        try:
+            return float(x.replace("_", "")) == 0.0 \
+                and not all(c in "0.+-_eE " for c in x)
+        except ValueError:
+            return False
+    vals = [x for x in values if not underflows(x)]
+    if not vals:
+        vals = ["1"]
+    check(spark, K.number().parse_string(), vals, "string")
