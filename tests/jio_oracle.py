@@ -17,6 +17,12 @@ _GO_NUM = re.compile(
     rf"^[+-]?({_GO_D}(\.(?:{_GO_D})?)?|\.{_GO_D})([eE][+-]?{_GO_D})?$")
 _GO_INF = re.compile(r"^[+-]?inf(inity)?$", re.IGNORECASE)
 
+# the Unicode White_Space=yes set (what Go strings.TrimSpace trims)
+_GO_WHITESPACE = (
+    "\t\n\x0b\x0c\r \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008"
+    "\u2009\u200a\u2028\u2029\u202f\u205f\u3000")
+
 
 def _is_number(v) -> bool:
     return isinstance(v, (int, float)) and not isinstance(v, bool)
@@ -149,7 +155,10 @@ def jio_validate(schema: BaseSchema, value: Any) -> Tuple[Optional[str], Any]:
         elif name == "strim":
             if not isinstance(v, str):
                 return "type", value
-            v = v.strip()
+            # Go strings.TrimSpace trims the Unicode White_Space set —
+            # NOT Python str.strip(), which additionally trims the
+            # \x1c-\x1f separator controls (not White_Space in Unicode)
+            v = v.strip(_GO_WHITESPACE)
         elif name == "truthy":
             if any(v == x and type(v) is type(x) for x in p["values"]):
                 v = True

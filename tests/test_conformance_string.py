@@ -126,3 +126,15 @@ def test_when_with_priority_and_set(spark):
     rows = {r["id"]: r["name"] for r in res.normalized.collect()}
     assert rows == {1: "teenagers", 2: "adult"}
     assert all(r["_pass"] for r in res.annotated.collect())
+
+
+def test_trim_is_white_space_not_python_strip(spark):
+    """Go strings.TrimSpace == the Unicode White_Space set. Python's
+    str.strip() ALSO trims \\x1c-\\x1f (separator controls) — those are
+    NOT White_Space, so Go (and the compiled (?U)\\s) must keep them."""
+    v = "\x1ca\x1c"
+    assert mutated(spark, K.string().trim(), v, "string") == v
+    assert mutated(spark, K.string().trim(), " \x1ca ", "string") \
+        == "\x1ca"                         # outer spaces go, \x1c stays
+    assert mutated(spark, K.string().trim(), " a　",
+                   "string") == "a"        # LS / ideographic space trim

@@ -25,7 +25,8 @@ finite_doubles = st.one_of(
 
 safe_text = st.one_of(
     st.none(),
-    st.text(alphabet="abcXYZ019 _\t.é", min_size=0, max_size=12))
+    st.text(alphabet="abcXYZ019 _\t.é\xa0\u3000\u2028\x1c",
+            min_size=0, max_size=12))
 
 
 def run_chain(spark, schema, values, dtype):
@@ -77,13 +78,18 @@ def test_number_mutations(spark, values, op):
 @settings(**SETTINGS)
 @given(st.lists(safe_text, min_size=1, max_size=40),
        st.integers(0, 8), st.integers(0, 16),
-       st.sampled_from(["lowercase", "uppercase", "strim_none"]))
+       st.sampled_from(["lowercase", "uppercase", "trim", "none"]))
 def test_string_chains(spark, values, lo, hi, op):
+    """The safe_text alphabet includes NBSP / ideographic space / LS
+    (White_Space: trimmed) and \\x1c (NOT White_Space: kept) so `trim`
+    is differentially checked against the Go-exact oracle set."""
     s = K.string().min(min(lo, hi)).max(max(lo, hi))
     if op == "lowercase":
         s = s.lowercase()
     elif op == "uppercase":
         s = s.uppercase()
+    elif op == "trim":
+        s = s.trim()
     check(spark, s, values, "string")
 
 
