@@ -30,8 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .decode import DECODE_RESULT_SCHEMA, _decode_batches
+from ..sources.tables import _unescape_hive
 
 _COLUMNS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+
+#: (hive dir value, is_hive_dir) marker distinguishing "file sits under a
+#: NULL-partition hive directory" from "file has no hive directory at all"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 def list_row_group_splits(root: str,
@@ -40,7 +45,14 @@ def list_row_group_splits(root: str,
                           ) -> List[Tuple[str, int, Optional[int]]]:
     """(path, row_group, partition_value) splits for a parquet table dir.
     Metadata-only: reads footers, not data. ``partition_filter`` prunes
-    whole partition directories before any footer is touched."""
+    whole partition directories before any footer is touched.
+
+    Directory values are decoded exactly as the manifest side does
+    (sources/tables.py list_partition_values): hive ``%XX`` escapes are
+    unescaped so string values like ``a:b`` match the group's wanted set
+    (the escaped form ``a%3Ab`` matches nothing — a silent decode skip),
+    and a ``__HIVE_DEFAULT_PARTITION__`` directory maps to ``None`` so
+    the runner's explicit NULL-partition group member selects it."""
     import pyarrow.parquet as pq
     paths = sorted(glob.glob(os.path.join(root, "**", "*.parquet"),
                              recursive=True))
@@ -51,10 +63,15 @@ def list_row_group_splits(root: str,
         pval = None
         if m:
             any_hive = True
-            try:
-                pval = int(m.group(1))
-            except ValueError:
-                pval = m.group(1)
+            raw = m.group(1)
+            if raw == _HIVE_NULL:
+                pval = None
+            else:
+                raw = _unescape_hive(raw)
+                try:
+                    pval = int(raw)
+                except ValueError:
+                    pval = raw
         tagged.append((path, pval))
     # a non-hive layout (e.g. a sort-ordered/clustered table: one dir of
     # range files, partition value carried as a DATA column) cannot be
@@ -70,6 +87,25 @@ def list_row_group_splits(root: str,
         n_rg = pq.ParquetFile(path).metadata.num_row_groups
         out.extend((path, rg, pval) for rg in range(n_rg))
     return out
+
+
+def _partition_dtype(splits: Sequence[Tuple[str, int, Optional[int]]],
+                     partition_col: str) -> str:
+    """Spark SQL type for the partition column carried through the decode.
+    Hive dir values type it directly; an all-None split list (non-hive
+    layout: the value lives as a DATA column) peeks at one footer."""
+    pvals = {pv for _, _, pv in splits if pv is not None}
+    if pvals:
+        return "string" if any(isinstance(v, str) for v in pvals) else "int"
+    if splits:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        sch = pq.ParquetFile(splits[0][0]).schema_arrow
+        if partition_col in sch.names:
+            t = sch.field(partition_col).type
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                return "string"
+    return "int"
 
 
 def decode_check_files(spark: SparkSession, root: str,
@@ -89,9 +125,10 @@ def decode_check_files(spark: SparkSession, root: str,
     n_tasks = max(1, min(len(splits),
                          spark.sparkContext.defaultParallelism
                          * tasks_per_cpu))
+    ptype = _partition_dtype(splits, partition_col)
     sdf = spark.createDataFrame(
         [(p, rg, pv) for p, rg, pv in splits],
-        f"path string, rg int, {partition_col} int") \
+        f"path string, rg int, {partition_col} {ptype}") \
         .repartition(n_tasks)
 
     inner = _decode_batches(check_reference, snr_threshold,
@@ -128,5 +165,5 @@ def decode_check_files(spark: SparkSession, root: str,
                     block[partition_col] = pval
                 yield from inner(iter([block]))
 
-    schema = DECODE_RESULT_SCHEMA + f", {partition_col} int"
+    schema = DECODE_RESULT_SCHEMA + f", {partition_col} {ptype}"
     return sdf.mapInPandas(run, schema)

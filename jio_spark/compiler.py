@@ -407,6 +407,15 @@ def _h_default(cc, st, path, spec, schema):
                  else F.lit(None).cast(st.spark_type[n].dataType))
                 .alias(n) for n in names]).cast(st.spark_type)
         else:
+            # DOCUMENTED DEVIATION (pinned in test_map_custom.py): a dict
+            # default over a column that is physically neither map nor
+            # struct (e.g. K.any over a string column) fails at COMPILE
+            # time. The reference (any.go:67-74) would substitute the
+            # value and let the final type assertion fail per-row, but a
+            # Spark column cannot hold a value outside its own type — the
+            # schema-on-write mismatch is unrepresentable, so surfacing
+            # it before launching a job is strictly more useful than a
+            # guaranteed 100%-row failure.
             raise TypeError(
                 f"default({v!r}) incompatible with {st.vtype} "
                 f"field {path}")

@@ -11,11 +11,16 @@ from typing import Any, Optional, Tuple
 
 from jio_spark.dsl import BaseSchema
 
-# Go strconv.ParseFloat decimal syntax (mirrors compiler._GO_FLOAT_NUM)
+# Go strconv.ParseFloat decimal syntax (mirrors compiler._GO_FLOAT_NUM).
+# re.ASCII: Python's default \d matches non-ASCII decimal digits (e.g.
+# '١٢') that float() happily parses, while both Go strconv and the Spark
+# side's Java rlike \d are ASCII-only — without the flag the oracle would
+# accept strings the engine (correctly) rejects.
 _GO_D = r"\d+(?:_\d+)*"
 _GO_NUM = re.compile(
-    rf"^[+-]?({_GO_D}(\.(?:{_GO_D})?)?|\.{_GO_D})([eE][+-]?{_GO_D})?$")
-_GO_INF = re.compile(r"^[+-]?inf(inity)?$", re.IGNORECASE)
+    rf"^[+-]?({_GO_D}(\.(?:{_GO_D})?)?|\.{_GO_D})([eE][+-]?{_GO_D})?$",
+    re.ASCII)
+_GO_INF = re.compile(r"^[+-]?inf(inity)?$", re.IGNORECASE | re.ASCII)
 
 # the Unicode White_Space=yes set (what Go strings.TrimSpace trims)
 _GO_WHITESPACE = (

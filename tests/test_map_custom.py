@@ -64,3 +64,17 @@ def test_prepend_transform_order(spark):
     s = K.string().equal("ABC").prepend_transform(lambda c: F.upper(c))
     res = validate(df, K.object({"v": s}), id_cols=["id"])
     assert res.annotated.collect()[0]["_pass"]
+
+
+def test_dict_default_on_incompatible_column_is_compile_error(spark):
+    """Documented deviation (compiler._h_default, r3 ADVICE item 4): a
+    dict default over a column that is physically neither map nor struct
+    cannot be represented in the column's type, so it fails at COMPILE
+    time with TypeError. The reference (any.go:67-74) would substitute
+    the value and fail the row's final type assertion — a guaranteed
+    100%-row failure that Spark surfaces before launching the job."""
+    import pytest
+    df = spark.createDataFrame([("x", None)], "id string, v string")
+    with pytest.raises(TypeError, match="incompatible"):
+        validate(df, K.object({"v": K.any().default({"a": 1})}),
+                 id_cols=["id"])

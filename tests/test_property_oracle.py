@@ -160,6 +160,10 @@ _GOISH_CORNERS = [
     "1.5_", "1e_1", "1e309", "-1e309", "1e308", "1e-400", " 1", "1 ",
     "+inf", "-Infinity", "NaN", "nan", "INF", ".5", "5.", "+.5e-2",
     "0x1p-3", "1e", "e1", ".", "+", "-", "", "1..2", "1e+.2",
+    # non-ASCII decimal digits: Python's default \d matches them and
+    # float() parses them, but Go strconv and Java rlike \d are
+    # ASCII-only — the oracle compiles with re.ASCII to agree (r3 ADVICE)
+    "١٢", "1٢", "٣.5", "۴۵",
 ]
 
 goish_literals = st.one_of(

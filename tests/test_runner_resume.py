@@ -176,6 +176,78 @@ def test_ppm_degenerate_and_null_payloads(spark):
     assert not dec["2"]["ok"] and "degenerate" in dec["2"]["error"]
 
 
+def test_files_decode_string_partition_escaped(spark, tmp_path):
+    """String partition values with hive-escaped characters ('a:b' →
+    dir 'bucket_id=a%3Ab'): list_row_group_splits must unescape the dir
+    value exactly like list_partition_values does, or the group's wanted
+    set never matches and decode_check_files silently decodes ZERO files
+    for that partition while the runner marks its group complete
+    (r3 ADVICE item 1)."""
+    from jio_spark.audio.files import (decode_check_files,
+                                       list_row_group_splits)
+    base = clips_frame(spark, 120, partitions=2)
+    df = base.withColumn(
+        "bucket_id",
+        F.when(F.col("bucket_id") % 2 == 0, F.lit("a:b"))
+         .otherwise(F.lit("plain")))
+    path = str(tmp_path / "strpart")
+    df.write.partitionBy("bucket_id").parquet(path)
+
+    splits = list_row_group_splits(path, partition_filter=["a:b"])
+    assert splits and all(pv == "a:b" for _, _, pv in splits)
+    dec = decode_check_files(spark, path, partition_filter=["a:b"],
+                             check_reference=False)
+    rows = dec.collect()
+    n_ab = (spark.read.parquet(path)
+            .where(F.col("bucket_id") == "a:b").count())
+    assert len(rows) == n_ab > 0
+    # the partition value written back into the decode output is the
+    # REAL (unescaped) value, matching the violations frame's column
+    assert all(r["bucket_id"] == "a:b" for r in rows)
+
+
+def test_files_decode_null_partition(spark, tmp_path):
+    """NULL partition values land under bucket_id=__HIVE_DEFAULT_PARTITION__/;
+    the split lister must map that dir back to None so the runner's
+    explicit None group member selects it — otherwise the NULL
+    partition's clips are silently excluded from the decode check while
+    the group is marked complete (r3 ADVICE item 2)."""
+    from jio_spark.audio.files import (decode_check_files,
+                                       list_row_group_splits)
+    base = clips_frame(spark, 300, partitions=2)
+    nulled = base.withColumn(
+        "bucket_id",
+        F.when(F.col("bucket_id") == 3,
+               F.lit(None).cast("int")).otherwise(F.col("bucket_id")))
+    path = str(tmp_path / "nullpart")
+    nulled.write.partitionBy("bucket_id").parquet(path)
+    df = spark.read.parquet(path)
+    n_null = df.where(F.col("bucket_id").isNull()).count()
+    assert n_null > 0
+
+    splits = list_row_group_splits(path, partition_filter=[None])
+    assert splits and all(pv is None for _, _, pv in splits)
+    dec = decode_check_files(spark, path, partition_filter=[None],
+                             check_reference=False)
+    rows = dec.collect()
+    assert len(rows) == n_null
+    assert all(r["bucket_id"] is None for r in rows)
+
+    # end-to-end: the full job with audio_check + files decode over the
+    # null-partitioned table matches the Arrow-dataframe decode path
+    cfg = ClipsJobConfig(group_size=8, drift=False, audio_check=True,
+                         decode_source="files")
+    m = ClipsValidationJob(spark, cfg,
+                           codec_dim=default_codec_dim(spark)) \
+        .run(df, table_root=path)
+    ref = ClipsValidationJob(
+        spark, ClipsJobConfig(group_size=8, drift=False, audio_check=True,
+                              decode_source="dataframe"),
+        codec_dim=default_codec_dim(spark)).run(df)
+    assert m["rows"] == ref["rows"] == 300
+    assert m["violations"] == ref["violations"]
+
+
 def test_null_partition_values_fallback(spark, tmp_path):
     """A NULL in the partition column (the case the hive listing
     deliberately degrades for): the distinct() fallback must not crash
