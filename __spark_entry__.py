@@ -5,8 +5,12 @@
 training-data operators); ``oracle_sql()`` gives the DuckDB-equivalent
 SQL for every SQL-expressible query — names, column aliases, and value
 formatting are matched so the driver's order-insensitive value-hash
-compare succeeds. Genuinely non-SQL ops (audio decode, image decode,
-approx sketches) omit the oracle (rows-only check).
+compare succeeds. Since round 4 EVERY query carries an oracle: the
+formerly rows-only ops (audio decode/checks, image decode) ride
+VALUES-literal oracles derived by an independent numpy/pure-Python
+reimplementation of each check (tools/derive_rows_only_oracles.py,
+differential tests in tests/test_rows_only_oracles.py), and the approx
+sketches emit bound-check booleans oracled as literal TRUEs.
 
 **Why exactly 50 queries.** The round-2 driver report
 (CORRECTNESS_r02.json) contained EXACTLY the first 50 entries of the
@@ -62,7 +66,8 @@ from jio_spark.operators.dedup import (embedding_dup_pairs, exact_duplicates,
 from jio_spark.operators.referential import referential_check
 from jio_spark.operators.similarity import (brute_force_topk, ivf_topk,
                                             lsh_dup_pairs, lsh_topk)
-from jio_spark.operators.stats import column_profile_exact, column_stats
+from jio_spark.operators.stats import (column_profile_exact,
+                                       column_stats_bounds)
 from jio_spark.operators.uniqueness import uniqueness_check
 
 _WORKERS_READY = False
@@ -697,7 +702,7 @@ def q_ann_bruteforce(spark, sf):
                 "neighbor_id")
 
 
-# -- rows-only (non-SQL-expressible) ----------------------------------------
+# -- seeded-fixture queries (VALUES-literal / bounds-boolean oracles) --------
 
 
 def q_dedup_minhash_lsh(spark, sf):
@@ -755,20 +760,22 @@ def q_ann_ivf(spark, sf):
 def q_stats_profile(spark, sf):
     """Exact half of the column profile (count/nulls/null_rate/min/max/
     mean) — fully DuckDB-replicable; the approximate sketches live in
-    ``stats_profile_approx`` (rows-only by nature)."""
+    ``stats_profile_approx`` (bound-checked against exact stats)."""
     li = _t(spark, sf, "lineitem")
     return column_profile_exact(li, ["l_quantity", "l_extendedprice",
                                      "l_returnflag"])
 
 
 def q_stats_profile_approx(spark, sf):
-    """Approx half: HLL distinct + quantile sketch. Quantiles are
-    stringified (to_json) so the driver's rows-only canonicalizer can
-    sort the frame (raw array<double> cells break pandas lexsort)."""
+    """Approx half, pinned by BOUNDS (r3 VERDICT task 1): HLL distinct
+    and the percentile_approx sketch are checked against exact statistics
+    computed in the same aggregation — |approx−exact| within the sketch's
+    published error bound, emitted as per-column booleans. The booleans
+    hold at any scale factor, so the DuckDB oracle is literal TRUE rows
+    and the formerly rows-only sketches are hash-verified."""
     li = _t(spark, sf, "lineitem")
-    return column_stats(li, ["l_quantity", "l_extendedprice",
-                             "l_returnflag"]) \
-        .withColumn("quantiles", F.to_json("quantiles"))
+    return column_stats_bounds(li, ["l_quantity", "l_extendedprice",
+                                    "l_returnflag"])
 
 
 def q_audio_decode(spark, sf):
@@ -816,11 +823,18 @@ def q_audio_checks(spark, sf):
     base = snapshot(clips_frame(spark, 2000, clean=True, partitions=8),
                     specs)
     cur = snapshot(clips, specs)
+    # drift value format is chosen to be INDEPENDENTLY derivable (r3
+    # VERDICT task 1): psi_e6 = round(psi·10^6) is exact (fixed-bin
+    # histograms), while the raw KS reads off a percentile_approx sketch
+    # whose exact value no independent oracle can predict — so it is
+    # pinned as a bound boolean (true KS ≈0.013 here; sketch grid + rank
+    # error stay ≤~0.025 — 2× margin under the 0.05 bound) plus the
+    # pass verdict (thresholds 0.1/0.25, ~8× margin).
     dr = drift_check(cur, base).select(
         F.lit("drift").alias("component"),
         F.col("col_name").alias("name"),
-        F.concat_ws(":", F.round("ks", 6), F.round("psi", 6),
-                    F.col("pass")).alias("value"))
+        F.concat_ws(":", F.round(F.col("psi") * 1e6).cast("long"),
+                    F.col("ks") <= 0.05, F.col("pass")).alias("value"))
     return v.unionByName(u).unionByName(dr)
 
 
@@ -935,7 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_capped": q_dedup_ngram_capped,
-        # -- rows-only (genuinely non-SQL; cheap, seeded) -------------
+        # -- VALUES-literal / bounds oracles (seeded fixtures) --------
         "stats_profile_approx": q_stats_profile_approx,
         "audio_decode": q_audio_decode,
         "audio_checks": q_audio_checks,
@@ -1680,6 +1694,60 @@ def oracle_sql() -> dict[str, str]:
                              ' exceeded 90' END AS message
             FROM events
             WHERE value IS NULL OR value < 0 OR value > 90""",
+        # -- formerly rows-only, now hash-verified (r3 VERDICT task 1) --
+        # stats_profile_approx emits bound booleans that hold at ANY sf;
+        # the audio/multimodal queries take no sf input (fixed seeded
+        # fixtures), so their oracles are VALUES literals derived by an
+        # INDEPENDENT numpy/pure-Python reimplementation of every check:
+        # tools/derive_rows_only_oracles.py (differentially pinned in
+        # tests/test_rows_only_oracles.py).
+        "stats_profile_approx": """
+            SELECT * FROM (VALUES
+              ('l_quantity', true, true),
+              ('l_extendedprice', true, true),
+              ('l_returnflag', true, true)
+            ) AS t(col_name, distinct_ok, quantiles_ok)""",
+        "audio_decode": """
+            SELECT CAST(2000 AS BIGINT) AS clips,
+                   CAST(1991 AS BIGINT) AS decoded,
+                   CAST(11 AS BIGINT) AS sr_mismatch,
+                   CAST(60 AS BIGINT) AS bad_transcript,
+                   CAST(1988 AS BIGINT) AS snr_ok""",
+        "audio_checks": """
+            SELECT * FROM (VALUES
+              ('rule', 'clip_id/required', '2000:2000:0'),
+              ('rule', 'clip_id/regex', '2000:2000:0'),
+              ('rule', 'clip_id/type:string', '2000:2000:0'),
+              ('rule', 'sr_hz/required', '2000:2000:0'),
+              ('rule', 'sr_hz/valid', '2000:2000:0'),
+              ('rule', 'sr_hz/integer', '2000:2000:0'),
+              ('rule', 'sr_hz/type:double', '2000:2000:0'),
+              ('rule', 'dur_ms/required', '2000:2000:0'),
+              ('rule', 'dur_ms/min', '2000:2000:0'),
+              ('rule', 'dur_ms/max', '2000:2000:0'),
+              ('rule', 'dur_ms/integer', '2000:2000:0'),
+              ('rule', 'dur_ms/type:double', '2000:2000:0'),
+              ('rule', 'codec/required', '2000:2000:0'),
+              ('rule', 'codec/min', '2000:2000:0'),
+              ('rule', 'codec/type:string', '2000:2000:0'),
+              ('rule', 'transcript/min', '1989:1965:24'),
+              ('rule', 'transcript/max', '1965:1965:0'),
+              ('rule', 'transcript/type:string', '1965:1965:0'),
+              ('rule', '/type:struct', '1976:1976:0'),
+              ('uniqueness', 'clip_id', 'dup_keys=3'),
+              ('drift', 'dur_ms', '8:true:true'),
+              ('drift', 'sr_hz', '45:true:true')
+            ) AS t(component, name, value)""",
+        "multimodal": """
+            SELECT * FROM (VALUES
+              ('image/bmp', CAST(100 AS BIGINT), CAST(39000 AS BIGINT),
+               CAST(100 AS BIGINT), CAST(125.9704 AS DOUBLE)),
+              ('image/jpeg', CAST(100 AS BIGINT), CAST(5300 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)),
+              ('image/ppm', CAST(100 AS BIGINT), CAST(24564 AS BIGINT),
+               CAST(100 AS BIGINT), CAST(125.9524 AS DOUBLE))
+            ) AS t(kind, n, total_bytes, decoded, avg_mean_pixel)
+            ORDER BY kind""",
         "dedup_ngram_capped": f"""
             WITH {_SHINGLES_2},
             inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),

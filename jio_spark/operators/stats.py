@@ -112,6 +112,73 @@ def column_profile_exact(df: DataFrame,
         "min double, max double, mean double")
 
 
+def column_stats_bounds(df: DataFrame,
+                        columns: Optional[Sequence[str]] = None,
+                        quantiles: Sequence[float] = DEFAULT_QUANTILES,
+                        accuracy: int = 10000,
+                        rsd_margin: float = 4.0) -> DataFrame:
+    """Verification face of the approximate sketches: one row per column
+    with booleans asserting each sketch landed inside its published error
+    bound against the EXACT statistic computed in the same single
+    aggregation.
+
+    * ``distinct_ok`` — |approx_count_distinct − count(distinct)| ≤
+      ``rsd_margin``·rsd·exact + 2 (HLL++ default rsd = 0.05; four
+      standard deviations plus integer slack).
+    * ``quantiles_ok`` — every ``percentile_approx`` output lies between
+      the exact interpolated percentiles at p ± (1/accuracy + 3/n): the
+      sketch guarantees rank error ≤ n/accuracy but returns an ACTUAL
+      data value, so its rank can additionally sit a couple of order
+      statistics away from the interpolated exact percentile — the 3-row
+      absolute slack absorbs that at any n. Non-numeric columns have no
+      sketch — vacuously true.
+
+    The exact sides (count distinct, exact percentile) are full-shuffle /
+    full-sort operations — affordable for a verification query, never the
+    10^12-row production path (that is :func:`column_stats`). Because the
+    booleans hold at ANY scale factor, the frame is fully oracle-checkable
+    as literal TRUE rows."""
+    cols = list(columns) if columns is not None else df.columns
+    rsd = 0.05
+    qs = list(quantiles)
+    n_rows = df.count()
+    eps = 1.0 / accuracy + (3.0 / n_rows if n_rows else 0.0)
+    lo_ps = [max(0.0, p - eps) for p in qs]
+    hi_ps = [min(1.0, p + eps) for p in qs]
+    aggs: List[Column] = []
+    numeric = {c: isinstance(df.schema[c].dataType, _NUMERIC) for c in cols}
+    for c in cols:
+        col = F.col(c)
+        aggs += [F.approx_count_distinct(col).alias(f"{c}__acd"),
+                 F.count_distinct(col).alias(f"{c}__cd")]
+        if numeric[c]:
+            d = col.cast("double")
+            aggs += [
+                F.percentile_approx(d, qs, accuracy).alias(f"{c}__pa"),
+                F.percentile(d, F.array(*[F.lit(p) for p in lo_ps]))
+                 .alias(f"{c}__lo"),
+                F.percentile(d, F.array(*[F.lit(p) for p in hi_ps]))
+                 .alias(f"{c}__hi"),
+            ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    out = []
+    for c in cols:
+        acd, cd = int(row[f"{c}__acd"]), int(row[f"{c}__cd"])
+        distinct_ok = abs(acd - cd) <= rsd_margin * rsd * cd + 2
+        if numeric[c]:
+            pa, lo, hi = (row[f"{c}__pa"], row[f"{c}__lo"], row[f"{c}__hi"])
+            slack = 1e-9
+            quantiles_ok = all(
+                (l is None and h is None) or
+                (l - slack <= a <= h + slack)
+                for a, l, h in zip(pa, lo, hi))
+        else:
+            quantiles_ok = True
+        out.append((c, bool(distinct_ok), bool(quantiles_ok)))
+    return df.sparkSession.createDataFrame(
+        out, "col_name string, distinct_ok boolean, quantiles_ok boolean")
+
+
 def column_stats(df: DataFrame, columns: Optional[Sequence[str]] = None,
                  quantiles: Sequence[float] = DEFAULT_QUANTILES,
                  accuracy: int = 10000) -> DataFrame:
