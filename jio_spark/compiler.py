@@ -219,29 +219,48 @@ class CompileCtx:
         self.stages.append(batch)
         self.internal_cols.extend(batch.keys())
 
-    def ref(self, ref_path: str) -> Tuple[Column, str]:
+    def ref(self, ref_path: str) -> Tuple[Column, str, Column]:
         """Resolve a `When` refPath (dotted, from the document root —
         context.go:30-45). Fields already walked resolve to their
         *normalized* expression (mutation visibility under SetPriority,
-        string_test.go:92-111)."""
-        if ref_path in self.completed:
-            return self.completed[ref_path]
+        string_test.go:92-111).
+
+        Returns ``(col, tag, ok)``: ``ok`` is the vectorized ``ok`` of
+        ``ctx.Ref`` — false (⇒ the When is a per-row no-op,
+        schema.go:23-25) when an intermediate value on the path is nil
+        (not an object, context.go:36-38) or a map key is absent
+        (context.go:40-42). A struct field that exists in the schema is
+        always "present" (a JSON key with a null value still returns
+        ok=true from a Go map lookup); only NULL *intermediates* and
+        absent MAP keys make the ref unresolvable."""
         parts = ref_path.split(".")
         dt: T.DataType = self.root_schema
         col = None
+        ok = F.lit(True)
         for p in parts:
             if isinstance(dt, T.MapType):
                 # jio's ctx.Ref walks map documents too (context.go:
-                # 29-44); try_element_at: NULL for absent keys
+                # 29-44); try_element_at: NULL for absent keys, but the
+                # `ok` distinction between absent and present-nil is real
+                # key presence
+                ok = ok & F.coalesce(F.map_contains_key(col, F.lit(p)),
+                                     F.lit(False))
                 col = F.try_element_at(col, F.lit(p))
                 dt = dt.valueType
                 continue
             if not isinstance(dt, T.StructType) or p not in dt.fieldNames():
                 raise KeyError(
                     f"when(): refPath {ref_path!r} not found in schema")
+            if col is not None:
+                # stepping INTO a struct value: the reference requires the
+                # intermediate to be a non-nil object (context.go:36-38)
+                ok = ok & col.isNotNull()
             dt = dt[p].dataType
             col = F.col(parts[0]) if col is None else col.getField(p)
-        return col, type_tag(dt)
+        if ref_path in self.completed:
+            ccol, ctag = self.completed[ref_path]
+            return ccol, ctag, ok
+        return col, type_tag(dt), ok
 
 
 # ---------------------------------------------------------------------------
@@ -1017,7 +1036,7 @@ def _h_when(cc, st, path, spec, schema):
     condition = spec.params["condition"]
     then: BaseSchema = spec.params["then"]
     try:
-        ref_col, ref_tag = cc.ref(ref_path)
+        ref_col, ref_tag, ref_ok = cc.ref(ref_path)
     except KeyError:
         return  # Ref miss → no-op (schema.go:23-25)
 
@@ -1040,7 +1059,11 @@ def _h_when(cc, st, path, spec, schema):
             cond_ok = F.coalesce(ref_col.eqNullSafe(F.lit(condition)),
                                  F.lit(False))
 
-    gate = cc.emit("whengate", st.ev & cond_ok)
+    # per-row unresolvable ref (NULL intermediate / absent map key) makes
+    # the whole When a no-op, even for a condition schema that would pass
+    # on a nil leaf value (ok=false short-circuits at schema.go:23-25
+    # BEFORE the condition is ever evaluated)
+    gate = cc.emit("whengate", st.ev & ref_ok & cond_ok)
     # run `then` as a CONTINUATION of this field's state: the reference
     # validates the current ctx.Value (schema.go:34-36), which includes
     # earlier coercions (parse_string/truthy/default). When the `then`

@@ -256,13 +256,47 @@ def test_chained_validates_are_independent(spark):
 
 def test_driver_registry_contract():
     """The driver harness records at most a 50-entry prefix of queries()
-    (observed in round 2): the registry must stay EXACTLY 50 entries,
-    every oracle key must name a query, and the oracle-less tail must be
-    the documented rows-only set."""
+    (observed in round 2): the registry must stay EXACTLY 50 entries, and
+    since round 4 EVERY query carries a DuckDB oracle (the former
+    rows-only four got independently-derived VALUES-literal / bounds
+    oracles — tools/derive_rows_only_oracles.py)."""
     import __spark_entry__ as E
     qs, os_ = E.queries(), E.oracle_sql()
     assert len(qs) == 50
-    assert set(os_) <= set(qs)
-    rows_only = [n for n in qs if n not in os_]
-    assert sorted(rows_only) == ["audio_checks", "audio_decode",
-                                 "multimodal", "stats_profile_approx"]
+    assert set(os_) == set(qs)
+
+
+def test_when_ref_unresolvable_is_noop(spark):
+    """context.go:36-42: ctx.Ref returns ok=false — and the When becomes a
+    per-document NO-OP (schema.go:23-25) — when an intermediate on the
+    dotted path is nil (not an object) or a MAP key is absent. This
+    differs observably from a PRESENT ref holding nil: there ok=true and a
+    condition schema still validates the nil (implicit Optional ⇒ pass ⇒
+    `then` runs)."""
+    df = spark.createDataFrame(
+        [(1, None, "keep"),                       # o nil → ref unresolvable
+         (2, (None, "y"), "keep")],               # o.x present-but-nil
+        "id int, o struct<x: double, y: string>, v string")
+    schema = K.object({
+        "o": K.object(),
+        # condition K.number() passes on nil (Optional skip, no error)
+        "v": K.string().when("o.x", K.number(), K.string().set("GATED")),
+    })
+    res = validate(df, schema, id_cols=["id"])
+    got = {r["id"]: r["v"] for r in res.normalized.collect()}
+    assert got == {1: "keep", 2: "GATED"}
+
+    # absent MAP key vs present-with-value: same ok=false distinction
+    dfm = spark.createDataFrame(
+        [(1, {"other": "x"}, "keep"), (2, {"mode": None}, "keep"),
+         (3, {"mode": "on"}, "keep")],
+        "id int, m map<string,string>, v string")
+    schema_m = K.object({
+        "m": K.object(),
+        "v": K.string().when("m.mode", K.string().optional(),
+                             K.string().set("GATED")),
+    })
+    resm = validate(dfm, schema_m, id_cols=["id"])
+    gotm = {r["id"]: r["v"] for r in resm.normalized.collect()}
+    # absent key (1) → no-op; present-nil (2) and present (3) → then runs
+    assert gotm == {1: "keep", 2: "GATED", 3: "GATED"}

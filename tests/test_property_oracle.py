@@ -5,6 +5,7 @@ Each Hypothesis example is a BATCH of values packed into one DataFrame so
 a whole example costs one Spark job, keeping runtime sane."""
 
 import math
+import os
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -197,3 +198,284 @@ def test_parse_string_go_syntax_differential(spark, values):
     if not vals:
         vals = ["1"]
     check(spark, K.number().parse_string(), vals, "string")
+
+
+# ---------------------------------------------------------------------------
+# random nested schema-tree differential fuzz (round-4 VERDICT task 2)
+#
+# Each example draws a random rule TREE — Object/Keys walks (2-3 levels,
+# shuffled priorities), Array/Items multi-schema OR, When with value and
+# schema conditions against dotted root refs, mixed Required/Optional/
+# Default/Set/mutations — plus a batch of random documents, and asserts
+# the compiled engine agrees with the pure-Python reference interpreter
+# (tests/jio_oracle.py) on: the row verdict, the FIRST violation's
+# (rule_path, rule_name) in jio walk order (object.go:139-169 first-error
+# stop), and, for passing rows, every normalized output column (the
+# write-back at object.go:163-165). Reference semantics under fuzz:
+# object.go:139-169, schema.go:21-37, array.go:94-114, context.go:30-45.
+
+from pyspark.sql import functions as F
+
+from jio_oracle import jio_validate_tree
+
+TREE_SCHEMA = ("id int, a double, b string, c boolean, "
+               "o struct<x: double, y: string, z: struct<w: double, u: string>>, "
+               "arr array<double>")
+TREE_COLS = ["a", "b", "c", "o", "arr"]
+
+D_POOL = [-2.0, -1.5, -1.0, 0.0, 0.5, 1.0, 2.5, 3.0, 7.0]
+S_POOL = ["", "a", "ab", "ABC", " x ", "Zz", "abc9"]
+REGEX_POOL = [r"^a", r"[0-9]", r"^[A-Za-z]+$"]
+REF_POOL = ["a", "b", "c", "o.x", "o.y", "o.z.w"]
+
+
+def _maybe(pool):
+    return st.one_of(st.none(), st.sampled_from(pool))
+
+
+@st.composite
+def _nullness(draw, schema, allow_default=None):
+    kind = draw(st.sampled_from(
+        ["none", "req", "opt"] + (["def"] if allow_default is not None
+                                  else [])))
+    if kind == "req":
+        schema.required()
+    elif kind == "opt":
+        schema.optional()
+    elif kind == "def":
+        schema.default(draw(allow_default))
+    return schema
+
+
+@st.composite
+def _double_leaf(draw, rules=(0, 2)):
+    s = draw(_nullness(K.number(), st.sampled_from(D_POOL)))
+    for _ in range(draw(st.integers(*rules))):
+        r = draw(st.sampled_from(
+            ["min", "max", "integer", "ceil", "floor", "round",
+             "equal", "valid", "set"]))
+        if r in ("min", "max"):
+            getattr(s, r)(draw(st.sampled_from(D_POOL)))
+        elif r in ("integer", "ceil", "floor", "round"):
+            getattr(s, r)()
+        elif r == "equal":
+            s.equal(draw(st.sampled_from(D_POOL)))
+        elif r == "valid":
+            s.valid(*draw(st.lists(st.sampled_from(D_POOL), min_size=1,
+                                   max_size=3)))
+        else:
+            s.set(draw(st.sampled_from(D_POOL)))
+    return s
+
+
+@st.composite
+def _string_leaf(draw, rules=(0, 2)):
+    s = draw(_nullness(K.string(), st.sampled_from(S_POOL)))
+    for _ in range(draw(st.integers(*rules))):
+        r = draw(st.sampled_from(
+            ["min", "max", "lowercase", "uppercase", "trim", "equal",
+             "valid", "regex", "set"]))
+        if r in ("min", "max"):
+            getattr(s, r)(draw(st.integers(0, 5)))
+        elif r in ("lowercase", "uppercase", "trim"):
+            getattr(s, r)()
+        elif r == "equal":
+            s.equal(draw(st.sampled_from(S_POOL)))
+        elif r == "valid":
+            s.valid(*draw(st.lists(st.sampled_from(S_POOL), min_size=1,
+                                   max_size=3)))
+        elif r == "regex":
+            s.regex(draw(st.sampled_from(REGEX_POOL)))
+        else:
+            s.set(draw(st.sampled_from(S_POOL)))
+    return s
+
+
+@st.composite
+def _bool_leaf(draw):
+    s = draw(_nullness(K.bool(), st.booleans()))
+    r = draw(st.sampled_from(["none", "equal", "valid", "set"]))
+    if r == "equal":
+        s.equal(draw(st.booleans()))
+    elif r == "valid":
+        s.valid(draw(st.booleans()))
+    elif r == "set":
+        s.set(draw(st.booleans()))
+    return s
+
+
+@st.composite
+def _cond(draw, want_schema):
+    """A When condition: literal value or a condition schema (validated
+    against the ref in a fresh context — cross-type gives a clean fail on
+    both sides)."""
+    if not want_schema:
+        return draw(st.sampled_from(D_POOL + S_POOL + [True, False]))
+    return draw(st.sampled_from([
+        K.number().min(0.0), K.number().integer(),
+        K.number().valid(0.0, 1.0, 2.5),
+        K.string().min(1), K.string().regex("^a"),
+        K.bool().equal(True)]))
+
+
+@st.composite
+def _with_when(draw, schema, then_strategy):
+    """Maybe attach a When — `then` is a same-type chain (the engine's
+    full-fidelity path; type-changing thens are a documented deviation)."""
+    if draw(st.booleans()):
+        schema.when(draw(st.sampled_from(REF_POOL)),
+                    draw(_cond(draw(st.booleans()))),
+                    draw(then_strategy))
+    return schema
+
+
+@st.composite
+def _object_z(draw):
+    children = {}
+    if draw(st.booleans()):
+        children["w"] = draw(_double_leaf()).set_priority(
+            draw(st.integers(-1, 1)))
+    if draw(st.booleans()):
+        children["u"] = draw(_string_leaf())
+    s = draw(_nullness(K.object(), None))
+    if children:
+        s.keys(children)
+    return s
+
+
+@st.composite
+def _object_o(draw):
+    children = {}
+    if draw(st.booleans()):
+        children["x"] = draw(_with_when(
+            draw(_double_leaf()).set_priority(draw(st.integers(-1, 1))),
+            _double_leaf(rules=(1, 2))))
+    if draw(st.booleans()):
+        children["y"] = draw(_string_leaf()).set_priority(
+            draw(st.integers(-1, 1)))
+    if draw(st.booleans()):
+        children["z"] = draw(_object_z())
+    defaults = st.sampled_from([{"x": 1.0}, {"x": 0.0, "y": "a"}, {}])
+    s = draw(_nullness(K.object(), defaults))
+    if children:
+        s.keys(children)
+    kind = draw(st.sampled_from(["none", "with", "without"]))
+    if kind == "with":
+        s.with_keys(*draw(st.lists(st.sampled_from(["x", "y", "z"]),
+                                   min_size=1, max_size=2, unique=True)))
+    elif kind == "without":
+        s.without_keys(draw(st.sampled_from(["x", "y", "z"])))
+    return s
+
+
+@st.composite
+def _array_leaf(draw):
+    s = draw(_nullness(K.array(), None))
+    kinds = draw(st.lists(st.sampled_from(["items", "min", "max", "length"]),
+                          min_size=0, max_size=2, unique=True))
+    for r in kinds:
+        if r == "items":
+            n = draw(st.integers(1, 2))
+            pool = st.sampled_from([
+                K.number().min(0.0), K.number().integer(),
+                K.number().valid(*D_POOL[:4]), K.string()])
+            s.items(*[draw(pool) for _ in range(n)])
+        else:
+            getattr(s, r)(draw(st.integers(0, 4)))
+    return s
+
+
+@st.composite
+def _tree(draw):
+    tree = {
+        "a": draw(_with_when(
+            draw(_double_leaf()).set_priority(draw(st.integers(-1, 1))),
+            _double_leaf(rules=(1, 2)))),
+        "b": draw(_with_when(
+            draw(_string_leaf()).set_priority(draw(st.integers(-1, 1))),
+            _string_leaf(rules=(1, 2)))),
+        "c": draw(_bool_leaf()),
+        "o": draw(_object_o()).set_priority(draw(st.integers(-1, 1))),
+        "arr": draw(_array_leaf()),
+    }
+    return tree
+
+
+@st.composite
+def _doc(draw):
+    z = draw(st.one_of(st.none(), st.fixed_dictionaries(
+        {"w": _maybe(D_POOL), "u": _maybe(S_POOL)})))
+    o = draw(st.one_of(st.none(), st.fixed_dictionaries(
+        {"x": _maybe(D_POOL), "y": _maybe(S_POOL), "z": st.just(z)})))
+    arr = draw(st.one_of(st.none(), st.lists(_maybe(D_POOL), max_size=4)))
+    return {"a": draw(_maybe(D_POOL)), "b": draw(_maybe(S_POOL)),
+            "c": draw(_maybe([True, False])), "o": o, "arr": arr}
+
+
+def _to_row(i, d):
+    z = None if d["o"] is None or d["o"]["z"] is None \
+        else (d["o"]["z"]["w"], d["o"]["z"]["u"])
+    o = None if d["o"] is None else (d["o"]["x"], d["o"]["y"], z)
+    return (i, d["a"], d["b"], d["c"], o, d["arr"])
+
+
+def _eq_val(got, want):
+    if got is None or want is None:
+        return got is None and want is None
+    if isinstance(want, float):
+        if not isinstance(got, (int, float)):
+            return False
+        if math.isnan(want):
+            return math.isnan(got)
+        return math.isclose(float(got), want, rel_tol=1e-9, abs_tol=1e-9)
+    if isinstance(want, dict):
+        if not isinstance(got, dict):
+            return False
+        keys = set(got) | set(want)
+        return all(_eq_val(got.get(k), want.get(k)) for k in keys)
+    if isinstance(want, list):
+        return (isinstance(got, list) and len(got) == len(want)
+                and all(_eq_val(g, w) for g, w in zip(got, want)))
+    return got == want and isinstance(got, bool) == isinstance(want, bool)
+
+
+# Default 25 examples keeps the suite fast (~2.4 s/example, compile-bound);
+# the round-4 evidence run uses JIO_FUZZ_EXAMPLES=200 (green, see commit).
+_FUZZ_EXAMPLES = int(os.environ.get("JIO_FUZZ_EXAMPLES", "25"))
+
+
+@settings(max_examples=_FUZZ_EXAMPLES, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture,
+                                 HealthCheck.data_too_large])
+@given(data=st.data())
+def test_schema_tree_differential(spark, data):
+    tree = data.draw(_tree())
+    docs = data.draw(st.lists(_doc(), min_size=6, max_size=12))
+    from jio_spark import validate
+    df = spark.createDataFrame(
+        [_to_row(i, d) for i, d in enumerate(docs)], TREE_SCHEMA)
+    res = validate(df, dict(tree), id_cols=["id"])
+    first = F.try_element_at(res.compiled.violations_array, F.lit(1))
+    sel = [F.col("id"), res.compiled.row_pass.alias("_p"),
+           first["rule_path"].alias("_fp"), first["rule_name"].alias("_fn")]
+    sel += [res.compiled.normalized.get(c, F.col(c)).alias(f"_n_{c}")
+            for c in TREE_COLS]
+    rows = res.prepared.select(*sel).orderBy("id").collect()
+
+    for d, row in zip(docs, rows):
+        err, norm = jio_validate_tree(dict(tree), d)
+        assert row["_p"] == (err is None), \
+            f"doc={d!r}: spark pass={row['_p']}, oracle err={err}"
+        if err is not None:
+            assert (row["_fp"], row["_fn"]) == err, \
+                f"doc={d!r}: spark first=({row['_fp']},{row['_fn']}), " \
+                f"oracle first={err}"
+        else:
+            for c in TREE_COLS:
+                got = row[f"_n_{c}"]
+                if hasattr(got, "asDict"):
+                    got = got.asDict(recursive=True)
+                assert _eq_val(got, norm[c]), \
+                    f"doc={d!r} col={c}: spark norm={got!r}, " \
+                    f"oracle norm={norm[c]!r}"

@@ -120,3 +120,61 @@ def test_stateful_violation_counts(spark, tmp_path):
         assert latest == {"a": (2, 3), "b": (1, 2)}
     finally:
         q.stop()
+
+
+def test_rates_watermark_drops_late_rows(spark, tmp_path):
+    """Multi-microbatch watermark semantics of the rates ledger
+    (validate_stream's windowed pass/fail counts): an out-of-order event
+    arriving AFTER the watermark passed its window must be dropped — the
+    closed window's counts stay at the on-time rows — while windows
+    still ahead of the watermark never emit in append mode."""
+    src = str(tmp_path / "late_in")
+    os.makedirs(src)
+    schema_str = "id int, qty double, ts string"
+
+    def batch(rows):
+        (spark.createDataFrame(rows, schema_str)
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .write.parquet(src, mode="append"))
+
+    # b1: two on-time rows in window [00:00,00:01) (one failing) plus a
+    # row at 00:05 that advances the watermark to 00:04:30
+    batch([(1, 10.0, "2024-01-01 00:00:10"),
+           (2, 99.0, "2024-01-01 00:00:40"),
+           (3, 20.0, "2024-01-01 00:05:00")])
+    ts_schema = (spark.read.parquet(src)).schema
+    stream = spark.readStream.schema(ts_schema).parquet(src)
+    outs = validate_stream(
+        stream, K.object({"qty": K.number().required().max(50)}),
+        id_cols=["id"], ts_col="ts", watermark="30 seconds",
+        window="1 minute")
+    q = (outs["rates"].writeStream.format("memory")
+         .queryName("late_rates").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # b2: a LATE row for the already-closed [00:00,00:01) window
+        # (event time far behind the 00:04:30 watermark) + an advancer
+        batch([(4, 99.0, "2024-01-01 00:00:50"),
+               (5, 30.0, "2024-01-01 00:10:00")])
+        q.processAllAvailable()
+        # b3: flush — advances the watermark past [00:05,00:06)
+        batch([(6, 40.0, "2024-01-01 00:20:00")])
+        q.processAllAvailable()
+        got = {str(r["window_start"]): (r["rows"], r["failed"])
+               for r in spark.sql("select * from late_rates").collect()}
+        # closed window: ONLY the two on-time rows — the late id=4 row
+        # (which would have made rows=3, failed=2) was dropped
+        assert got["2024-01-01 00:00:00"] == (2, 1)
+        assert got["2024-01-01 00:05:00"] == (1, 0)
+        # b3's 00:20:00 event advanced the watermark to 00:19:30,
+        # legitimately closing [00:10,00:11) too
+        assert got["2024-01-01 00:10:00"] == (1, 0)
+        # the newest window is still ahead of the watermark: never emitted
+        assert "2024-01-01 00:20:00" not in got
+        # and no window emitted twice (append-mode finality)
+        rows = spark.sql(
+            "select count(*) c, count(distinct window_start) d "
+            "from late_rates").collect()[0]
+        assert rows["c"] == rows["d"]
+    finally:
+        q.stop()

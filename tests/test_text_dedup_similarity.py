@@ -334,3 +334,61 @@ def test_bmp_ppm_roundtrip_property():
         assert np.array_equal(parse_ppm(synth_ppm(seed, h, w)), exp)
 
     check()
+
+
+@pytest.fixture(scope="module")
+def collision_corpus(spark):
+    """Deterministic corpus sized so band collisions are likely in BOTH
+    hash modes: 60 base docs (~40 words from a 50-word vocab), 15 exact
+    duplicates, 10 one-word-changed near-dups (shingle Jaccard ≈ 0.87 →
+    per-mode LSH recall ≈ 1-7e-6 at b=16,r=4). Ground truth has no
+    borderline pairs, so the md5 and xxhash64 pair sets must coincide."""
+    rng = np.random.RandomState(42)
+    vocab = [f"w{i:02d}" for i in range(50)]
+    rows = []
+    for i in range(60):
+        words = [vocab[j] for j in rng.randint(0, 50, size=40)]
+        rows.append((i, " ".join(words)))
+        if i < 15:
+            rows.append((100 + i, " ".join(words)))          # exact dup
+        if 20 <= i < 30:
+            near = list(words)
+            near[17] = "changed"
+            rows.append((200 + i, " ".join(near)))           # near dup
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_minhash_mode_pair_sets_agree(spark, collision_corpus):
+    """round-4 VERDICT #4: the bench/prod default (hash_mode='xxhash64')
+    is never oracle-checked directly (DuckDB cannot replay xxhash64);
+    pin that its PAIR SET — ids and exact verified Jaccard — equals the
+    md5 mode's (which the DuckDB oracle does replay), so the fast path
+    inherits the slow path's oracle evidence."""
+    kw = dict(threshold=0.5, n=3, bands=16, rows_per_band=4)
+    md5 = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in minhash_lsh_pairs(collision_corpus, hash_mode="md5",
+                                      **kw).collect()}
+    xxh = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in minhash_lsh_pairs(collision_corpus,
+                                      hash_mode="xxhash64", **kw).collect()}
+    assert set(md5) == set(xxh)
+    assert md5 == xxh                      # verified Jaccard identical too
+    # ground-truth spot checks: every exact dup and near dup present
+    assert all((i, 100 + i) in md5 for i in range(15))
+    assert all((i, 200 + i) in md5 for i in range(20, 30))
+
+
+def test_simhash_mode_pair_sets_agree(spark, collision_corpus):
+    """SimHash analog of the mode-equivalence pin. Hamming DISTANCES are
+    family-specific (the one-word-changed near-dups measure anywhere from
+    1 to 10 depending on the hash family — verified), so the assertion
+    runs on the unambiguous subset: exact dups at distance 0 in every
+    family, unrelated docs at ~32. Both modes must emit exactly the
+    15 exact-dup pairs there."""
+    corpus = collision_corpus.where(F.col("doc_id") < 200)
+    expected = {(i, 100 + i) for i in range(15)}
+    for mode in ("md5", "xxhash64"):
+        got = {(r["id_a"], r["id_b"])
+               for r in simhash_pairs(corpus, max_hamming=3, n=3,
+                                      hash_mode=mode).collect()}
+        assert got == expected, mode
