@@ -359,8 +359,11 @@ class ClipsValidationJob:
             uv = uniqueness_check(df, "clip_id",
                                   layout=cfg.uniqueness_layout)
             if sink:
+                # overwrite, not append: a crash between this write and
+                # the step's manifest mark must not duplicate rows when
+                # the resumed run re-executes the step
                 with sink_lock:
-                    sink.append(uv, "uniqueness_violations", None)
+                    sink.overwrite(uv, "uniqueness_violations")
             n = uv.count()
             if manifest:
                 manifest.mark(uniq_key, [], {"violations": n})
@@ -424,8 +427,12 @@ class ClipsValidationJob:
             "rows_per_sec": rows_processed / wall if wall > 0 else None,
         }
         if sink:
+            # keep the run-start lineage keys — the final write replaces
+            # run.json wholesale
             sink.write_run_metadata({
                 "ruleset": ruleset_fingerprint(cfg.rules),
+                "partition_col": cfg.partition_col,
+                "audio_check": cfg.audio_check,
                 "metrics": {k: v for k, v in metrics.items()
                             if k != "drift"},
             })

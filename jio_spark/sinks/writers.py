@@ -121,6 +121,14 @@ class RunSink:
             w = w.partitionBy(partition_col)
         w.parquet(self.path(name))
 
+    def overwrite(self, df: DataFrame, name: str) -> None:
+        """Full overwrite for GLOBAL-step outputs (uniqueness, drift):
+        the whole directory belongs to one resume-step, so rewriting it
+        is idempotent under crash-resume — an append here would duplicate
+        rows when the crash lands between the write and the step's
+        manifest mark."""
+        df.write.mode("overwrite").parquet(self.path(name))
+
     def overwrite_partitions(self, df: DataFrame, name: str,
                              partition_col: str = "bucket_id") -> None:
         """Dynamic partition overwrite: a resumed run can safely rewrite a

@@ -359,3 +359,115 @@ def test_files_decode_random_partition_layout_fuzz(spark, tmp_path):
              f"extra {list((got - want).keys())[:3]}")
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# Property: crash-resume ends at the SAME outputs as an uninterrupted run,
+# for a RANDOM kill point. The targeted tests above delete manifest
+# records by hand; this fuzz injects a real crash at the k-th manifest
+# mark — either just BEFORE the mark lands (outputs written, group
+# unmarked: the half-written-group case the dynamic partition overwrite
+# and the global-step full overwrite exist for) or just AFTER (marked:
+# resume must skip it) — then resumes and asserts exact output-multiset
+# equality. The before-mark kill at the uniqueness step is the case that
+# caught the append→duplicate bug fixed alongside this test
+# (runner.py run_uniqueness: sink.append → sink.overwrite).
+# ---------------------------------------------------------------------------
+
+def test_resume_random_killpoint_fuzz(spark, clips_path, tmp_path):
+    from collections import Counter
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    df = spark.read.parquet(clips_path)
+
+    # expected outputs, computed once from one uninterrupted sinked run
+    # (independent of group_size: violations are per (clip, rule))
+    ref_out = str(tmp_path / "ref")
+    ClipsValidationJob(
+        spark, ClipsJobConfig(group_size=16, audio_check=False,
+                              drift=False),
+        codec_dim=default_codec_dim(spark)).run(df, output_root=ref_out)
+    want_viols = Counter(
+        tuple(r) for r in spark.read.parquet(
+            os.path.join(ref_out, "violations"))
+        .select("clip_id", "rule_path", "rule_name", "bucket_id")
+        .collect())
+    want_uniq = Counter(
+        tuple(r) for r in spark.read.parquet(
+            os.path.join(ref_out, "uniqueness_violations")).collect())
+    assert want_viols and want_uniq     # fixture injects both kinds
+
+    counter = [0]
+    n_examples = int(os.environ.get("JIO_KILL_FUZZ_EXAMPLES", "8"))
+
+    @settings(max_examples=n_examples, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture,
+                                     HealthCheck.data_too_large])
+    @given(data=st.data())
+    def run(data):
+        group_size = data.draw(st.sampled_from([3, 4, 5, 7, 16]))
+        n_groups = -(-16 // group_size)
+        # mark calls = n_groups group marks + 1 uniqueness mark
+        kill_at = data.draw(st.integers(1, n_groups + 1))
+        kill_before = data.draw(st.booleans())
+
+        counter[0] += 1
+        out = str(tmp_path / f"kill_{counter[0]}")
+        cfg = ClipsJobConfig(group_size=group_size, audio_check=False,
+                             drift=False)
+        job = ClipsValidationJob(spark, cfg,
+                                 codec_dim=default_codec_dim(spark))
+
+        calls = [0]
+        orig_mark = Manifest.mark
+
+        def crashing_mark(self, group_key, partitions, metrics=None):
+            calls[0] += 1
+            if calls[0] == kill_at:
+                if kill_before:
+                    raise RuntimeError("injected crash before mark")
+                orig_mark(self, group_key, partitions, metrics)
+                raise RuntimeError("injected crash after mark")
+            orig_mark(self, group_key, partitions, metrics)
+
+        Manifest.mark = crashing_mark
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                job.run(df, output_root=out)
+        finally:
+            Manifest.mark = orig_mark
+
+        # the crashed run marked every group BEFORE the kill point, plus
+        # the kill-point step itself iff the crash landed after its mark
+        manifest = Manifest(out)
+        marked_groups = sum(1 for k in manifest.completed()
+                            if k.startswith("group_"))
+        survived = kill_at - 1 + (0 if kill_before else 1)
+        group_survived = min(survived, n_groups)
+        assert marked_groups == group_survived
+
+        m2 = job.run(df, output_root=out, resume=True)
+        assert m2["groups_run"] == n_groups - group_survived
+
+        got_viols = Counter(
+            tuple(r) for r in spark.read.parquet(
+                os.path.join(out, "violations"))
+            .select("clip_id", "rule_path", "rule_name", "bucket_id")
+            .collect())
+        got_uniq = Counter(
+            tuple(r) for r in spark.read.parquet(
+                os.path.join(out, "uniqueness_violations")).collect())
+        assert got_viols == want_viols, \
+            (f"group_size={group_size} kill_at={kill_at} "
+             f"before={kill_before}: violations diverge — "
+             f"missing {list((want_viols - got_viols).keys())[:3]}, "
+             f"extra {list((got_viols - want_viols).keys())[:3]}")
+        assert got_uniq == want_uniq, \
+            (f"group_size={group_size} kill_at={kill_at} "
+             f"before={kill_before}: uniqueness rows diverge "
+             f"(extra = the append-duplication bug)")
+        assert manifest.completed_partitions() == set(range(16))
+        assert "_global_uniqueness" in manifest.completed()
+
+    run()
