@@ -307,16 +307,26 @@ def _validate(schema: BaseSchema, value: Any, path: str,
                     return (path, "items"), True, v
 
         # -- objects ------------------------------------------------------
+        # presence semantics follow the COLUMN, as in the compiler
+        # (_presence, compiler.py): a struct field is "present" when not
+        # NULL (FIXTURES.md §4), a MAP key when it really exists —
+        # including key-present-with-null. The oracle can't see Spark
+        # types, so map-backed object schemas carry a `_map_doc` marker
+        # (set by the fuzz strategies).
         elif name == "with":
             if not isinstance(v, dict):
                 return (path, "with"), True, v
+            is_map = getattr(schema, "_map_doc", False)
             for k in p["keys"]:
-                if v.get(k) is None:  # struct presence = not-NULL
+                absent = (k not in v) if is_map else (v.get(k) is None)
+                if absent:
                     return (path, "with"), True, v
         elif name == "without":
             if not isinstance(v, dict):
                 return (path, "without"), True, v
-            if any(v.get(k) is not None for k in p["keys"]):
+            is_map = getattr(schema, "_map_doc", False)
+            if any(((k in v) if is_map else (v.get(k) is not None))
+                   for k in p["keys"]):
                 return (path, "without"), True, v
         elif name == "keys":
             # the object walk (object.go:139-169): children in priority
@@ -329,7 +339,11 @@ def _validate(schema: BaseSchema, value: Any, path: str,
                 cerr, cskip, cnew = _validate(child, v.get(key), cpath, root)
                 if cerr is not None:
                     return cerr, True, v
-                if not cskip:
+                # map-backed documents: the compiler cannot write a
+                # mutated value back into a typed map column (documented
+                # in _h_keys' MapType branch), so the oracle must not
+                # either — presence for later With/Without stays original
+                if not cskip and not getattr(schema, "_map_doc", False):
                     v[key] = cnew
         else:
             raise NotImplementedError(name)

@@ -78,3 +78,42 @@ def test_dict_default_on_incompatible_column_is_compile_error(spark):
     with pytest.raises(TypeError, match="incompatible"):
         validate(df, K.object({"v": K.any().default({"a": 1})}),
                  id_cols=["id"])
+
+
+def test_when_ref_sees_normalized_map_child(spark):
+    """ctx stores the mutated value after a Keys walk (object.go:163-165),
+    so a later When-ref through the walked key must see the NORMALIZED
+    value — matching the reference, where the ref and the map share the
+    mutated storage. Row 1's trimmed "strict" fires the When (the raw
+    " strict " would not) and v fails min(5)."""
+    df = spark.createDataFrame(
+        [(1, {"mode": " strict "}, "ab"), (2, {"mode": "lax"}, "ab")],
+        "id int, m map<string,string>, v string")
+    schema = K.object({
+        "m": K.object().keys({"mode": K.string().trim()}),
+        "v": K.string().when("m.mode", "strict", K.string().min(5)),
+    })
+    res = validate(df, schema, id_cols=["id"])
+    got = {r["id"]: r["_pass"] for r in res.annotated.collect()}
+    assert got == {1: False, 2: True}
+    v1 = res.violations.collect()[0]
+    assert (v1["rule_path"], v1["rule_name"]) == ("v", "min")
+
+
+def test_map_presence_reads_original_after_child_default(spark):
+    """DOCUMENTED DEVIATION (compiler._h_keys MapType branch): a child
+    Default lands in ctx (When-ref visible, see above) but cannot be
+    written back into a typed map column, so a later With still reads
+    the ORIGINAL map and fails on the absent key. The reference writes
+    the default into the Go map and its With would pass — the divergence
+    is confined to presence-after-mutation on map documents and is the
+    reason the tree fuzz's map arm disables oracle write-back."""
+    df = spark.createDataFrame([(1, {"k1": "a"})], "id int, m map<string,string>")
+    schema = K.object({
+        "m": K.object().keys({"k2": K.string().default("x")}).with_keys("k2"),
+    })
+    res = validate(df, schema, id_cols=["id"])
+    assert not res.annotated.collect()[0]["_pass"]
+    v = res.violations.collect()[0]
+    assert (v["rule_path"], v["rule_name"]) == ("m", "with")
+    assert v["message"] == "field `m` not contains k2"

@@ -220,8 +220,12 @@ from jio_oracle import jio_validate_tree
 
 TREE_SCHEMA = ("id int, a double, b string, c boolean, "
                "o struct<x: double, y: string, z: struct<w: double, u: string>>, "
-               "arr array<double>")
+               "arr array<double>, m map<string,string>")
+# normalized compare covers every column EXCEPT the map: write-back into
+# a typed map column is not representable (documented in _h_keys'
+# MapType branch), so `m` participates in verdict/first-error checks only
 TREE_COLS = ["a", "b", "c", "o", "arr"]
+MKEYS = ["k1", "k2"]
 
 D_POOL = [-2.0, -1.5, -1.0, 0.0, 0.5, 1.0, 2.5, 3.0, 7.0]
 S_POOL = ["", "a", "ab", "ABC", " x ", "Zz", "abc9"]
@@ -369,6 +373,36 @@ def _object_o(draw):
 
 
 @st.composite
+def _map_leaf(draw):
+    """A map-backed object schema (free-form document, SURVEY §1.2):
+    With/Without on REAL key presence (incl. key-present-with-null),
+    Keys walking string children with priorities, map-level nullness
+    with dict defaults. `_map_doc` tells the oracle to use map presence
+    semantics and to skip write-back (the compiler's documented MapType
+    deviation). When-refs into the map are excluded here: the compiler
+    resolves them through the normalized `completed` values while
+    presence reads the original map — pinned deterministically in
+    test_map_custom.py, not fuzzable against a single-doc oracle."""
+    s = draw(_nullness(K.object(), st.sampled_from(
+        [{"k1": "a"}, {"k1": "a", "k2": "Zz"}])))
+    s._map_doc = True
+    kind = draw(st.sampled_from(["none", "with", "without"]))
+    if kind == "with":
+        s.with_keys(*draw(st.lists(st.sampled_from(MKEYS + ["k3"]),
+                                   min_size=1, max_size=2, unique=True)))
+    elif kind == "without":
+        s.without_keys(draw(st.sampled_from(MKEYS + ["k3"])))
+    children = {}
+    for k in MKEYS:
+        if draw(st.booleans()):
+            children[k] = draw(_string_leaf()).set_priority(
+                draw(st.integers(-1, 1)))
+    if children:
+        s.keys(children)
+    return s
+
+
+@st.composite
 def _array_leaf(draw):
     s = draw(_nullness(K.array(), None))
     kinds = draw(st.lists(st.sampled_from(["items", "min", "max", "length"]),
@@ -397,6 +431,7 @@ def _tree(draw):
         "c": draw(_bool_leaf()),
         "o": draw(_object_o()).set_priority(draw(st.integers(-1, 1))),
         "arr": draw(_array_leaf()),
+        "m": draw(_map_leaf()).set_priority(draw(st.integers(-1, 1))),
     }
     return tree
 
@@ -408,15 +443,21 @@ def _doc(draw):
     o = draw(st.one_of(st.none(), st.fixed_dictionaries(
         {"x": _maybe(D_POOL), "y": _maybe(S_POOL), "z": st.just(z)})))
     arr = draw(st.one_of(st.none(), st.lists(_maybe(D_POOL), max_size=4)))
+    # map docs: random key subsets, values possibly None — the
+    # key-present-with-null case that distinguishes map presence from
+    # struct presence
+    m = draw(st.one_of(st.none(), st.dictionaries(
+        st.sampled_from(MKEYS), st.one_of(st.none(), st.sampled_from(S_POOL)),
+        max_size=2)))
     return {"a": draw(_maybe(D_POOL)), "b": draw(_maybe(S_POOL)),
-            "c": draw(_maybe([True, False])), "o": o, "arr": arr}
+            "c": draw(_maybe([True, False])), "o": o, "arr": arr, "m": m}
 
 
 def _to_row(i, d):
     z = None if d["o"] is None or d["o"]["z"] is None \
         else (d["o"]["z"]["w"], d["o"]["z"]["u"])
     o = None if d["o"] is None else (d["o"]["x"], d["o"]["y"], z)
-    return (i, d["a"], d["b"], d["c"], o, d["arr"])
+    return (i, d["a"], d["b"], d["c"], o, d["arr"], d["m"])
 
 
 def _eq_val(got, want):
