@@ -137,6 +137,10 @@ class ClipsJobConfig:
     check_reference: bool = True      # SNR + transcript vs synth oracle
     snr_threshold: float = 30.0
     uniqueness_layout: str = "any"    # clips parquet isn't key-clustered
+    #: storage format behind ``table_root`` — drives metadata-only
+    #: partition discovery (hive dir listing vs Iceberg .partitions) and
+    #: gates the payload-local 'files' decode (parquet row-group reads)
+    table_format: str = "parquet"
     #: 'dataframe' ships payloads through Arrow batches; 'files' reads the
     #: payload column straight from parquet row groups in the workers
     #: (payload-local — see audio/files.py; needs table_root in run())
@@ -226,7 +230,11 @@ class ClipsValidationJob:
                          self.cfg.partition_col))
 
         if self.cfg.audio_check:
-            if self.cfg.decode_source == "files" and table_root:
+            # payload-local decode reads parquet row groups straight off
+            # the filesystem — an Iceberg table_root is a catalog name,
+            # not a listable directory, so it stays on the Arrow path
+            if self.cfg.decode_source == "files" and table_root \
+                    and self.cfg.table_format == "parquet":
                 dec = decode_check_files(
                     self.spark, table_root,
                     check_reference=self.cfg.check_reference,
@@ -281,7 +289,8 @@ class ClipsValidationJob:
         if table_root:
             from .sources.tables import list_partition_values
             parts = list_partition_values(self.spark, table_root,
-                                          cfg.partition_col)
+                                          cfg.partition_col,
+                                          fmt=cfg.table_format)
             hive_listed = bool(parts)
         if not parts:
             raw = [r[0] for r in
@@ -298,6 +307,7 @@ class ClipsValidationJob:
         todo = [p for p in parts if p not in done]
         if table_root and not hive_listed and cfg.audio_check \
                 and cfg.decode_source == "files" \
+                and cfg.table_format == "parquet" \
                 and not _has_hive_dirs(table_root, cfg.partition_col):
             # non-hive layout (e.g. a clip_id-sorted clustered table: the
             # partition value is a DATA column, no directories to prune):

@@ -36,6 +36,12 @@ def main(argv=None):
     ap.add_argument("--baseline", default=None,
                     help="drift baseline snapshot parquet")
     ap.add_argument("--group-size", type=int, default=8)
+    ap.add_argument("--decode-source", default="dataframe",
+                    choices=["dataframe", "files"],
+                    help="'files' = payload-local decode: workers read the "
+                         "bytes column straight from parquet row groups "
+                         "instead of shipping payloads through a shuffle "
+                         "(parquet tables only; the measured-fast path)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -52,11 +58,18 @@ def main(argv=None):
     cfg = ClipsJobConfig(group_size=args.group_size,
                          audio_check=not args.no_audio,
                          check_reference=not args.no_reference,
+                         decode_source=args.decode_source,
+                         table_format=args.format,
                          drift=baseline is not None)
     job = ClipsValidationJob(spark, cfg,
                              codec_dim=default_codec_dim(spark),
                              baseline_snapshot=baseline)
-    metrics = job.run(df, output_root=args.output, resume=args.resume)
+    # table_root enables metadata-only partition discovery (hive dir /
+    # Iceberg .partitions listing — never a distinct() table scan) and
+    # payload-local decode; args.input spans the full table per run()'s
+    # contract (this entry point reads df from it directly above)
+    metrics = job.run(df, output_root=args.output, resume=args.resume,
+                      table_root=args.input)
     print(json.dumps({k: v for k, v in metrics.items() if k != "drift"}))
     spark.stop()
 
