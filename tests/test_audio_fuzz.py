@@ -1,0 +1,87 @@
+"""Hostile-payload fuzz for the audio parse/check kernels (no Spark).
+
+The Arrow decode UDF's crash surface is ``parse_wav`` + ``snr_db_vs_period``
+(decode.py catches exactly ``(ValueError, TypeError)`` around the parse, so
+any OTHER exception type — struct.error, IndexError, ZeroDivisionError —
+would kill the whole Spark task instead of producing one violation row).
+These fuzzers pin that contract: for ANY byte string, parse_wav either
+returns a valid (samples, sr, codec) triple or raises ValueError/TypeError,
+and every successfully-parsed corruption flows through the fused SNR kernel
+to a plain float. Mirrors the reference's per-value error discipline
+(/root/reference/error.go:9-31: every failure is a reported error, never a
+panic)."""
+
+import struct
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from jio_spark.audio.codecs import (ENCODERS, parse_wav, snr_db_vs_period,
+                                    synth_wave)
+
+FUZZ = dict(deadline=None, max_examples=300)
+CODECS = sorted(ENCODERS)
+
+
+def _assert_parse_contract(raw):
+    """parse_wav(raw) is total: valid triple or ValueError/TypeError."""
+    try:
+        coded, sr, codec = parse_wav(bytes(raw))
+    except (ValueError, TypeError):
+        return None
+    assert isinstance(coded, np.ndarray) and coded.ndim == 1
+    assert codec in {"pcm_s16le", "ulaw", "alaw"}
+    assert isinstance(sr, int) and sr >= 0
+    assert coded.nbytes <= len(raw)
+    return coded, sr, codec
+
+
+@settings(**FUZZ)
+@given(st.binary(max_size=200))
+def test_parse_wav_total_on_random_bytes(raw):
+    _assert_parse_contract(raw)
+
+
+@settings(**FUZZ)
+@given(st.binary(min_size=44, max_size=120))
+def test_parse_wav_total_on_riff_prefixed_garbage(raw):
+    # force past the magic check so the header field parsing fuzzes too
+    _assert_parse_contract(b"RIFF" + raw[4:8] + b"WAVE" + raw[12:])
+
+
+@settings(deadline=None, max_examples=150)
+@given(
+    codec=st.sampled_from(CODECS),
+    sr=st.sampled_from([8000, 16000]),
+    dur=st.integers(40, 200),
+    ops=st.lists(
+        st.one_of(
+            # truncate to k bytes
+            st.tuples(st.just("trunc"), st.integers(0, 400)),
+            # flip one byte at offset
+            st.tuples(st.just("flip"), st.integers(0, 399)),
+            # overwrite a 2-byte header field at offset 20..42
+            st.tuples(st.just("hdr"),
+                      st.tuples(st.sampled_from(range(20, 43, 2)),
+                                st.integers(0, 0xFFFF)))),
+        min_size=1, max_size=4))
+def test_mutated_wav_parses_or_rejects_and_snr_is_total(codec, sr, dur, ops):
+    pcm = synth_wave(440.0, dur, sr)
+    raw = bytearray(ENCODERS[codec](pcm, sr))
+    for op, arg in ops:
+        if op == "trunc":
+            raw = raw[: min(arg, len(raw))]
+        elif op == "flip" and len(raw) > 0:
+            raw[arg % len(raw)] ^= 0xFF
+        elif op == "hdr" and len(raw) >= 44:
+            off, val = arg
+            raw[off:off + 2] = struct.pack("<H", val)
+    parsed = _assert_parse_contract(raw)
+    if parsed is None:
+        return
+    coded, got_sr, got_codec = parsed
+    # the full check path: a parsed-but-corrupt payload must flow through
+    # the fused SNR kernel to a float (−inf/nan/inf included), never raise
+    period = synth_wave(440.0, 1000 // 440 + 3, sr)  # a few periods
+    s = snr_db_vs_period(coded, got_codec, period, len(pcm))
+    assert isinstance(s, float)
