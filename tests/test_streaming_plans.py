@@ -178,3 +178,107 @@ def test_rates_watermark_drops_late_rows(spark, tmp_path):
         assert rows["c"] == rows["d"]
     finally:
         q.stop()
+
+
+def test_violations_restart_exactly_once(spark, tmp_path):
+    """Checkpointed restart of the violations stream (the streaming face
+    of the north rule's resumability): stop the query, add data, rebuild
+    the WHOLE plan from scratch against the same checkpoint, restart —
+    pre-restart rows must not be re-emitted (exactly-once in the sink)
+    and post-restart rows must all arrive."""
+    src = str(tmp_path / "rs_in")
+    ckpt = str(tmp_path / "rs_ckpt")
+    sink = str(tmp_path / "rs_sink")
+    os.makedirs(src)
+    schema_str = "id int, qty double"
+
+    def start():
+        # rebuilt from scratch each time: restart must not depend on any
+        # in-memory object carrying over
+        stream = (spark.readStream
+                  .schema("id int, qty double").parquet(src))
+        outs = validate_stream(
+            stream, K.object({"qty": K.number().required().max(50)}),
+            id_cols=["id"])
+        return (outs["violations"].writeStream.format("parquet")
+                .option("path", sink).option("checkpointLocation", ckpt)
+                .outputMode("append").start())
+
+    spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, None)], schema_str) \
+        .write.parquet(src, mode="append")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    spark.createDataFrame(
+        [(4, 77.0), (5, 20.0), (6, None)], schema_str) \
+        .write.parquet(src, mode="append")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(sink).collect()
+    got = sorted((r["id"], r["rule_name"]) for r in rows)
+    # each violation exactly once across the restart boundary
+    assert got == [(2, "max"), (3, "required"), (4, "max"), (6, "required")]
+
+
+def test_stateful_counts_resume_from_checkpoint(spark, tmp_path):
+    """applyInPandasWithState state survives a full query restart: the
+    first post-restart outputs already include pre-restart running
+    totals (per-key ledger continuity, not a fresh count)."""
+    from jio_spark.streaming import stateful_violation_counts
+    src = str(tmp_path / "st_rs_in")
+    ckpt = str(tmp_path / "st_rs_ckpt")
+    os.makedirs(src)
+    schema_str = "id int, src string, qty double"
+
+    def start(outdir):
+        # memory sink can't recover from a checkpoint; foreachBatch can.
+        # A per-phase outdir isolates exactly the post-restart output.
+        stream = (spark.readStream
+                  .schema("id int, src string, qty double").parquet(src))
+        counts = stateful_violation_counts(
+            stream, K.object({"qty": K.number().required().max(50)}),
+            "src")
+        return (counts.writeStream
+                .foreachBatch(lambda df, _bid:
+                              df.write.mode("append").parquet(outdir))
+                .option("checkpointLocation", ckpt)
+                .outputMode("update").start())
+
+    def totals(outdir):
+        got = {}
+        for r in spark.read.parquet(outdir) \
+                .orderBy("rows").collect():  # running totals: last wins
+            got[r["key"]] = (r["failed"], r["rows"])
+        return got
+
+    out1 = str(tmp_path / "st_rs_out1")
+    out2 = str(tmp_path / "st_rs_out2")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 99.0), (3, "b", 5.0)], schema_str) \
+        .write.parquet(src, mode="append")
+    q = start(out1)
+    try:
+        q.processAllAvailable()
+        assert totals(out1) == {"a": (1, 2), "b": (0, 1)}
+    finally:
+        q.stop()
+
+    spark.createDataFrame(
+        [(4, "a", 77.0), (5, "b", 88.0)], schema_str) \
+        .write.parquet(src, mode="append")
+    q = start(out2)  # fresh outdir: only post-restart output lands here
+    try:
+        q.processAllAvailable()
+        # totals CONTINUE from checkpointed state (a fresh count would
+        # read {"a": (1, 1), "b": (1, 1)})
+        assert totals(out2) == {"a": (2, 3), "b": (1, 2)}
+    finally:
+        q.stop()
