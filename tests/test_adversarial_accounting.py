@@ -126,17 +126,24 @@ def _build_corpus(seed):
     return rows, plan
 
 
-@pytest.mark.parametrize("seed", [11, 202])
-def test_exact_corruption_attribution(spark, tmp_path, seed):
+@pytest.mark.parametrize("seed,decode_source", [
+    (11, "dataframe"), (202, "dataframe"),
+    # the payload-local production path must attribute identically:
+    # workers re-read the bytes column from parquet row groups, so its
+    # failure mode is missing/duplicated CLIPS, not wrong rules
+    (11, "files"),
+])
+def test_exact_corruption_attribution(spark, tmp_path, seed, decode_source):
     rows, plan = _build_corpus(seed)
-    src = str(tmp_path / f"adv_{seed}")
-    out = str(tmp_path / f"adv_out_{seed}")
+    src = str(tmp_path / f"adv_{seed}_{decode_source}")
+    out = str(tmp_path / f"adv_out_{seed}_{decode_source}")
     (spark.createDataFrame(rows, CLIPS_SCHEMA)
      .write.mode("overwrite").partitionBy("bucket_id").parquet(src))
     df = spark.read.parquet(src)
 
     job = ClipsValidationJob(
-        spark, ClipsJobConfig(group_size=16, uniqueness_layout="any"),
+        spark, ClipsJobConfig(group_size=16, uniqueness_layout="any",
+                              decode_source=decode_source),
         codec_dim=default_codec_dim(spark))
     metrics = job.run(df, output_root=out, table_root=src)
     assert metrics["rows"] == len(rows)
