@@ -471,3 +471,32 @@ def test_resume_random_killpoint_fuzz(spark, clips_path, tmp_path):
         assert "_global_uniqueness" in manifest.completed()
 
     run()
+
+
+def test_concurrent_groups_match_serial(spark, clips_path, tmp_path):
+    """group_concurrency=4 (the bench/prod setting) must be result-
+    identical to the serial path WITH a sink attached: same metrics,
+    same read-back violation multiset, same manifest groups — guards the
+    sink_lock serialization and the per-group Observation threading."""
+    df = spark.read.parquet(clips_path)
+
+    def run(conc, out):
+        cfg = ClipsJobConfig(group_size=4, uniqueness_layout="any",
+                             group_concurrency=conc)
+        job = ClipsValidationJob(spark, cfg,
+                                 codec_dim=default_codec_dim(spark))
+        m = job.run(df, output_root=out, table_root=clips_path)
+        viols = sorted(
+            (r["clip_id"], r["rule_name"])
+            for r in spark.read.parquet(os.path.join(out, "violations"))
+            .select("clip_id", "rule_name").collect())
+        groups = set(Manifest(out).completed())
+        return m, viols, groups
+
+    m1, v1, g1 = run(1, str(tmp_path / "serial"))
+    m4, v4, g4 = run(4, str(tmp_path / "conc"))
+    assert v1 == v4 and len(v1) > 0
+    assert g1 == g4
+    assert m1["rows"] == m4["rows"]
+    assert m1["uniqueness_violations"] == m4["uniqueness_violations"]
+    assert m1["column_stats"] == m4["column_stats"]
