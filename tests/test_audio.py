@@ -119,3 +119,36 @@ def test_salted_repartition_spreads_skew(spark):
     counts = [r["count"] for r in parts]
     assert len(counts) >= 12  # most partitions occupied
     assert max(counts) < 3.0 * (N / 16)  # no dominating partition
+
+
+def test_salted_repartition_balances_hostile_cost_skew(spark):
+    """Adversarial skew (north_star: 'Salted repartitioning handles
+    codec/duration skew explicitly'): 90% of rows are one heavy
+    (codec, duration) class — per-partition decode COST (∝ dur_ms), not
+    just row count, must stay balanced in uniform mode, and grouped mode
+    must spread the heavy group across many partitions instead of
+    parking it on one."""
+    n, parts = 20000, 32
+    df = (spark.range(n)
+          .select(F.concat(F.lit("clip_"),
+                           F.lpad(F.col("id").cast("string"), 12, "0"))
+                  .alias("clip_id"),
+                  F.when(F.pmod("id", 10) < 9, F.lit("ulaw"))
+                   .otherwise(F.lit("pcm_s16le")).alias("codec"),
+                  F.when(F.pmod("id", 10) < 9, F.lit(20000))
+                   .otherwise(F.lit(500)).alias("dur_ms")))
+
+    cost = (salted_repartition(df, num_partitions=parts)
+            .withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").agg(F.sum("dur_ms").alias("cost")).collect())
+    costs = [r["cost"] for r in cost]
+    assert len(costs) == parts
+    mean = sum(costs) / len(costs)
+    assert max(costs) < 1.3 * mean   # no partition dominates the stage
+
+    grouped = (salted_repartition(df, num_partitions=parts, mode="grouped",
+                                  salt_buckets=16)
+               .withColumn("pid", F.spark_partition_id())
+               .where(F.col("codec") == "ulaw")
+               .select("pid").distinct().count())
+    assert grouped >= 8  # the heavy group spans many partitions, not one
