@@ -26,9 +26,13 @@ _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
             T.FloatType, T.DoubleType, T.DecimalType)
 
 
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
 def stats_exprs(df: DataFrame, columns: Optional[Sequence[str]] = None,
                 quantiles: Optional[Sequence[float]] = DEFAULT_QUANTILES,
-                accuracy: int = 10000) -> List[Column]:
+                accuracy: int = 10000,
+                hll_sketch: bool = False) -> List[Column]:
     """Aggregate expressions for one single-pass stats computation.
 
     Numeric columns get min/max/mean/quantile-sketch; every column gets
@@ -37,7 +41,14 @@ def stats_exprs(df: DataFrame, columns: Optional[Sequence[str]] = None,
     ``quantiles=None`` skips the sketches — use this when the results of
     several passes are merged driver-side (count/min/max/mean merge
     exactly; per-pass quantile arrays do not).
-    """
+
+    ``hll_sketch=True`` additionally emits a MERGEABLE Datasketches HLL
+    sketch (``{c}__hll``, ~1-2 KB binary) for integral/string columns:
+    unlike ``approx_count_distinct`` (whose per-pass results can only be
+    lower-bounded by max), these sketches union exactly across partition
+    groups — see ``runner._merge_observed_stats``. Other types keep the
+    lower-bound behavior (hll_sketch_agg accepts only INT/BIGINT/STRING/
+    BINARY)."""
     cols = list(columns) if columns is not None else df.columns
     exprs: List[Column] = [F.count(F.lit(1)).alias("rows")]
     for c in cols:
@@ -50,6 +61,10 @@ def stats_exprs(df: DataFrame, columns: Optional[Sequence[str]] = None,
         else:
             exprs.append(F.approx_count_distinct(col)
                          .alias(f"{c}__distinct"))
+            if hll_sketch and isinstance(dt, (*_INTEGRAL, T.StringType)):
+                hcol = col.cast("bigint") if isinstance(dt, _INTEGRAL) \
+                    else col
+                exprs.append(F.hll_sketch_agg(hcol).alias(f"{c}__hll"))
         if isinstance(dt, _NUMERIC):
             exprs += [
                 F.min(col).alias(f"{c}__min"),

@@ -40,12 +40,20 @@ VIOLATION_COLS = ["clip_id", "rule_path", "rule_name", "expected", "actual",
 
 
 def _merge_observed_stats(group_stats: List[Dict],
-                          cols: Sequence[str]) -> Dict:
+                          cols: Sequence[str],
+                          spark: Optional[SparkSession] = None) -> Dict:
     """Driver-side merge of per-group observe metrics (stats_exprs with
     quantiles=None): counts/nulls sum, min/max fold, means combine
-    weighted by non-null counts. ``distinct`` is per-group HLL — reported
-    as the max across groups (a lower bound; exact merge would need the
-    sketch registers, which observe doesn't expose)."""
+    weighted by non-null counts.
+
+    ``distinct``: when the groups carry mergeable ``{c}__hll`` sketches
+    (stats_exprs ``hll_sketch=True``) and a session is given, they are
+    union-merged into a true cross-group estimate via one tiny Spark job
+    over O(groups) sketch rows (hll_union_agg — the registers merge
+    exactly, so the estimate equals a single whole-table sketch). The
+    per-group ``approx_count_distinct`` maxima are always reported as
+    ``distinct_lower_bound`` (the pre-sketch behavior, and the only
+    number available for unsketchable column types)."""
     total = sum(int(g["rows"]) for g in group_stats)
     out: Dict = {"rows": total}
     for c in cols:
@@ -56,6 +64,15 @@ def _merge_observed_stats(group_stats: List[Dict],
               if g.get(f"{c}__distinct") is not None]
         if dv:
             entry["distinct_lower_bound"] = int(max(dv))
+        sketches = [bytes(g[f"{c}__hll"]) for g in group_stats
+                    if g.get(f"{c}__hll") is not None]
+        if sketches and spark is not None:
+            sdf = spark.createDataFrame([(s,) for s in sketches],
+                                        "s binary")
+            est = sdf.agg(
+                F.hll_sketch_estimate(F.hll_union_agg("s")).alias("d")
+            ).collect()[0]["d"]
+            entry["distinct"] = int(est)
         for stat, fold in (("min", min), ("max", max),
                            ("min_len", min), ("max_len", max)):
             vals = [g[f"{c}__{stat}"] for g in group_stats
@@ -198,7 +215,8 @@ class ClipsValidationJob:
             # filter drops passing rows) — no extra source read
             ann = ann.observe(observation,
                               *stats_exprs(df, list(self.cfg.stat_cols),
-                                           quantiles=None))
+                                           quantiles=None,
+                                           hll_sketch=True))
 
         if self.codec_dim is not None:
             dim = F.broadcast(self.codec_dim.select(
@@ -420,7 +438,8 @@ class ClipsValidationJob:
             if g_stats is not None:
                 group_stats.append(g_stats)
         col_stats = (_merge_observed_stats(group_stats,
-                                           list(cfg.stat_cols))
+                                           list(cfg.stat_cols),
+                                           spark=self.spark)
                      if group_stats else None)
 
         wall = time.time() - t0

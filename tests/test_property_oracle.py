@@ -481,7 +481,8 @@ def _eq_val(got, want):
 
 
 # Default 25 examples keeps the suite fast (~2.4 s/example, compile-bound);
-# the round-4 evidence run uses JIO_FUZZ_EXAMPLES=200 (green, see commit).
+# round-4 evidence runs: JIO_FUZZ_EXAMPLES=200 green, then a 500-example
+# soak green (30 min, all arms incl. the map-backed trees).
 _FUZZ_EXAMPLES = int(os.environ.get("JIO_FUZZ_EXAMPLES", "25"))
 
 
