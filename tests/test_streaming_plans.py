@@ -282,3 +282,34 @@ def test_stateful_counts_resume_from_checkpoint(spark, tmp_path):
         assert totals(out2) == {"a": (2, 3), "b": (1, 2)}
     finally:
         q.stop()
+
+
+def test_runner_rule_scan_never_reads_bytes(spark, tmp_path):
+    """SCALE.md's scan-economy claim, pinned at the PLAN level: the
+    runner's rule+referential violations plan (audio handled separately
+    payload-locally) must column-prune the audio payload — no parquet
+    scan in it may list `bytes` in its ReadSchema, and the rule path
+    must stay shuffle-free (the one Exchange allowed is none: broadcast
+    dims don't exchange the fact side)."""
+    from jio_spark.audio.synth import write_clips
+    from jio_spark.runner import (ClipsJobConfig, ClipsValidationJob,
+                                  default_codec_dim)
+    src = str(tmp_path / "plan_clips")
+    write_clips(spark, 300, src, partitions=2)
+    df = spark.read.parquet(src)
+    job = ClipsValidationJob(
+        spark, ClipsJobConfig(audio_check=False, drift=False),
+        codec_dim=default_codec_dim(spark))
+    viols = job.group_violations(df)
+    plan = _plan(viols)
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads, "expected at least one parquet scan"
+    assert all("bytes" not in ln for ln in reads), reads
+    # broadcast join for the dim; the ONLY shuffle exchange in the plan
+    # is the dim side's 3-row dropDuplicates (hashpartitioning on codec)
+    # — any fact-side shuffle would add another
+    assert "BroadcastExchange" in plan
+    plain_exchanges = (plan.count("Exchange")
+                       - plan.count("BroadcastExchange"))
+    assert plain_exchanges == 1, plan
+    assert "Exchange hashpartitioning(codec" in plan
