@@ -32,15 +32,17 @@ _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 def stats_exprs(df: DataFrame, columns: Optional[Sequence[str]] = None,
                 quantiles: Optional[Sequence[float]] = DEFAULT_QUANTILES,
                 accuracy: int = 10000,
-                hll_sketch: bool = False) -> List[Column]:
+                hll_sketch: bool = False,
+                kll_quantiles: bool = False) -> List[Column]:
     """Aggregate expressions for one single-pass stats computation.
 
     Numeric columns get min/max/mean/quantile-sketch; every column gets
     count/nulls/approx-distinct. Binary columns get total/avg byte size
     instead of min/max (relevant for the audio ``bytes`` column).
-    ``quantiles=None`` skips the sketches — use this when the results of
-    several passes are merged driver-side (count/min/max/mean merge
-    exactly; per-pass quantile arrays do not).
+    ``quantiles=None`` skips the finalized ``percentile_approx`` arrays —
+    use this when the results of several passes are merged driver-side
+    (count/min/max/mean merge exactly; FINALIZED quantile arrays do not —
+    pass ``kll_quantiles=True`` to carry mergeable sketches instead).
 
     ``hll_sketch=True`` additionally emits a MERGEABLE Datasketches HLL
     sketch (``{c}__hll``, ~1-2 KB binary) for integral/string columns:
@@ -48,7 +50,13 @@ def stats_exprs(df: DataFrame, columns: Optional[Sequence[str]] = None,
     lower-bounded by max), these sketches union exactly across partition
     groups — see ``runner._merge_observed_stats``. Other types keep the
     lower-bound behavior (hll_sketch_agg accepts only INT/BIGINT/STRING/
-    BINARY)."""
+    BINARY).
+
+    ``kll_quantiles=True`` emits a MERGEABLE Datasketches KLL doubles
+    sketch (``{c}__kll``) per numeric column; merged cross-group, it
+    yields whole-table quantiles (default k=200 → ~1.7% rank error) —
+    the north star's "approx-quantile sketches" with exact-merge
+    semantics across partition groups."""
     cols = list(columns) if columns is not None else df.columns
     exprs: List[Column] = [F.count(F.lit(1)).alias("rows")]
     for c in cols:
@@ -75,6 +83,10 @@ def stats_exprs(df: DataFrame, columns: Optional[Sequence[str]] = None,
                 exprs.append(
                     F.percentile_approx(col, list(quantiles), accuracy)
                      .alias(f"{c}__quantiles"))
+            if kll_quantiles:
+                exprs.append(
+                    F.kll_sketch_agg_double(col.cast("double"))
+                     .alias(f"{c}__kll"))
         elif isinstance(dt, T.StringType):
             exprs += [
                 F.min(F.length(col)).alias(f"{c}__min_len"),

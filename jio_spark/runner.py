@@ -41,7 +41,10 @@ VIOLATION_COLS = ["clip_id", "rule_path", "rule_name", "expected", "actual",
 
 def _merge_observed_stats(group_stats: List[Dict],
                           cols: Sequence[str],
-                          spark: Optional[SparkSession] = None) -> Dict:
+                          spark: Optional[SparkSession] = None,
+                          quantile_ps: Sequence[float] = (
+                              0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+                          ) -> Dict:
     """Driver-side merge of per-group observe metrics (stats_exprs with
     quantiles=None): counts/nulls sum, min/max fold, means combine
     weighted by non-null counts.
@@ -53,7 +56,12 @@ def _merge_observed_stats(group_stats: List[Dict],
     exactly, so the estimate equals a single whole-table sketch). The
     per-group ``approx_count_distinct`` maxima are always reported as
     ``distinct_lower_bound`` (the pre-sketch behavior, and the only
-    number available for unsketchable column types)."""
+    number available for unsketchable column types).
+
+    ``quantiles``: likewise, ``{c}__kll`` sketches (stats_exprs
+    ``kll_quantiles=True``) merge into whole-table quantiles at
+    ``quantile_ps`` — FINALIZED per-group quantile arrays cannot be
+    combined, mergeable sketches are the only correct cross-group path."""
     total = sum(int(g["rows"]) for g in group_stats)
     out: Dict = {"rows": total}
     for c in cols:
@@ -73,6 +81,16 @@ def _merge_observed_stats(group_stats: List[Dict],
                 F.hll_sketch_estimate(F.hll_union_agg("s")).alias("d")
             ).collect()[0]["d"]
             entry["distinct"] = int(est)
+        klls = [bytes(g[f"{c}__kll"]) for g in group_stats
+                if g.get(f"{c}__kll") is not None]
+        if klls and spark is not None:
+            kdf = spark.createDataFrame([(s,) for s in klls], "s binary")
+            qs = kdf.agg(F.kll_sketch_get_quantile_double(
+                F.kll_merge_agg_double("s"),
+                F.array(*[F.lit(float(p)) for p in quantile_ps])
+            ).alias("q")).collect()[0]["q"]
+            entry["quantiles"] = dict(zip([str(p) for p in quantile_ps],
+                                          [float(v) for v in qs]))
         for stat, fold in (("min", min), ("max", max),
                            ("min_len", min), ("max_len", max)):
             vals = [g[f"{c}__{stat}"] for g in group_stats
@@ -216,7 +234,8 @@ class ClipsValidationJob:
             ann = ann.observe(observation,
                               *stats_exprs(df, list(self.cfg.stat_cols),
                                            quantiles=None,
-                                           hll_sketch=True))
+                                           hll_sketch=True,
+                                           kll_quantiles=True))
 
         if self.codec_dim is not None:
             dim = F.broadcast(self.codec_dim.select(

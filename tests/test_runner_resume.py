@@ -499,10 +499,10 @@ def test_concurrent_groups_match_serial(spark, clips_path, tmp_path):
     assert g1 == g4
     assert m1["rows"] == m4["rows"]
     assert m1["uniqueness_violations"] == m4["uniqueness_violations"]
-    # the merged HLL 'distinct' is an ESTIMATE whose serialized-sketch
-    # representation can wobble ±1 run-to-run (observed 1174 vs 1173 on
-    # ~1200 distinct transcripts) — compare it with tolerance, everything
-    # else exactly
+    # the merged sketch outputs are ESTIMATES that wobble run-to-run:
+    # HLL's serialized representation shifts the estimate ±1 (observed
+    # 1174 vs 1173 on ~1200 distinct transcripts) and KLL compaction is
+    # randomized — compare those with tolerance, everything else exactly
     c1, c4 = dict(m1["column_stats"]), dict(m4["column_stats"])
     for c in set(c1) | set(c4):
         if not isinstance(c1[c], dict):
@@ -510,9 +510,16 @@ def test_concurrent_groups_match_serial(spark, clips_path, tmp_path):
             continue
         e1, e4 = dict(c1[c]), dict(c4[c])
         d1, d4 = e1.pop("distinct", None), e4.pop("distinct", None)
+        q1, q4 = e1.pop("quantiles", None), e4.pop("quantiles", None)
         assert e1 == e4, c
         if d1 is not None or d4 is not None:
             assert abs(d1 - d4) <= max(2, 0.01 * max(d1, d4)), c
+        for q in (q1, q4):
+            if q is None:
+                continue
+            vals = list(q.values())
+            assert vals == sorted(vals), (c, q)       # monotone
+            assert e1["min"] <= vals[0] and vals[-1] <= e1["max"], (c, q)
 
 
 def test_hll_merged_distinct_across_groups(spark):
@@ -559,3 +566,31 @@ def test_hll_merged_distinct_across_groups(spark):
     m2 = _merge_observed_stats(parts, ["k"], spark=spark)
     assert m2["k"]["distinct_lower_bound"] <= 260   # one group's worth
     assert abs(m2["k"]["distinct"] - 1000) <= 0.05 * 1000  # the union
+
+
+def test_kll_merged_quantiles_across_groups(spark):
+    """Cross-group quantiles (round 4): per-group KLL sketches merge into
+    whole-table quantiles within the sketch's rank error — finalized
+    percentile_approx arrays cannot be combined at all, which is why the
+    observe path carries sketches."""
+    import pyspark.sql.functions as F
+    from jio_spark.operators.stats import stats_exprs
+    from jio_spark.runner import _merge_observed_stats
+
+    n = 20000
+    df = spark.range(n).select((F.col("id") % 4).alias("g"),
+                               (F.col("id") * 1.0).alias("v"))
+    group_stats = []
+    for i in range(4):  # interleaved groups: each sees the full range
+        sub = df.where(F.col("g") == i)
+        group_stats.append(
+            sub.agg(*stats_exprs(sub, ["v"], quantiles=None,
+                                 kll_quantiles=True)).collect()[0].asDict())
+    ps = (0.01, 0.25, 0.5, 0.75, 0.99)
+    m = _merge_observed_stats(group_stats, ["v"], spark=spark,
+                              quantile_ps=ps)
+    got = m["v"]["quantiles"]
+    for p in ps:
+        # uniform 0..n → value at rank p is ~p*n; KLL k=200 rank error
+        # ~1.7% (3 sigma), give 3%
+        assert abs(got[str(p)] - p * n) <= 0.03 * n, (p, got)
