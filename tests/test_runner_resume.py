@@ -594,3 +594,50 @@ def test_kll_merged_quantiles_across_groups(spark):
         # uniform 0..n → value at rank p is ~p*n; KLL k=200 rank error
         # ~1.7% (3 sigma), give 3%
         assert abs(got[str(p)] - p * n) <= 0.03 * n, (p, got)
+
+
+def test_resume_after_crash_in_concurrent_group(spark, clips_path, tmp_path,
+                                                monkeypatch):
+    """A crash in ONE group while three others run concurrently: the
+    completed groups' manifest marks stand, the resumed run re-runs only
+    the crashed group, and the final sink matches a crash-free run
+    exactly (the per-partition overwrite makes the re-run idempotent)."""
+    df = spark.read.parquet(clips_path)
+
+    def make_job(conc):
+        return ClipsValidationJob(
+            spark, ClipsJobConfig(group_size=4, audio_check=False,
+                                  drift=False, group_concurrency=conc))
+
+    def viols(out):
+        return sorted(
+            (r["clip_id"], r["rule_path"])
+            for r in spark.read.parquet(os.path.join(out, "violations"))
+            .select("clip_id", "rule_path").collect())
+
+    clean_out = str(tmp_path / "clean")
+    make_job(4).run(df, output_root=clean_out, table_root=clips_path)
+
+    crash_out = str(tmp_path / "crash")
+    orig = Manifest.mark
+    fired = []
+
+    def failing(self, key, parts, meta=None):
+        if key == "group_4_7" and not fired:
+            fired.append(1)
+            raise RuntimeError("injected crash before mark")
+        return orig(self, key, parts, meta)
+
+    monkeypatch.setattr(Manifest, "mark", failing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        make_job(4).run(df, output_root=crash_out, table_root=clips_path)
+    assert fired  # the crash actually happened
+
+    done = Manifest(crash_out).completed()
+    assert "group_4_7" not in done  # crashed group not marked
+
+    m = make_job(4).run(df, output_root=crash_out, table_root=clips_path,
+                        resume=True)
+    assert m["groups_run"] == 4 - len(
+        [k for k in done if k.startswith("group_")])
+    assert viols(crash_out) == viols(clean_out)
