@@ -66,13 +66,16 @@ def stats_exprs(df: DataFrame, columns: Optional[Sequence[str]] = None,
         if isinstance(dt, T.BinaryType):
             exprs.append(F.sum(F.octet_length(col)).alias(f"{c}__bytes"))
             exprs.append(F.avg(F.octet_length(col)).alias(f"{c}__avg_bytes"))
+        elif hll_sketch and isinstance(dt, (*_INTEGRAL, T.StringType)):
+            # the mergeable sketch REPLACES approx_count_distinct for
+            # sketchable columns: keeping both would maintain two HLL
+            # structures per row on the hot scan for a per-group number
+            # strictly dominated by the union-merged estimate
+            hcol = col.cast("bigint") if isinstance(dt, _INTEGRAL) else col
+            exprs.append(F.hll_sketch_agg(hcol).alias(f"{c}__hll"))
         else:
             exprs.append(F.approx_count_distinct(col)
                          .alias(f"{c}__distinct"))
-            if hll_sketch and isinstance(dt, (*_INTEGRAL, T.StringType)):
-                hcol = col.cast("bigint") if isinstance(dt, _INTEGRAL) \
-                    else col
-                exprs.append(F.hll_sketch_agg(hcol).alias(f"{c}__hll"))
         if isinstance(dt, _NUMERIC):
             exprs += [
                 F.min(col).alias(f"{c}__min"),

@@ -51,19 +51,27 @@ def _merge_observed_stats(group_stats: List[Dict],
 
     ``distinct``: when the groups carry mergeable ``{c}__hll`` sketches
     (stats_exprs ``hll_sketch=True``) and a session is given, they are
-    union-merged into a true cross-group estimate via one tiny Spark job
-    over O(groups) sketch rows (hll_union_agg — the registers merge
-    exactly, so the estimate equals a single whole-table sketch). The
-    per-group ``approx_count_distinct`` maxima are always reported as
-    ``distinct_lower_bound`` (the pre-sketch behavior, and the only
-    number available for unsketchable column types).
+    union-merged into a true cross-group estimate (hll_union_agg — the
+    registers merge exactly, so the estimate equals a single whole-table
+    sketch). The per-group ``approx_count_distinct`` maxima, when present
+    (stats_exprs emits them only for columns WITHOUT a sketch), are
+    reported as ``distinct_lower_bound``.
 
     ``quantiles``: likewise, ``{c}__kll`` sketches (stats_exprs
     ``kll_quantiles=True``) merge into whole-table quantiles at
     ``quantile_ps`` — FINALIZED per-group quantile arrays cannot be
-    combined, mergeable sketches are the only correct cross-group path."""
+    combined, mergeable sketches are the only correct cross-group path.
+
+    ALL sketch merges run in ONE tiny aggregation over an O(groups ×
+    cols) frame of ~KB sketch rows (conditional aggregates — constant
+    job count regardless of column count, measured 2 with AQE); all-null
+    columns are answered driver-side (distinct=0, no quantiles) because
+    their merged KLL sketch is empty and the quantile extractor throws
+    on it."""
     total = sum(int(g["rows"]) for g in group_stats)
     out: Dict = {"rows": total}
+    sketch_rows: List = []     # (col, kind, bytes) — ONE frame for all cols
+    wanted: List = []          # (col, kind) merges to run in the one job
     for c in cols:
         nulls = sum(int(g.get(f"{c}__nulls") or 0) for g in group_stats)
         entry: Dict = {"nulls": nulls,
@@ -72,25 +80,24 @@ def _merge_observed_stats(group_stats: List[Dict],
               if g.get(f"{c}__distinct") is not None]
         if dv:
             entry["distinct_lower_bound"] = int(max(dv))
-        sketches = [bytes(g[f"{c}__hll"]) for g in group_stats
+        if spark is not None:
+            nonnull = total - nulls
+            hlls = [bytes(g[f"{c}__hll"]) for g in group_stats
                     if g.get(f"{c}__hll") is not None]
-        if sketches and spark is not None:
-            sdf = spark.createDataFrame([(s,) for s in sketches],
-                                        "s binary")
-            est = sdf.agg(
-                F.hll_sketch_estimate(F.hll_union_agg("s")).alias("d")
-            ).collect()[0]["d"]
-            entry["distinct"] = int(est)
-        klls = [bytes(g[f"{c}__kll"]) for g in group_stats
-                if g.get(f"{c}__kll") is not None]
-        if klls and spark is not None:
-            kdf = spark.createDataFrame([(s,) for s in klls], "s binary")
-            qs = kdf.agg(F.kll_sketch_get_quantile_double(
-                F.kll_merge_agg_double("s"),
-                F.array(*[F.lit(float(p)) for p in quantile_ps])
-            ).alias("q")).collect()[0]["q"]
-            entry["quantiles"] = dict(zip([str(p) for p in quantile_ps],
-                                          [float(v) for v in qs]))
+            klls = [bytes(g[f"{c}__kll"]) for g in group_stats
+                    if g.get(f"{c}__kll") is not None]
+            # all-null columns: the sketches are EMPTY — KLL's quantile
+            # extractor throws on an empty merged sketch, and HLL's
+            # answer is trivially 0 — so answer driver-side, no merge
+            if hlls:
+                if nonnull == 0:
+                    entry["distinct"] = 0
+                else:
+                    sketch_rows += [(c, "hll", s) for s in hlls]
+                    wanted.append((c, "hll"))
+            if klls and nonnull > 0:
+                sketch_rows += [(c, "kll", s) for s in klls]
+                wanted.append((c, "kll"))
         for stat, fold in (("min", min), ("max", max),
                            ("min_len", min), ("max_len", max)):
             vals = [g[f"{c}__{stat}"] for g in group_stats
@@ -106,6 +113,33 @@ def _merge_observed_stats(group_stats: List[Dict],
             if w:
                 entry[mean_key] = sum(m * n for m, n in pairs) / w
         out[c] = entry
+    if wanted:
+        # one tiny aggregation for every column's merges: conditional
+        # sketch aggregates (null inputs are skipped by the agg
+        # functions) over an O(groups × cols) frame of ~KB sketches —
+        # constant job count regardless of column count
+        sdf = spark.createDataFrame(sketch_rows,
+                                    "col string, kind string, s binary")
+        aggs = []
+        for c, kind in wanted:
+            m = (F.col("col") == c) & (F.col("kind") == kind)
+            if kind == "hll":
+                aggs.append(F.hll_sketch_estimate(
+                    F.hll_union_agg(F.when(m, F.col("s"))))
+                    .alias(f"{c}__d"))
+            else:
+                aggs.append(F.kll_sketch_get_quantile_double(
+                    F.kll_merge_agg_double(F.when(m, F.col("s"))),
+                    F.array(*[F.lit(float(p)) for p in quantile_ps]))
+                    .alias(f"{c}__q"))
+        row = sdf.agg(*aggs).collect()[0]
+        for c, kind in wanted:
+            if kind == "hll":
+                out[c]["distinct"] = int(row[f"{c}__d"])
+            else:
+                out[c]["quantiles"] = dict(
+                    zip([str(p) for p in quantile_ps],
+                        [float(v) for v in row[f"{c}__q"]]))
     return out
 
 

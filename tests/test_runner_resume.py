@@ -564,7 +564,10 @@ def test_hll_merged_distinct_across_groups(spark):
                                           hll_sketch=True))
                      .collect()[0].asDict())
     m2 = _merge_observed_stats(parts, ["k"], spark=spark)
-    assert m2["k"]["distinct_lower_bound"] <= 260   # one group's worth
+    # sketchable columns carry ONLY the sketch (approx_count_distinct
+    # would be a second per-row HLL structure for a strictly-dominated
+    # number) — so no lower bound, just the true union
+    assert "distinct_lower_bound" not in m2["k"]
     assert abs(m2["k"]["distinct"] - 1000) <= 0.05 * 1000  # the union
 
 
@@ -641,3 +644,49 @@ def test_resume_after_crash_in_concurrent_group(spark, clips_path, tmp_path,
     assert m["groups_run"] == 4 - len(
         [k for k in done if k.startswith("group_")])
     assert viols(crash_out) == viols(clean_out)
+
+
+def test_merge_handles_all_null_columns(spark):
+    """Review regression (round 4): an entirely-null numeric column
+    yields EMPTY KLL sketches in every group — kll_sketch_get_quantile
+    throws on an empty merged sketch — so the merge must answer such
+    columns driver-side (distinct 0, no quantiles) instead of crashing
+    the whole run after all groups already finished."""
+    import pyspark.sql.functions as F
+    from jio_spark.operators.stats import stats_exprs
+    from jio_spark.runner import _merge_observed_stats
+
+    df = (spark.range(200)
+          .select((F.col("id") % 2).alias("g"),
+                  F.lit(None).cast("int").alias("dead"),
+                  F.lit(None).cast("string").alias("dead_s"),
+                  (F.col("id") % 9).cast("int").alias("live")))
+    groups = []
+    for i in range(2):
+        sub = df.where(F.col("g") == i)
+        groups.append(sub.agg(*stats_exprs(
+            sub, ["dead", "dead_s", "live"], quantiles=None,
+            hll_sketch=True, kll_quantiles=True)).collect()[0].asDict())
+    m = _merge_observed_stats(groups, ["dead", "dead_s", "live"],
+                              spark=spark)
+    assert m["dead"]["distinct"] == 0
+    assert "quantiles" not in m["dead"]
+    assert m["dead"]["nulls"] == 200
+    assert m["dead_s"]["distinct"] == 0
+    # the live column still merges normally in the same call
+    assert m["live"]["distinct"] == 9
+    assert m["live"]["quantiles"]["0.5"] == 4.0
+    # and a PARTIALLY null column merges fine (empty+nonempty sketches)
+    df2 = (spark.range(200)
+           .select((F.col("id") % 2).alias("g"),
+                   F.when(F.col("id") % 2 == 0,
+                          F.col("id").cast("int")).alias("half")))
+    groups2 = []
+    for i in range(2):
+        sub = df2.where(F.col("g") == i)
+        groups2.append(sub.agg(*stats_exprs(
+            sub, ["half"], quantiles=None, hll_sketch=True,
+            kll_quantiles=True)).collect()[0].asDict())
+    m2 = _merge_observed_stats(groups2, ["half"], spark=spark)
+    assert abs(m2["half"]["distinct"] - 100) <= 5
+    assert "quantiles" in m2["half"]
