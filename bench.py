@@ -92,6 +92,11 @@ def run_noop(df) -> None:
 
 
 def main():
+    # host load at start/end rides in the output: a shared box under
+    # outside contention has produced 2-5x wall swings on identical code
+    # (BENCH/BASELINE.md "31 s false alarm"), and the load averages are
+    # what lets a reader tell a contended record from a regression
+    load_start = [round(x, 2) for x in os.getloadavg()]
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as E
@@ -196,6 +201,8 @@ def main():
         "uniqueness_violations": metrics["uniqueness_violations"],
         "queries": queries,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "load_avg_start": load_start,
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(out))
     spark.stop()

@@ -24,6 +24,7 @@ import os
 import re
 from typing import Iterator, List, Optional, Sequence, Tuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,7 +42,8 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 def list_row_group_splits(root: str,
                           partition_filter: Optional[Sequence] = None,
-                          partition_col: str = "bucket_id"
+                          partition_col: str = "bucket_id",
+                          on_corrupt: str = "fail"
                           ) -> List[Tuple[str, int, Optional[int]]]:
     """(path, row_group, partition_value) splits for a parquet table dir.
     Metadata-only: reads footers, not data. ``partition_filter`` prunes
@@ -52,7 +54,14 @@ def list_row_group_splits(root: str,
     unescaped so string values like ``a:b`` match the group's wanted set
     (the escaped form ``a%3Ab`` matches nothing — a silent decode skip),
     and a ``__HIVE_DEFAULT_PARTITION__`` directory maps to ``None`` so
-    the runner's explicit NULL-partition group member selects it."""
+    the runner's explicit NULL-partition group member selects it.
+
+    ``on_corrupt='violation'``: a file whose FOOTER cannot be read (at
+    10^12-clip scale some files will be damaged) yields a marker split
+    ``(path, -1, pval)`` instead of raising here on the driver; the
+    decode workers turn markers into structured decode violations so one
+    bad file cannot kill the whole job. Default ``'fail'`` raises."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
     paths = sorted(glob.glob(os.path.join(root, "**", "*.parquet"),
                              recursive=True))
@@ -84,9 +93,40 @@ def list_row_group_splits(root: str,
     for path, pval in tagged:
         if wanted is not None and pval not in wanted:
             continue
-        n_rg = pq.ParquetFile(path).metadata.num_row_groups
+        try:
+            n_rg = pq.ParquetFile(path).metadata.num_row_groups
+        except (OSError, ValueError, pa.ArrowException):
+            if on_corrupt != "violation":
+                raise
+            out.append((path, -1, pval))
+            continue
         out.extend((path, rg, pval) for rg in range(n_rg))
     return out
+
+
+def footer_row_counts(root: str,
+                      partition_filter: Optional[Sequence] = None,
+                      partition_col: str = "bucket_id"
+                      ) -> Tuple[int, int]:
+    """(readable_rows, unreadable_files) from parquet footers —
+    metadata-only, same directory pruning as ``list_row_group_splits``.
+
+    The scan-vs-footer integrity baseline: a Spark scan running with
+    ``spark.sql.files.ignoreCorruptFiles`` silently DROPS files it cannot
+    read, so a job can "succeed" over less data than the table holds.
+    Comparing observed scan rows against this footer total (runner
+    ``row_integrity``) turns that silent loss into an explicit flag.
+    Files whose footer itself is unreadable can't be counted — they are
+    reported in the second element so the caller knows the expected
+    total is a lower bound."""
+    import pyarrow.parquet as pq
+    splits = list_row_group_splits(root, partition_filter, partition_col,
+                                   on_corrupt="violation")
+    unreadable = len({p for p, rg, _ in splits if rg < 0})
+    total = 0
+    for path in {p for p, rg, _ in splits if rg >= 0}:
+        total += pq.ParquetFile(path).metadata.num_rows
+    return total, unreadable
 
 
 def _partition_dtype(splits: Sequence[Tuple[str, int, Optional[int]]],
@@ -97,15 +137,41 @@ def _partition_dtype(splits: Sequence[Tuple[str, int, Optional[int]]],
     pvals = {pv for _, _, pv in splits if pv is not None}
     if pvals:
         return "string" if any(isinstance(v, str) for v in pvals) else "int"
-    if splits:
+    # peek the first READABLE footer (corrupt-marker splits have rg < 0
+    # and an unreadable footer by definition)
+    for path, rg, _ in splits:
+        if rg < 0:
+            continue
         import pyarrow as pa
         import pyarrow.parquet as pq
-        sch = pq.ParquetFile(splits[0][0]).schema_arrow
+        sch = pq.ParquetFile(path).schema_arrow
         if partition_col in sch.names:
             t = sch.field(partition_col).type
             if pa.types.is_string(t) or pa.types.is_large_string(t):
                 return "string"
+        break
     return "int"
+
+
+def _corrupt_frame(clip_marker: str, msg: str, pval,
+                   partition_col: str) -> pd.DataFrame:
+    """One decode-result row attributing an unreadable file/row group.
+    Only ``decode_ok`` is failed — the metadata/SNR/transcript flags stay
+    True ("not asserted") so ``decode_violations`` emits exactly ONE
+    violation per corrupt unit, not six."""
+    return pd.DataFrame({
+        "clip_id": [clip_marker],
+        "decode_ok": np.array([False]),
+        "codec_match": np.array([True]),
+        "sr_match": np.array([True]),
+        "dur_match": np.array([True]),
+        "snr_db": np.array([np.nan]),
+        "snr_ok": np.array([True]),
+        "transcript_match": np.array([True]),
+        "n_samples": np.array([0], dtype="int64"),
+        "error": np.array([msg], dtype=object),
+        partition_col: [pval],
+    })
 
 
 def decode_check_files(spark: SparkSession, root: str,
@@ -114,13 +180,25 @@ def decode_check_files(spark: SparkSession, root: str,
                        dur_tolerance_ms: int = 2,
                        tasks_per_cpu: int = 8,
                        partition_filter: Optional[Sequence] = None,
-                       partition_col: str = "bucket_id") -> DataFrame:
+                       partition_col: str = "bucket_id",
+                       on_corrupt: str = "fail") -> DataFrame:
     """Decode-and-check over a parquet clips table, payload-local.
 
     Splits are deterministically shuffled (hash order) before round-robin
     packing so file-size skew spreads evenly — the payload-local analog of
-    the salted repartition, without moving a single payload byte."""
-    splits = list_row_group_splits(root, partition_filter, partition_col)
+    the salted repartition, without moving a single payload byte.
+
+    ``on_corrupt='violation'``: an unreadable file or row group (damaged
+    footer, corrupt data pages) becomes ONE structured decode-violation
+    row — ``clip_id='__corrupt__:<relpath>#rg<N>'``, ``error`` carrying
+    the reader's message — instead of failing the task and with it the
+    whole job. At 10^12 clips the expected number of damaged files is
+    not zero; pair with ``spark.sql.files.ignoreCorruptFiles`` on the
+    JVM rule-scan side plus the runner's footer-vs-scan ``row_integrity``
+    check, which turns that setting's silent row loss into an explicit
+    metric. Default ``'fail'`` keeps strict semantics."""
+    splits = list_row_group_splits(root, partition_filter, partition_col,
+                                   on_corrupt=on_corrupt)
     splits = sorted(splits, key=lambda s: hash((s[0], s[1])) & 0xFFFFFFFF)
     n_tasks = max(1, min(len(splits),
                          spark.sparkContext.defaultParallelism
@@ -149,18 +227,34 @@ def decode_check_files(spark: SparkSession, root: str,
         for pdf in batches:
             for path, rg, pval in zip(pdf["path"], pdf["rg"],
                                       pdf[partition_col]):
-                pf = pq.ParquetFile(path)
-                cols = list(_COLUMNS)
-                # non-hive layouts carry the partition value as a data
-                # column inside the file — read it instead of the
-                # (absent) directory value
-                col_backed = (pd.isna(pval)
-                              and partition_col in pf.schema_arrow.names)
-                if col_backed:
-                    cols.append(partition_col)
-                tbl = pf.read_row_group(int(rg), columns=cols,
-                                        use_threads=False)
-                block = tbl.to_pandas()
+                rel = os.path.relpath(path, root)
+                if int(rg) < 0:
+                    # driver-side footer marker (listing ran with
+                    # on_corrupt='violation')
+                    yield _corrupt_frame(
+                        f"__corrupt__:{rel}#footer",
+                        "unreadable parquet footer", pval, partition_col)
+                    continue
+                try:
+                    pf = pq.ParquetFile(path)
+                    cols = list(_COLUMNS)
+                    # non-hive layouts carry the partition value as a
+                    # data column inside the file — read it instead of
+                    # the (absent) directory value
+                    col_backed = (pd.isna(pval) and partition_col
+                                  in pf.schema_arrow.names)
+                    if col_backed:
+                        cols.append(partition_col)
+                    tbl = pf.read_row_group(int(rg), columns=cols,
+                                            use_threads=False)
+                    block = tbl.to_pandas()
+                except (OSError, ValueError, pa.ArrowException) as e:
+                    if on_corrupt != "violation":
+                        raise
+                    yield _corrupt_frame(
+                        f"__corrupt__:{rel}#rg{int(rg)}",
+                        f"unreadable row group: {e}", pval, partition_col)
+                    continue
                 if not col_backed:
                     block[partition_col] = pval
                 yield from inner(iter([block]))

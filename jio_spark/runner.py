@@ -213,7 +213,20 @@ class ClipsJobConfig:
     #: 'dataframe' ships payloads through Arrow batches; 'files' reads the
     #: payload column straight from parquet row groups in the workers
     #: (payload-local — see audio/files.py; needs table_root in run())
-    decode_source: str = "dataframe" 
+    decode_source: str = "dataframe"
+    #: 'fail' (strict): one damaged parquet file kills the decode job.
+    #: 'violation': unreadable files/row groups become structured decode
+    #: violations (clip_id '__corrupt__:<file>#rg<N>') and the job
+    #: completes over everything readable — at 10^12 clips the expected
+    #: damaged-file count is not zero. Files-mode decode only (the
+    #: dataframe path reads through the JVM scan, which has its own
+    #: ignoreCorruptFiles policy).
+    decode_on_corrupt: str = "fail"
+    #: compare each group's observed scan row count against the parquet
+    #: footer totals (metadata-only, same dir pruning as the decode) —
+    #: catches `ignoreCorruptFiles` silently dropping files and
+    #: mid-run table mutation. Files-mode + parquet + table_root only.
+    row_integrity: bool = True
     drift: bool = True
     ks_threshold: float = 0.1
     psi_threshold: float = 0.25
@@ -311,7 +324,8 @@ class ClipsValidationJob:
                     check_reference=self.cfg.check_reference,
                     snr_threshold=self.cfg.snr_threshold,
                     partition_filter=group,
-                    partition_col=self.cfg.partition_col)
+                    partition_col=self.cfg.partition_col,
+                    on_corrupt=self.cfg.decode_on_corrupt)
             else:
                 dec = decode_check(
                     df, check_reference=self.cfg.check_reference,
@@ -427,10 +441,28 @@ class ClipsValidationJob:
                 g_stats = None
                 agg = gdf.agg(F.count(F.lit(1)).alias("rows")).collect()[0]
                 g_rows = int(agg["rows"])
+            g_integrity = None
+            if (cfg.row_integrity and table_root
+                    and cfg.decode_source == "files"
+                    and cfg.table_format == "parquet"):
+                # scan-vs-footer audit: metadata-only, prunes the same
+                # directories the decode does. Catches the JVM scan
+                # silently dropping corrupt files (ignoreCorruptFiles)
+                # — a "successful" run over less data than the table
+                # holds is flagged, not trusted.
+                from .audio.files import footer_row_counts
+                exp, unreadable = footer_row_counts(
+                    table_root, group, cfg.partition_col)
+                g_integrity = {
+                    "rows_expected": exp,
+                    "unreadable_files": unreadable,
+                    "ok": bool(g_rows == exp and unreadable == 0)}
             if manifest:  # marked LAST, after the group's writes → resume-safe
-                manifest.mark(f"group_{_group_key(group)}", group,
-                              {"rows": g_rows})
-            return group, g_rows, g_viols, g_stats
+                details = {"rows": g_rows}
+                if g_integrity is not None:
+                    details["row_integrity"] = g_integrity
+                manifest.mark(f"group_{_group_key(group)}", group, details)
+            return group, g_rows, g_viols, g_stats, g_integrity
 
         # global step 1: uniqueness (duplicate ids cross partition groups)
         def run_uniqueness():
@@ -484,12 +516,15 @@ class ClipsValidationJob:
             drift_rows = run_drift()
 
         group_stats = []
-        for group, g_rows, g_viols, g_stats in results:
+        integrity = []
+        for group, g_rows, g_viols, g_stats, g_integrity in results:
             if g_viols is not None:
                 total_viols += g_viols
             rows_processed += g_rows
             if g_stats is not None:
                 group_stats.append(g_stats)
+            if g_integrity is not None:
+                integrity.append(g_integrity)
         col_stats = (_merge_observed_stats(group_stats,
                                            list(cfg.stat_cols),
                                            spark=self.spark)
@@ -508,6 +543,13 @@ class ClipsValidationJob:
             "wall_sec": wall,
             "rows_per_sec": rows_processed / wall if wall > 0 else None,
         }
+        if integrity:
+            metrics["row_integrity"] = {
+                "ok": all(g["ok"] for g in integrity),
+                "rows_expected": sum(g["rows_expected"]
+                                     for g in integrity),
+                "unreadable_files": sum(g["unreadable_files"]
+                                        for g in integrity)}
         if sink:
             # keep the run-start lineage keys — the final write replaces
             # run.json wholesale

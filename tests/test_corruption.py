@@ -1,0 +1,151 @@
+"""Damaged-file tolerance: at 10^12 clips some parquet files WILL be
+corrupt, and the default strict semantics (one bad row group kills the
+job) need an explicit, accounted alternative.
+
+Two layers under test:
+- decode side: ``on_corrupt='violation'`` turns an unreadable file/row
+  group into ONE structured decode violation
+  (``clip_id='__corrupt__:<relpath>#rg<N>'``) instead of a task failure;
+- scan side: the runner's ``row_integrity`` footer-vs-scan audit flags
+  the silent row loss produced by ``spark.sql.files.ignoreCorruptFiles``
+  (the JVM scan drops files it cannot read and reports success).
+"""
+
+import glob
+import os
+
+import pytest
+
+from jio_spark.audio.decode import decode_violations
+from jio_spark.audio.files import (decode_check_files, footer_row_counts,
+                                   list_row_group_splits)
+from jio_spark.audio.synth import clips_frame
+from jio_spark.runner import (ClipsJobConfig, ClipsValidationJob,
+                              default_codec_dim)
+
+
+def _write_clips(spark, path, n=240):
+    # clean=True: no synthetic bad payloads, so every non-marker decode
+    # row must pass and the corruption marker is the ONLY failure
+    df = clips_frame(spark, n, clean=True, partitions=2)
+    (df.repartition(3, "clip_id").write
+       .partitionBy("bucket_id").parquet(path))
+    return sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                            recursive=True))
+
+
+def _smash_data(path):
+    """Garbage over the first data-page region; the footer (at the tail)
+    stays valid, so the damage is only visible when the pages are READ —
+    the worker-side on_corrupt path, not the driver-side listing."""
+    with open(path, "r+b") as f:
+        f.seek(4)
+        f.write(b"\xff" * 256)
+
+
+def _smash_footer(path):
+    """Destroy the footer magic: the file is unreadable from the very
+    first metadata touch — the driver-side listing path."""
+    with open(path, "r+b") as f:
+        f.seek(-8, os.SEEK_END)
+        f.write(b"\x00" * 8)
+
+
+def test_corrupt_row_group_becomes_one_violation(spark, tmp_path):
+    import pyarrow.parquet as pq
+    root = str(tmp_path / "t")
+    files = _write_clips(spark, root)
+    total = spark.read.parquet(root).count()
+    victim = files[0]
+    lost = pq.ParquetFile(victim).metadata.num_rows
+    _smash_data(victim)
+
+    # strict default: exact semantics — the job dies on damage
+    with pytest.raises(Exception):
+        decode_check_files(spark, root, check_reference=False).collect()
+
+    rows = decode_check_files(spark, root, check_reference=False,
+                              on_corrupt="violation").collect()
+    markers = [r for r in rows if r["clip_id"].startswith("__corrupt__:")]
+    ok_rows = [r for r in rows
+               if not r["clip_id"].startswith("__corrupt__:")]
+    assert len(markers) == 1
+    m = markers[0]
+    assert not m["decode_ok"]
+    assert "unreadable row group" in m["error"]
+    assert "#rg0" in m["clip_id"]
+    # everything readable is still fully decoded and checked
+    assert len(ok_rows) == total - lost
+    assert all(r["decode_ok"] for r in ok_rows)
+
+    # exactly ONE violation per corrupt unit (metadata/SNR flags are
+    # "not asserted", not "failed" — no sixfold noise)
+    dv = decode_violations(
+        decode_check_files(spark, root, check_reference=False,
+                           on_corrupt="violation"),
+        extra_cols=["bucket_id"]).collect()
+    corrupt_v = [r for r in dv
+                 if r["clip_id"].startswith("__corrupt__:")]
+    assert len(corrupt_v) == 1
+    assert corrupt_v[0]["rule_name"] == "decode"
+    assert "unreadable row group" in corrupt_v[0]["actual"]
+
+
+def test_corrupt_footer_listing_marker_and_job_integrity(spark, tmp_path):
+    import pyarrow.parquet as pq
+    root = str(tmp_path / "t2")
+    files = _write_clips(spark, root)
+    total = spark.read.parquet(root).count()
+    victim = files[-1]
+    lost = pq.ParquetFile(victim).metadata.num_rows
+    _smash_footer(victim)
+
+    # strict default raises at LISTING time (driver-side, before any task)
+    with pytest.raises(Exception):
+        list_row_group_splits(root)
+
+    splits = list_row_group_splits(root, on_corrupt="violation")
+    assert sum(1 for _, rg, _ in splits if rg < 0) == 1
+    exp, unreadable = footer_row_counts(root)
+    assert unreadable == 1
+    assert exp == total - lost
+
+    # the decode attributes the unreadable file as a '#footer' marker
+    dec = decode_check_files(spark, root, check_reference=False,
+                             on_corrupt="violation").collect()
+    footer_markers = [r for r in dec if r["clip_id"].endswith("#footer")]
+    assert len(footer_markers) == 1
+    assert footer_markers[0]["error"] == "unreadable parquet footer"
+
+    # full job with the JVM scan in ignoreCorruptFiles mode: the scan
+    # silently drops the damaged file — row_integrity makes that loss
+    # an explicit flag instead of a quietly-smaller "success"
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        job = ClipsValidationJob(
+            spark, ClipsJobConfig(group_size=8, decode_source="files",
+                                  decode_on_corrupt="violation",
+                                  drift=False),
+            codec_dim=default_codec_dim(spark))
+        m = job.run(spark.read.parquet(root), table_root=root)
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    assert m["rows"] == total - lost           # the scan really dropped it
+    ri = m["row_integrity"]
+    assert ri["unreadable_files"] == 1
+    assert not ri["ok"]
+
+
+def test_row_integrity_clean_table(spark, tmp_path):
+    root = str(tmp_path / "t3")
+    _write_clips(spark, root, n=160)
+    total = spark.read.parquet(root).count()
+    job = ClipsValidationJob(
+        spark, ClipsJobConfig(group_size=8, decode_source="files",
+                              drift=False),
+        codec_dim=default_codec_dim(spark))
+    m = job.run(spark.read.parquet(root), table_root=root)
+    ri = m["row_integrity"]
+    assert ri == {"rows_expected": total, "unreadable_files": 0,
+                  "ok": True}
+    assert m["rows"] == total

@@ -90,6 +90,7 @@ def main():
     print(json.dumps({
         "n_clips": n_clips,
         "levels": list(levels),
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         "full_clips_per_sec": {str(lo): round(n_clips / f8, 1),
                                str(hi): round(n_clips / f32, 1)},
         "full_efficiency": round((f8 / f32) / 4.0, 3),
