@@ -11,8 +11,12 @@ from .drift import drift_check, snapshot
 from .dedup import (dedup_exact, embedding_dup_pairs, exact_duplicates,
                     minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs)
 from .similarity import brute_force_topk, ivf_topk, lsh_topk
+from .schema import (CLIPS_SCHEMA_CONTRACT, assert_schema_contract,
+                     schema_contract_violations)
 
 __all__ = [
+    "CLIPS_SCHEMA_CONTRACT", "assert_schema_contract",
+    "schema_contract_violations",
     "column_profile_exact", "column_stats", "stats_exprs",
     "duplicate_ids", "uniqueness_check",
     "referential_check",

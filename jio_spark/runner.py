@@ -31,6 +31,7 @@ from .audio.decode import decode_check, decode_violations
 from .audio.files import decode_check_files
 from .operators.drift import HistSpec, drift_check, snapshot
 from .operators.referential import referential_check
+from .operators.schema import schema_contract_violations
 from .operators.stats import column_stats, stats_exprs
 from .operators.uniqueness import uniqueness_check
 from .sinks.writers import Manifest, RunSink, ruleset_fingerprint
@@ -222,6 +223,16 @@ class ClipsJobConfig:
     #: dataframe path reads through the JVM scan, which has its own
     #: ignoreCorruptFiles policy).
     decode_on_corrupt: str = "fail"
+    #: physical-schema contract for the input table ({col: spark simple
+    #: type}, e.g. operators.schema.CLIPS_SCHEMA_CONTRACT). Checked on
+    #: the DRIVER before any job launches (df.schema is metadata-only) —
+    #: a writer-side rename/re-type fails in milliseconds, not 40 min
+    #: into a cluster-wide scan. None disables.
+    schema_contract: Optional[Dict[str, str]] = None
+    #: 'fail': raise listing every break; 'warn': record the breaks as
+    #: structured rows under metrics['schema_violations'] and continue
+    #: (the per-row rule compiler still types every value, jio-style)
+    schema_contract_mode: str = "fail"
     #: compare each group's observed scan row count against the parquet
     #: footer totals (metadata-only, same dir pruning as the decode) —
     #: catches `ignoreCorruptFiles` silently dropping files and
@@ -355,6 +366,14 @@ class ClipsValidationJob:
         table_root so discovery derives from df."""
         cfg = self.cfg
         t0 = time.time()
+        schema_viols: List[Dict] = []
+        if cfg.schema_contract:
+            schema_viols = schema_contract_violations(
+                df, cfg.schema_contract)
+            if schema_viols and cfg.schema_contract_mode == "fail":
+                lines = "; ".join(v["message"] for v in schema_viols)
+                raise ValueError(
+                    f"table schema breaks contract: {lines}")
         sink = RunSink(output_root) if output_root else None
         manifest = Manifest(output_root) if output_root else None
 
@@ -543,6 +562,8 @@ class ClipsValidationJob:
             "wall_sec": wall,
             "rows_per_sec": rows_processed / wall if wall > 0 else None,
         }
+        if cfg.schema_contract:
+            metrics["schema_violations"] = schema_viols
         if integrity:
             metrics["row_integrity"] = {
                 "ok": all(g["ok"] for g in integrity),
