@@ -42,6 +42,22 @@ def main(argv=None):
                          "bytes column straight from parquet row groups "
                          "instead of shipping payloads through a shuffle "
                          "(parquet tables only; the measured-fast path)")
+    ap.add_argument("--on-corrupt", default="fail",
+                    choices=["fail", "violation"],
+                    help="'violation': an unreadable file/row group in the "
+                         "files-mode decode becomes ONE structured decode "
+                         "violation instead of failing the job (pair with "
+                         "spark.sql.files.ignoreCorruptFiles on the scan "
+                         "side; the runner's row_integrity audit flags the "
+                         "rows that setting silently drops)")
+    ap.add_argument("--schema-contract", default="clips",
+                    choices=["clips", "off"],
+                    help="preflight the table schema against the clips "
+                         "contract on the driver (metadata-only) before "
+                         "any job launches")
+    ap.add_argument("--schema-warn", action="store_true",
+                    help="record schema-contract breaks as metrics instead "
+                         "of failing the run")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -55,10 +71,17 @@ def main(argv=None):
     df = adapter.read(spark, args.input)
     baseline = (spark.read.parquet(args.baseline)
                 if args.baseline else None)
+    from jio_spark.operators.schema import CLIPS_SCHEMA_CONTRACT
     cfg = ClipsJobConfig(group_size=args.group_size,
                          audio_check=not args.no_audio,
                          check_reference=not args.no_reference,
                          decode_source=args.decode_source,
+                         decode_on_corrupt=args.on_corrupt,
+                         schema_contract=(CLIPS_SCHEMA_CONTRACT
+                                          if args.schema_contract == "clips"
+                                          else None),
+                         schema_contract_mode=("warn" if args.schema_warn
+                                               else "fail"),
                          table_format=args.format,
                          drift=baseline is not None)
     job = ClipsValidationJob(spark, cfg,
