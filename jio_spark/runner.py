@@ -476,6 +476,20 @@ class ClipsValidationJob:
                     "rows_expected": exp,
                     "unreadable_files": unreadable,
                     "ok": bool(g_rows == exp and unreadable == 0)}
+            elif (cfg.row_integrity and table_root
+                    and cfg.table_format == "iceberg" and group):
+                # Iceberg analog: .partitions record_count is the
+                # committed truth for the snapshot (manifest read, no
+                # data files) — same audit, different metadata source
+                from .sources.tables import iceberg_partition_row_counts
+                counts = iceberg_partition_row_counts(
+                    self.spark, table_root, cfg.partition_col)
+                if counts is not None:
+                    exp = sum(counts.get(p, 0) for p in group)
+                    g_integrity = {
+                        "rows_expected": exp,
+                        "unreadable_files": 0,
+                        "ok": bool(g_rows == exp)}
             if manifest:  # marked LAST, after the group's writes → resume-safe
                 details = {"rows": g_rows}
                 if g_integrity is not None:

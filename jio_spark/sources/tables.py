@@ -107,6 +107,29 @@ def list_partition_values(spark: SparkSession, location: str,
         return sorted(raw_vals)
 
 
+def iceberg_partition_row_counts(spark: SparkSession, location: str,
+                                 partition_col: str):
+    """{partition_value: record_count} from the Iceberg ``.partitions``
+    metadata table — manifest read, no data files touched. ``None`` when
+    the metadata table is unavailable or not partitioned by
+    ``partition_col`` (callers skip the audit rather than guess).
+
+    This is the Iceberg analog of the parquet footer audit
+    (audio/files.py footer_row_counts): snapshot isolation makes the
+    manifest count the committed truth for the scanned snapshot, so an
+    observed-scan count that disagrees means the scan dropped data
+    (ignoreCorruptFiles) or read a different snapshot mid-run — either
+    way a flag, not a quietly-smaller success."""
+    try:
+        meta = spark.read.format("iceberg").load(f"{location}.partitions")
+        rows = meta.select(
+            F.col(f"partition.{partition_col}").alias("p"),
+            F.col("record_count").alias("n")).collect()
+        return {r["p"]: int(r["n"]) for r in rows}
+    except Exception:
+        return None
+
+
 def _unescape_hive(name: str) -> str:
     """Invert Hive/Spark partition-path escaping (ExternalCatalogUtils.
     escapePathName percent-encodes space, ':', '%', '/', control chars …

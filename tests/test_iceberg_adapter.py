@@ -165,3 +165,57 @@ def test_runner_iceberg_table_root_end_to_end(spark, monkeypatch):
     assert metrics["rows"] == 80
     assert metrics["violations"] == 0          # clean corpus, Arrow decode ran
     assert metrics["groups_run"] == 2          # 16 partitions / group_size 8
+
+
+def test_iceberg_partition_row_counts_contract(spark):
+    """The .partitions record_count read (manifest-only) drives the
+    format('iceberg') chain and returns {partition_value: rows}; a
+    missing metadata table degrades to None (audit skipped, not
+    guessed)."""
+    from jio_spark.sources.tables import iceberg_partition_row_counts
+    log = []
+    pdf = spark.createDataFrame(
+        [((0,), 40), ((1,), 20)],
+        "partition struct<bucket_id:int>, record_count long")
+    fake = _FakeSpark(log, {"cat.db.clips.partitions": pdf})
+    counts = iceberg_partition_row_counts(fake, "cat.db.clips",
+                                          "bucket_id")
+    assert counts == {0: 40, 1: 20}
+    assert ("load", "iceberg", "cat.db.clips.partitions") in log
+    assert iceberg_partition_row_counts(fake, "cat.db.other",
+                                        "bucket_id") is None
+
+
+def test_runner_iceberg_row_integrity(spark, monkeypatch):
+    """row_integrity over an Iceberg table: observed scan rows vs the
+    .partitions record_count truth. A tampered (larger) manifest count
+    flags the run; honest counts pass. The parquet analog is the footer
+    audit (tests/test_corruption.py)."""
+    import jio_spark.sources.tables as tables_mod
+    from pyspark.sql import functions as F
+    from jio_spark.audio.synth import clips_frame
+    from jio_spark.runner import (ClipsJobConfig, ClipsValidationJob,
+                                  default_codec_dim)
+
+    df = clips_frame(spark, 60, clean=True, partitions=2)
+    real = {r["bucket_id"]: r["n"]
+            for r in df.groupBy("bucket_id")
+                       .agg(F.count("*").alias("n")).collect()}
+    tampered = dict(real)
+    tampered[sorted(tampered)[0]] += 5
+
+    monkeypatch.setattr(tables_mod, "iceberg_partition_row_counts",
+                        lambda s, loc, c: tampered)
+    cfg = ClipsJobConfig(table_format="iceberg", audio_check=False,
+                         drift=False, group_size=8)
+    job = ClipsValidationJob(spark, cfg,
+                             codec_dim=default_codec_dim(spark))
+    m = job.run(df, table_root="cat.db.clips")
+    ri = m["row_integrity"]
+    assert ri["rows_expected"] == 65 and not ri["ok"]
+
+    monkeypatch.setattr(tables_mod, "iceberg_partition_row_counts",
+                        lambda s, loc, c: real)
+    m2 = job.run(df, table_root="cat.db.clips")
+    assert m2["row_integrity"] == {"rows_expected": 60,
+                                   "unreadable_files": 0, "ok": True}
