@@ -25,7 +25,9 @@ def validate_stream(stream_df: DataFrame,
                     id_cols: Optional[List[str]] = None,
                     ts_col: Optional[str] = None,
                     watermark: str = "10 minutes",
-                    window: str = "1 minute") -> Dict[str, DataFrame]:
+                    window: str = "1 minute",
+                    schema_contract: Optional[Dict[str, str]] = None
+                    ) -> Dict[str, DataFrame]:
     """Compile the rule set once and return streaming outputs:
 
     * ``annotated`` — input rows + ``_pass`` + ``_violations`` (append mode)
@@ -35,7 +37,16 @@ def validate_stream(stream_df: DataFrame,
 
     Each is an unstarted streaming DataFrame: attach ``.writeStream`` with
     the sink of your choice.
+
+    ``schema_contract``: optional physical-schema preflight
+    (operators/schema.py). A streaming source whose schema drifted fails
+    HERE — before a query that would otherwise run 24/7 silently
+    mis-typing — with every break listed; metadata-only, works on
+    streaming frames (``df.schema`` needs no data).
     """
+    if schema_contract:
+        from ..operators.schema import assert_schema_contract
+        assert_schema_contract(stream_df, schema_contract)
     compiled = compile_ruleset(stream_df, schema)
     ids = list(id_cols) if id_cols else [stream_df.columns[0]]
 

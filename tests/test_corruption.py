@@ -136,6 +136,32 @@ def test_corrupt_footer_listing_marker_and_job_integrity(spark, tmp_path):
     assert not ri["ok"]
 
 
+def test_truncated_file_is_footer_dead(spark, tmp_path):
+    """Truncation (partial upload — the most common real-world damage)
+    kills the footer, because parquet footers live at the END of the
+    file: the marker must be the driver-side '#footer' kind and the
+    accounting must cover the loss exactly."""
+    import pyarrow.parquet as pq
+    root = str(tmp_path / "t4")
+    files = _write_clips(spark, root)
+    total = spark.read.parquet(root).count()
+    victim = files[0]
+    lost = pq.ParquetFile(victim).metadata.num_rows
+    size = os.path.getsize(victim)
+    with open(victim, "r+b") as f:
+        f.truncate(size // 2)
+
+    dec = decode_check_files(spark, root, check_reference=False,
+                             on_corrupt="violation").collect()
+    markers = [r for r in dec if r["clip_id"].startswith("__corrupt__:")]
+    assert len(markers) == 1
+    assert markers[0]["clip_id"].endswith("#footer")
+    assert len(dec) - len(markers) == total - lost
+    exp, unreadable = footer_row_counts(root)
+    assert unreadable == 1
+    assert exp == total - lost
+
+
 def test_row_integrity_clean_table(spark, tmp_path):
     root = str(tmp_path / "t3")
     _write_clips(spark, root, n=160)

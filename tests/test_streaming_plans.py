@@ -313,3 +313,32 @@ def test_runner_rule_scan_never_reads_bytes(spark, tmp_path):
                        - plan.count("BroadcastExchange"))
     assert plain_exchanges == 1, plan
     assert "Exchange hashpartitioning(codec" in plan
+
+
+def test_stream_schema_contract_preflight(spark, tmp_path):
+    """A streaming source whose physical schema drifted must fail at
+    validate_stream() construction — before a 24/7 query launches — and
+    df.schema on a streaming frame is metadata-only, so the preflight
+    costs nothing."""
+    import pytest
+    src = str(tmp_path / "contract_in")
+    os.makedirs(src)
+    df = spark.createDataFrame([(1, 10.0)], "id int, qty double")
+    df.write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(df.schema).parquet(src)
+
+    # matching contract: streams construct as before
+    outs = validate_stream(stream,
+                           K.object({"qty": K.number().required()}),
+                           id_cols=["id"],
+                           schema_contract={"id": "int", "qty": "double"})
+    assert outs["annotated"].isStreaming
+
+    # drifted contract: every break listed, nothing launched
+    with pytest.raises(ValueError) as e:
+        validate_stream(stream,
+                        K.object({"qty": K.number().required()}),
+                        id_cols=["id"],
+                        schema_contract={"id": "string", "qty": "double",
+                                         "ts": "timestamp"})
+    assert "id" in str(e.value) and "ts" in str(e.value)
