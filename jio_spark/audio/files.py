@@ -63,6 +63,27 @@ def list_row_group_splits(root: str,
     bad file cannot kill the whole job. Default ``'fail'`` raises."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+    tagged, _ = _tagged_files(root, partition_filter, partition_col)
+    out = []
+    for path, pval in tagged:
+        try:
+            n_rg = pq.ParquetFile(path).metadata.num_row_groups
+        except (OSError, ValueError, pa.ArrowException):
+            if on_corrupt != "violation":
+                raise
+            out.append((path, -1, pval))
+            continue
+        out.extend((path, rg, pval) for rg in range(n_rg))
+    return out
+
+
+def _tagged_files(root: str, partition_filter: Optional[Sequence],
+                  partition_col: str
+                  ) -> Tuple[List[Tuple[str, Optional[int]]], bool]:
+    """(surviving (path, partition_value) pairs, layout_is_hive): the
+    shared listing/pruning step behind the split lister and the footer
+    audit — one place for the hive-unescape / NULL-dir / non-hive
+    semantics. Purely a directory listing: no footer is touched."""
     paths = sorted(glob.glob(os.path.join(root, "**", "*.parquet"),
                              recursive=True))
     tagged = []
@@ -89,19 +110,9 @@ def list_row_group_splits(root: str,
     # tables as one full-table group
     wanted = set(partition_filter) \
         if partition_filter is not None and any_hive else None
-    out = []
-    for path, pval in tagged:
-        if wanted is not None and pval not in wanted:
-            continue
-        try:
-            n_rg = pq.ParquetFile(path).metadata.num_row_groups
-        except (OSError, ValueError, pa.ArrowException):
-            if on_corrupt != "violation":
-                raise
-            out.append((path, -1, pval))
-            continue
-        out.extend((path, rg, pval) for rg in range(n_rg))
-    return out
+    if wanted is not None:
+        tagged = [(p, pv) for p, pv in tagged if pv in wanted]
+    return tagged, any_hive
 
 
 def footer_row_counts(root: str,
@@ -109,23 +120,28 @@ def footer_row_counts(root: str,
                       partition_col: str = "bucket_id"
                       ) -> Tuple[int, int]:
     """(readable_rows, unreadable_files) from parquet footers —
-    metadata-only, same directory pruning as ``list_row_group_splits``.
+    metadata-only, same directory pruning as ``list_row_group_splits``,
+    ONE footer read per surviving file.
 
     The scan-vs-footer integrity baseline: a Spark scan running with
     ``spark.sql.files.ignoreCorruptFiles`` silently DROPS files it cannot
     read, so a job can "succeed" over less data than the table holds.
     Comparing observed scan rows against this footer total (runner
     ``row_integrity``) turns that silent loss into an explicit flag.
-    Files whose footer itself is unreadable can't be counted — they are
-    reported in the second element so the caller knows the expected
-    total is a lower bound."""
+    Files whose footer cannot be read — damaged, or deleted between the
+    listing and this read by concurrent compaction/retention — can't be
+    counted; they are reported in the second element (never raised: this
+    is the damage AUDIT, it must survive what it audits) so the caller
+    knows the expected total is a lower bound."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
-    splits = list_row_group_splits(root, partition_filter, partition_col,
-                                   on_corrupt="violation")
-    unreadable = len({p for p, rg, _ in splits if rg < 0})
-    total = 0
-    for path in {p for p, rg, _ in splits if rg >= 0}:
-        total += pq.ParquetFile(path).metadata.num_rows
+    tagged, _ = _tagged_files(root, partition_filter, partition_col)
+    total, unreadable = 0, 0
+    for path, _pv in tagged:
+        try:
+            total += pq.ParquetFile(path).metadata.num_rows
+        except (OSError, ValueError, pa.ArrowException):
+            unreadable += 1
     return total, unreadable
 
 

@@ -91,12 +91,18 @@ def schema_contract_violations(df: DataFrame,
     return out
 
 
+def raise_schema_violations(viols: List[Dict]) -> None:
+    """The one place the contract-break error is formatted — listing
+    every break, not just the first (a renamed table usually breaks
+    several)."""
+    lines = "; ".join(v["message"] for v in viols)
+    raise ValueError(f"table schema breaks contract: {lines}")
+
+
 def assert_schema_contract(df: DataFrame,
                            expected: Mapping[str, str],
                            allow_extra: bool = True) -> None:
-    """Raise ``ValueError`` listing every contract break (all of them,
-    not just the first — a renamed table usually breaks several)."""
+    """Raise ``ValueError`` listing every contract break."""
     viols = schema_contract_violations(df, expected, allow_extra)
     if viols:
-        lines = "; ".join(v["message"] for v in viols)
-        raise ValueError(f"table schema breaks contract: {lines}")
+        raise_schema_violations(viols)

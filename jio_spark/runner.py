@@ -31,7 +31,8 @@ from .audio.decode import decode_check, decode_violations
 from .audio.files import decode_check_files
 from .operators.drift import HistSpec, drift_check, snapshot
 from .operators.referential import referential_check
-from .operators.schema import schema_contract_violations
+from .operators.schema import (raise_schema_violations,
+                               schema_contract_violations)
 from .operators.stats import column_stats, stats_exprs
 from .operators.uniqueness import uniqueness_check
 from .sinks.writers import Manifest, RunSink, ruleset_fingerprint
@@ -366,14 +367,21 @@ class ClipsValidationJob:
         table_root so discovery derives from df."""
         cfg = self.cfg
         t0 = time.time()
+        # misconfiguration must fail loudly: a typo'd mode silently
+        # downgrading 'fail' to 'warn' would defeat the very guarantee
+        # the knob exists for
+        if cfg.schema_contract_mode not in ("fail", "warn"):
+            raise ValueError("schema_contract_mode must be 'fail' or "
+                             f"'warn', got {cfg.schema_contract_mode!r}")
+        if cfg.decode_on_corrupt not in ("fail", "violation"):
+            raise ValueError("decode_on_corrupt must be 'fail' or "
+                             f"'violation', got {cfg.decode_on_corrupt!r}")
         schema_viols: List[Dict] = []
         if cfg.schema_contract:
             schema_viols = schema_contract_violations(
                 df, cfg.schema_contract)
             if schema_viols and cfg.schema_contract_mode == "fail":
-                lines = "; ".join(v["message"] for v in schema_viols)
-                raise ValueError(
-                    f"table schema breaks contract: {lines}")
+                raise_schema_violations(schema_viols)
         sink = RunSink(output_root) if output_root else None
         manifest = Manifest(output_root) if output_root else None
 
@@ -428,6 +436,30 @@ class ClipsValidationJob:
             groups = [todo[i:i + cfg.group_size]
                       for i in range(0, len(todo), cfg.group_size)]
 
+        # -- row-integrity setup: decided ONCE per run, not per group --
+        # parquet: the footer audit can prune per GROUP only on a hive
+        # layout; a non-hive layout (partition value is a data column)
+        # would count the WHOLE table against each group's rows — a
+        # false flag on every healthy group — so it audits at TABLE
+        # granularity instead, and only when the run spans every
+        # partition (a resumed subset has no whole-table truth either).
+        # iceberg: the .partitions read is group-independent — one
+        # manifest read per run, indexed per group.
+        parquet_group_audit = False
+        parquet_table_audit = False
+        iceberg_counts = None
+        if cfg.row_integrity and table_root:
+            if (cfg.table_format == "parquet"
+                    and cfg.decode_source == "files"):
+                if _has_hive_dirs(table_root, cfg.partition_col):
+                    parquet_group_audit = True
+                elif len(todo) == len(parts):
+                    parquet_table_audit = True
+            elif cfg.table_format == "iceberg":
+                from .sources.tables import iceberg_partition_row_counts
+                iceberg_counts = iceberg_partition_row_counts(
+                    self.spark, table_root, cfg.partition_col)
+
         total_viols = 0
         rows_processed = 0
         # Spark job SUBMISSION stays concurrent across groups; only the
@@ -461,9 +493,7 @@ class ClipsValidationJob:
                 agg = gdf.agg(F.count(F.lit(1)).alias("rows")).collect()[0]
                 g_rows = int(agg["rows"])
             g_integrity = None
-            if (cfg.row_integrity and table_root
-                    and cfg.decode_source == "files"
-                    and cfg.table_format == "parquet"):
+            if parquet_group_audit:
                 # scan-vs-footer audit: metadata-only, prunes the same
                 # directories the decode does. Catches the JVM scan
                 # silently dropping corrupt files (ignoreCorruptFiles)
@@ -476,20 +506,15 @@ class ClipsValidationJob:
                     "rows_expected": exp,
                     "unreadable_files": unreadable,
                     "ok": bool(g_rows == exp and unreadable == 0)}
-            elif (cfg.row_integrity and table_root
-                    and cfg.table_format == "iceberg" and group):
+            elif iceberg_counts is not None and group:
                 # Iceberg analog: .partitions record_count is the
                 # committed truth for the snapshot (manifest read, no
                 # data files) — same audit, different metadata source
-                from .sources.tables import iceberg_partition_row_counts
-                counts = iceberg_partition_row_counts(
-                    self.spark, table_root, cfg.partition_col)
-                if counts is not None:
-                    exp = sum(counts.get(p, 0) for p in group)
-                    g_integrity = {
-                        "rows_expected": exp,
-                        "unreadable_files": 0,
-                        "ok": bool(g_rows == exp)}
+                exp = sum(iceberg_counts.get(p, 0) for p in group)
+                g_integrity = {
+                    "rows_expected": exp,
+                    "unreadable_files": 0,
+                    "ok": bool(g_rows == exp)}
             if manifest:  # marked LAST, after the group's writes → resume-safe
                 details = {"rows": g_rows}
                 if g_integrity is not None:
@@ -578,7 +603,17 @@ class ClipsValidationJob:
         }
         if cfg.schema_contract:
             metrics["schema_violations"] = schema_viols
-        if integrity:
+        if parquet_table_audit and groups:
+            # non-hive layout: one whole-table footer pass vs the run's
+            # total observed rows (per-group pruning is impossible here)
+            from .audio.files import footer_row_counts
+            exp, unreadable = footer_row_counts(
+                table_root, None, cfg.partition_col)
+            metrics["row_integrity"] = {
+                "ok": bool(rows_processed == exp and unreadable == 0),
+                "rows_expected": exp,
+                "unreadable_files": unreadable}
+        elif integrity:
             metrics["row_integrity"] = {
                 "ok": all(g["ok"] for g in integrity),
                 "rows_expected": sum(g["rows_expected"]

@@ -162,6 +162,25 @@ def test_truncated_file_is_footer_dead(spark, tmp_path):
     assert exp == total - lost
 
 
+def test_nonhive_table_integrity_is_table_level(spark, tmp_path):
+    """A non-hive layout (partition value is a DATA column, no dirs to
+    prune) cannot be audited per group — footer_row_counts would count
+    the WHOLE table against each group's rows and false-flag every
+    healthy group (review finding). The audit must degrade to ONE
+    whole-table comparison, which passes on a clean table."""
+    root = str(tmp_path / "flat")
+    df = clips_frame(spark, 160, clean=True, partitions=4)
+    df.repartition(3, "clip_id").write.parquet(root)  # bucket_id = data col
+    job = ClipsValidationJob(
+        spark, ClipsJobConfig(group_size=2, decode_source="files",
+                              audio_check=False, drift=False),
+        codec_dim=default_codec_dim(spark))
+    m = job.run(spark.read.parquet(root), table_root=root)
+    assert m["groups_run"] > 1          # per-partition groups, the bug shape
+    assert m["row_integrity"] == {"rows_expected": 160,
+                                  "unreadable_files": 0, "ok": True}
+
+
 def test_row_integrity_clean_table(spark, tmp_path):
     root = str(tmp_path / "t3")
     _write_clips(spark, root, n=160)

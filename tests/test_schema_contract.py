@@ -77,6 +77,26 @@ def test_runner_warn_mode_records_and_continues(spark):
     assert sv[0]["rule_name"] == "schema_type"
 
 
+def test_mode_typos_fail_loudly(spark):
+    """A typo'd schema_contract_mode must raise, not silently downgrade
+    'fail' to 'warn' (review finding); decode_on_corrupt likewise."""
+    df = clips_frame(spark, 5, clean=True, partitions=1)
+    dim = default_codec_dim(spark)
+    bad_mode = ClipsValidationJob(
+        spark, ClipsJobConfig(schema_contract=CLIPS_SCHEMA_CONTRACT,
+                              schema_contract_mode="FAIL",
+                              drift=False, audio_check=False),
+        codec_dim=dim)
+    with pytest.raises(ValueError, match="schema_contract_mode"):
+        bad_mode.run(df)
+    bad_corrupt = ClipsValidationJob(
+        spark, ClipsJobConfig(decode_on_corrupt="violations",
+                              drift=False, audio_check=False),
+        codec_dim=dim)
+    with pytest.raises(ValueError, match="decode_on_corrupt"):
+        bad_corrupt.run(df)
+
+
 def test_contract_satisfied_records_empty_list(spark):
     df = clips_frame(spark, 20, clean=True, partitions=2)
     job = ClipsValidationJob(

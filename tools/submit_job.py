@@ -72,14 +72,20 @@ def main(argv=None):
     baseline = (spark.read.parquet(args.baseline)
                 if args.baseline else None)
     from jio_spark.operators.schema import CLIPS_SCHEMA_CONTRACT
+    contract = None
+    if args.schema_contract == "clips":
+        contract = dict(CLIPS_SCHEMA_CONTRACT)
+        if args.no_audio:
+            # metadata-only runs legitimately target tables without the
+            # payload column; don't fail the preflight over a column the
+            # run never reads
+            contract.pop("bytes")
     cfg = ClipsJobConfig(group_size=args.group_size,
                          audio_check=not args.no_audio,
                          check_reference=not args.no_reference,
                          decode_source=args.decode_source,
                          decode_on_corrupt=args.on_corrupt,
-                         schema_contract=(CLIPS_SCHEMA_CONTRACT
-                                          if args.schema_contract == "clips"
-                                          else None),
+                         schema_contract=contract,
                          schema_contract_mode=("warn" if args.schema_warn
                                                else "fail"),
                          table_format=args.format,
