@@ -470,6 +470,7 @@ class ClipsValidationJob:
         sink_lock = threading.Lock()
 
         def run_group(group):
+            g_t0 = time.time()
             gdf = df.where(_part_filter(cfg.partition_col, group))
             obs = None
             if cfg.observe_stats:
@@ -520,13 +521,15 @@ class ClipsValidationJob:
                 if g_integrity is not None:
                     details["row_integrity"] = g_integrity
                 manifest.mark(f"group_{_group_key(group)}", group, details)
-            return group, g_rows, g_viols, g_stats, g_integrity
+            return (group, g_rows, g_viols, g_stats, g_integrity,
+                    time.time() - g_t0)
 
         # global step 1: uniqueness (duplicate ids cross partition groups)
         def run_uniqueness():
+            u_t0 = time.time()
             uniq_key = "_global_uniqueness"
             if manifest and resume and uniq_key in manifest.completed():
-                return 0
+                return 0, time.time() - u_t0
             uv = uniqueness_check(df, "clip_id",
                                   layout=cfg.uniqueness_layout)
             if sink:
@@ -538,25 +541,26 @@ class ClipsValidationJob:
             n = uv.count()
             if manifest:
                 manifest.mark(uniq_key, [], {"violations": n})
-            return n
+            return n, time.time() - u_t0
 
         # global step 2: drift snapshot + check
         def run_drift():
+            d_t0 = time.time()
             if not cfg.drift:
-                return []
+                return [], time.time() - d_t0
             snap = snapshot(df, DRIFT_SPECS)
             if sink:
                 snap.write.mode("overwrite").parquet(
                     sink.path("snapshot"))
             if self.baseline is None:
-                return []
+                return [], time.time() - d_t0
             dc = drift_check(snap, self.baseline,
                              ks_threshold=cfg.ks_threshold,
                              psi_threshold=cfg.psi_threshold)
             rows = [r.asDict() for r in dc.collect()]
             if sink:
                 dc.write.mode("overwrite").parquet(sink.path("drift"))
-            return rows
+            return rows, time.time() - d_t0
 
         if cfg.group_concurrency > 1:
             # the read-only global steps overlap the group jobs: Spark
@@ -566,16 +570,17 @@ class ClipsValidationJob:
                 uniq_f = pool.submit(run_uniqueness)
                 drift_f = pool.submit(run_drift)
                 results = list(pool.map(run_group, groups))
-                uniq_viols = uniq_f.result()
-                drift_rows = drift_f.result()
+                uniq_viols, uniq_sec = uniq_f.result()
+                drift_rows, drift_sec = drift_f.result()
         else:
             results = [run_group(g) for g in groups]
-            uniq_viols = run_uniqueness()
-            drift_rows = run_drift()
+            uniq_viols, uniq_sec = run_uniqueness()
+            drift_rows, drift_sec = run_drift()
 
         group_stats = []
         integrity = []
-        for group, g_rows, g_viols, g_stats, g_integrity in results:
+        group_secs = []
+        for group, g_rows, g_viols, g_stats, g_integrity, g_sec in results:
             if g_viols is not None:
                 total_viols += g_viols
             rows_processed += g_rows
@@ -583,6 +588,7 @@ class ClipsValidationJob:
                 group_stats.append(g_stats)
             if g_integrity is not None:
                 integrity.append(g_integrity)
+            group_secs.append(g_sec)
         col_stats = (_merge_observed_stats(group_stats,
                                            list(cfg.stat_cols),
                                            spark=self.spark)
@@ -600,6 +606,16 @@ class ClipsValidationJob:
             "column_stats": col_stats,
             "wall_sec": wall,
             "rows_per_sec": rows_processed / wall if wall > 0 else None,
+            # per-step walls (steps overlap under group_concurrency>1, so
+            # these sum past wall_sec by design): where a slow run went —
+            # the first question a reader of the run metrics asks
+            "phase_sec": {
+                "groups_max": round(max(group_secs), 3) if group_secs
+                else 0.0,
+                "groups_sum": round(sum(group_secs), 3),
+                "uniqueness": round(uniq_sec, 3),
+                "drift": round(drift_sec, 3),
+            },
         }
         if cfg.schema_contract:
             metrics["schema_violations"] = schema_viols

@@ -33,6 +33,13 @@ def test_full_job_metrics(spark, clips_path, tmp_path):
     assert m["uniqueness_violations"] >= 0
     # clean-vs-dirty drift at this scale stays under thresholds
     assert all(d["pass"] for d in m["drift"])
+    # per-step walls: every step > 0, and the group phase is bounded by
+    # the run wall (steps may overlap, so their SUM may exceed it)
+    ph = m["phase_sec"]
+    assert set(ph) == {"groups_max", "groups_sum", "uniqueness", "drift"}
+    assert 0 < ph["groups_max"] <= ph["groups_sum"]
+    assert ph["groups_max"] <= m["wall_sec"]
+    assert ph["uniqueness"] > 0 and ph["drift"] > 0
 
 
 def test_resume_skips_completed_groups(spark, clips_path, tmp_path):
