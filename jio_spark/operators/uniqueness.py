@@ -19,13 +19,23 @@ layouts use ``uniqueness_check(df, key, layout="any")``, which falls back to
 partial aggregation collapses unique keys map-side, but it shuffles the
 key column.
 
+The clustered assumption is never TRUSTED blindly: the boundary rows
+already on the driver carry each sorted partition's (min, max) key, so
+every run computes a free exactness certificate (consecutive range
+overlap in range-sorted order — see ``_clustered_certificate``), the
+chain itself runs in range order (robust to Spark's size-ordered split
+scheduling scrambling pids), and ``on_unclustered`` picks
+warn / error / trust / (check-level) fallback-to-groupBy when the
+certificate refuses.
+
 Only duplicate *candidates* ever leave their partition; for a
 99.9%-unique table the exchanged data is ~0.1% of keys + 2 rows/partition.
 """
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional
+import warnings
+from typing import Dict, Iterator, List, Optional
 
 import pandas as pd
 
@@ -96,10 +106,73 @@ def _adjacent_scan(key: str):
     return scan
 
 
-def duplicate_ids(df: DataFrame, key: str) -> DataFrame:
+def _py(v):
+    """numpy scalar → plain Python (the certificate travels into JSON
+    run metrics; np.int64 would crash json.dumps)."""
+    return v.item() if hasattr(v, "item") else v
+
+
+def _clustered_certificate(by_pid: Dict, pids: List) -> Dict:
+    """Runtime exactness certificate for the boundary-exchange path,
+    computed from rows ALREADY on the driver — zero extra cost.
+
+    After ``sortWithinPartitions``, each partition's first/last run keys
+    ARE its min/max (non-null) key, so the boundary rows carry every
+    partition's key range. The chain merge is exact iff consecutive-pid
+    ranges do not overlap (``max_i <= min_{i+1}``, equality allowed —
+    that is precisely the boundary the chain merges); consecutive
+    monotonicity implies global monotonicity by transitivity. When the
+    check fails the layout is NOT key-clustered in pid order and a
+    duplicated key can be silently undercounted (concretely: an interior
+    count-1 run is emitted nowhere, so a key occurring once mid-partition
+    and again in another partition loses that occurrence; boundary runs
+    DO merge by key across any distance, making the certificate
+    conservative) — the exact trap this turns into an explicit signal.
+    Ranges are compared (and the caller chains) in RANGE-sorted order,
+    not partition-id order: Spark schedules splits by size, so reading a
+    sort-ordered table yields range-disjoint partitions in scrambled pid
+    order (e.g. one big sorted file split into row-group chunks) — those
+    stay certified and exact. (Layouts that are exact for reasons the
+    ranges cannot show — hash-bucketed key-disjoint partitions, or any
+    write that keeps each duplicated key's copies inside one read unit,
+    e.g. a range-partitioned write where equal keys colocate per file —
+    declare ``on_unclustered='trust'``.)"""
+    rng = []
+    for pid in pids:
+        runs = by_pid[pid]
+        if "whole" in runs:
+            k = runs["whole"][0]
+            rng.append((pid, k, k))
+        else:
+            rng.append((pid, runs["first"][0], runs["last"][0]))
+    overlaps = []
+    for (apid, _amin, amax), (bpid, bmin, _bmax) in zip(rng, rng[1:]):
+        if amax > bmin:
+            overlaps.append({"pid_a": _py(apid), "max_a": _py(amax),
+                             "pid_b": _py(bpid), "min_b": _py(bmin)})
+    return {"clustered_certified": not overlaps,
+            "partitions": len(rng),
+            "overlap_count": len(overlaps),
+            "overlaps": overlaps[:5]}
+
+
+def duplicate_ids(df: DataFrame, key: str,
+                  on_unclustered: str = "warn",
+                  certificate: Optional[Dict] = None) -> DataFrame:
     """Keys appearing more than once, with their counts — exact for
     key-clustered layouts (see module docstring). Returns a DataFrame
-    ``(key, cnt)``."""
+    ``(key, cnt)``.
+
+    The clustered assumption is VERIFIED per run via the free range
+    certificate (:func:`_clustered_certificate`): ``on_unclustered``
+    picks what happens when it fails — ``'warn'`` (default) emits a
+    ``RuntimeWarning`` and returns the possibly-undercounting result,
+    ``'error'`` raises, ``'trust'`` skips the signal (for hash-bucketed
+    key-disjoint layouts, which are exact but not range-monotone).
+    Pass a dict as ``certificate`` to receive the verdict either way."""
+    if on_unclustered not in ("warn", "error", "trust"):
+        raise ValueError("on_unclustered must be 'warn', 'error' or "
+                         f"'trust', got {on_unclustered!r}")
     spark = df.sparkSession
     scan = (df.select(key)
               .sortWithinPartitions(key)
@@ -125,7 +198,34 @@ def duplicate_ids(df: DataFrame, key: str) -> DataFrame:
     def add(k, c):
         merged[k] = merged.get(k, 0) + c
 
-    pids = sorted(by_pid)
+    def _span(runs):
+        if "whole" in runs:
+            k = runs["whole"][0]
+            return (k, k)
+        return (runs["first"][0], runs["last"][0])
+
+    # chain in RANGE order, not pid order: Spark schedules splits by
+    # size, so a sorted table read back arrives with its ranges
+    # scrambled across pids; (min, max) order is the only order in
+    # which adjacent-range chaining is meaningful
+    pids = sorted(by_pid, key=lambda p: (*_span(by_pid[p]), p))
+    cert = _clustered_certificate(by_pid, pids)
+    if certificate is not None:
+        certificate.update(cert)
+    if not cert["clustered_certified"] and on_unclustered != "trust":
+        ex = cert["overlaps"][0]
+        msg = (f"layout is not key-clustered in partition order: "
+               f"{cert['overlap_count']} of {cert['partitions']} "
+               f"consecutive partition ranges overlap (e.g. partition "
+               f"{ex['pid_a']} max {ex['max_a']!r} > partition "
+               f"{ex['pid_b']} min {ex['min_b']!r}); duplicates of "
+               f"`{key}` spanning non-adjacent partitions would be "
+               f"undercounted — use layout='any', or "
+               f"on_unclustered='trust' for hash-bucketed key-disjoint "
+               f"layouts")
+        if on_unclustered == "error":
+            raise ValueError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     # chain runs across consecutive partitions: a key continues from
     # partition i into i+1 only if i's last == (i+1)'s first
     open_key, open_cnt = None, 0
@@ -163,18 +263,40 @@ def duplicate_ids(df: DataFrame, key: str) -> DataFrame:
 
 
 def uniqueness_check(df: DataFrame, key: str, layout: str = "clustered",
-                     id_alias: Optional[str] = None) -> DataFrame:
+                     id_alias: Optional[str] = None,
+                     on_unclustered: str = "warn",
+                     certificate: Optional[Dict] = None) -> DataFrame:
     """Violation rows for duplicated keys, in the engine's standard shape.
 
-    ``layout='clustered'`` uses the shuffle-free boundary-exchange path;
+    ``layout='clustered'`` uses the shuffle-free boundary-exchange path
+    (with the free runtime exactness certificate — see
+    :func:`duplicate_ids` for ``on_unclustered``/``certificate``);
     ``layout='any'`` uses the exact groupBy fallback (key-column shuffle,
-    map-side combined)."""
+    map-side combined).
+
+    ``on_unclustered='fallback'`` (this level only): run the clustered
+    path, and if the certificate refuses, discard its result and rerun
+    via the exact groupBy — always exact, shuffle-free when the layout
+    certifies, one wasted key-column scan when it does not (recorded as
+    ``certificate['fallback_used']``)."""
     if layout == "any":
         dups = (df.groupBy(F.col(key).alias("key"))
                   .agg(F.count(F.lit(1)).alias("cnt"))
                   .where(F.col("cnt") > 1))
+    elif on_unclustered == "fallback":
+        cert = {} if certificate is None else certificate
+        dups = duplicate_ids(df, key, on_unclustered="trust",
+                             certificate=cert)
+        if not cert.get("clustered_certified", True):
+            cert["fallback_used"] = True
+            dups = (df.groupBy(F.col(key).alias("key"))
+                      .agg(F.count(F.lit(1)).alias("cnt"))
+                      .where(F.col("cnt") > 1))
+        else:
+            cert["fallback_used"] = False
     else:
-        dups = duplicate_ids(df, key)
+        dups = duplicate_ids(df, key, on_unclustered=on_unclustered,
+                             certificate=certificate)
     out_key = id_alias or key
     return dups.select(
         F.col("key").cast("string").alias(out_key),

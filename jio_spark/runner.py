@@ -208,6 +208,14 @@ class ClipsJobConfig:
     check_reference: bool = True      # SNR + transcript vs synth oracle
     snr_threshold: float = 30.0
     uniqueness_layout: str = "any"    # clips parquet isn't key-clustered
+    #: when ``uniqueness_layout='clustered'``: what to do if the free
+    #: runtime range certificate (operators/uniqueness.py) finds the
+    #: layout NOT key-clustered — 'warn' | 'error' | 'trust'
+    #: (hash-bucketed / equal-keys-colocated writes are exact despite
+    #: overlapping ranges) | 'fallback' (rerun via the exact groupBy —
+    #: always exact, shuffle-free when certified). The verdict lands in
+    #: ``metrics['uniqueness_certificate']`` either way.
+    uniqueness_on_unclustered: str = "warn"
     #: storage format behind ``table_root`` — drives metadata-only
     #: partition discovery (hive dir listing vs Iceberg .partitions) and
     #: gates the payload-local 'files' decode (parquet row-group reads)
@@ -376,6 +384,12 @@ class ClipsValidationJob:
         if cfg.decode_on_corrupt not in ("fail", "violation"):
             raise ValueError("decode_on_corrupt must be 'fail' or "
                              f"'violation', got {cfg.decode_on_corrupt!r}")
+        if cfg.uniqueness_on_unclustered not in ("warn", "error", "trust",
+                                                 "fallback"):
+            raise ValueError(
+                "uniqueness_on_unclustered must be 'warn', 'error', "
+                "'trust' or 'fallback', got "
+                f"{cfg.uniqueness_on_unclustered!r}")
         schema_viols: List[Dict] = []
         if cfg.schema_contract:
             schema_viols = schema_contract_violations(
@@ -525,13 +539,17 @@ class ClipsValidationJob:
                     time.time() - g_t0)
 
         # global step 1: uniqueness (duplicate ids cross partition groups)
+        uniq_cert: Dict = {}
+
         def run_uniqueness():
             u_t0 = time.time()
             uniq_key = "_global_uniqueness"
             if manifest and resume and uniq_key in manifest.completed():
                 return 0, time.time() - u_t0
-            uv = uniqueness_check(df, "clip_id",
-                                  layout=cfg.uniqueness_layout)
+            uv = uniqueness_check(
+                df, "clip_id", layout=cfg.uniqueness_layout,
+                on_unclustered=cfg.uniqueness_on_unclustered,
+                certificate=uniq_cert)
             if sink:
                 # overwrite, not append: a crash between this write and
                 # the step's manifest mark must not duplicate rows when
@@ -619,6 +637,10 @@ class ClipsValidationJob:
         }
         if cfg.schema_contract:
             metrics["schema_violations"] = schema_viols
+        if uniq_cert:
+            # the clustered path's runtime exactness verdict (free: built
+            # from the boundary rows the merge already collected)
+            metrics["uniqueness_certificate"] = uniq_cert
         if parquet_table_audit and groups:
             # non-hive layout: one whole-table footer pass vs the run's
             # total observed rows (per-group pruning is impossible here)

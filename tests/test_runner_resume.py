@@ -155,7 +155,8 @@ def test_nonhive_layout_runs_one_group(spark, clips_path, tmp_path):
      .sortWithinPartitions("clip_id")
      .write.parquet(flat))                  # bucket_id is a DATA column
     cfg = dict(group_size=4, decode_source="files",
-               uniqueness_layout="clustered")
+               uniqueness_layout="clustered",
+               uniqueness_on_unclustered="fallback")
     ref = ClipsValidationJob(
         spark, ClipsJobConfig(group_size=4, decode_source="files"),
         codec_dim=default_codec_dim(spark)) \
@@ -166,6 +167,11 @@ def test_nonhive_layout_runs_one_group(spark, clips_path, tmp_path):
     assert m["groups_run"] == 1             # not 16/group_size groups
     assert m["rows"] == ref["rows"] == 1200
     assert m["violations"] == ref["violations"]
+    # the exactness certificate rides the run metrics; under 'fallback'
+    # an uncertified read order reruns via groupBy (always exact either
+    # way — the count equality below is the proof)
+    cert = m["uniqueness_certificate"]
+    assert cert["fallback_used"] == (not cert["clustered_certified"])
     assert m["uniqueness_violations"] == ref["uniqueness_violations"]
 
 

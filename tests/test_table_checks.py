@@ -99,6 +99,111 @@ def test_uniqueness_no_dups(spark):
     assert duplicate_ids(df, "clip_id").count() == 0
 
 
+def test_clustered_certificate_on_sorted_layout(spark):
+    """Range-partitioned layout: the free exactness certificate passes
+    (consecutive partition key ranges are monotone) and the result is
+    exact — with no warning emitted."""
+    import warnings as _w
+    rows = [(f"k{i:03d}",) for i in range(60)] + [("k010",)]
+    df = (spark.createDataFrame(rows, "clip_id string")
+          .repartitionByRange(4, "clip_id"))
+    cert = {}
+    with _w.catch_warnings():
+        _w.simplefilter("error")    # any RuntimeWarning fails the test
+        dups = {r["key"]: r["cnt"]
+                for r in duplicate_ids(df, "clip_id",
+                                       certificate=cert).collect()}
+    assert dups == {"k010": 2}
+    assert cert["clustered_certified"] is True
+    assert cert["overlap_count"] == 0 and cert["partitions"] >= 2
+
+
+def test_clustered_certificate_refuses_unclustered_layout(spark):
+    """The trap the certificate exists for: a key duplicated in NON-
+    adjacent partitions is silently undercounted by the boundary chain.
+    Boundary (first/last) runs merge by KEY across all partitions, so
+    the loss needs an INTERIOR single occurrence: pinned via
+    sc.parallelize slice boundaries ([0,2) [2,4) [4,7) for 7 rows /
+    3 slices): pid0=['a','b'], pid1=['m','x'], pid2=['k','m','z1'] —
+    pid2's 'm' is an interior count-1 run (emitted nowhere), so 'm' x2
+    is undercounted to 1; and pid1's max 'x' > pid2's min 'k' breaks
+    range monotonicity, which is exactly what the certificate sees."""
+    rows = [("a",), ("b",), ("m",), ("x",), ("k",), ("m",), ("z1",)]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3), "clip_id string")
+    cert = {}
+    with pytest.warns(RuntimeWarning, match="not key-clustered"):
+        got = {r["key"]: r["cnt"]
+               for r in duplicate_ids(df, "clip_id",
+                                      certificate=cert).collect()}
+    assert got == {}                       # the real undercount, flagged
+    assert cert["clustered_certified"] is False
+    assert cert["overlap_count"] >= 1
+    ov = cert["overlaps"][0]
+    assert ov["max_a"] > ov["min_b"]
+    # JSON-safe: the certificate travels into run.json metrics
+    import json
+    json.dumps(cert)
+
+    # the exact fallback path sees the duplicate the clustered path missed
+    truth = {r["clip_id"]
+             for r in uniqueness_check(df, "clip_id",
+                                       layout="any").collect()}
+    assert truth == {"m"}
+
+    # 'error' escalates, 'trust' silences (the hash-bucketed contract)
+    with pytest.raises(ValueError, match="not key-clustered"):
+        duplicate_ids(df, "clip_id", on_unclustered="error").collect()
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        duplicate_ids(df, "clip_id", on_unclustered="trust").collect()
+    with pytest.raises(ValueError, match="on_unclustered"):
+        duplicate_ids(df, "clip_id", on_unclustered="typo")
+
+    # 'fallback' (check level): refusal reruns via the exact groupBy
+    cert2 = {}
+    v = {r["clip_id"] for r in
+         uniqueness_check(df, "clip_id", layout="clustered",
+                          on_unclustered="fallback",
+                          certificate=cert2).collect()}
+    assert v == {"m"} and cert2["fallback_used"] is True
+
+
+def test_clustered_chain_runs_in_range_order(spark):
+    """Spark schedules splits by size, so a sorted table read back
+    arrives with its (disjoint) ranges scrambled across pids — the chain
+    sorts partitions by (min, max) key, so such layouts stay certified
+    AND exact. Pinned via parallelize slices ([0,2) [2,4) [4,7)):
+    pid0=['m','m'], pid1=['a','b'], pid2=['x','x','n'] — range order is
+    pid1 < pid0 < pid2."""
+    rows = [("m",), ("m",), ("a",), ("b",), ("x",), ("x",), ("n",)]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3), "clip_id string")
+    cert = {}
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        got = {r["key"]: r["cnt"]
+               for r in duplicate_ids(df, "clip_id",
+                                      certificate=cert).collect()}
+    assert got == {"m": 2, "x": 2}
+    assert cert["clustered_certified"] is True
+
+    # boundary chaining across scrambled order: pid0=['z','z'],
+    # pid1=['a','z'] — range-sorted pid1 (a..z) precedes pid0 (z..z),
+    # max 'z' == min 'z' is the boundary the chain merges: z x3
+    rows2 = [("z",), ("z",), ("a",), ("z",)]
+    df2 = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows2, 2), "clip_id string")
+    cert2 = {}
+    got2 = {r["key"]: r["cnt"]
+            for r in duplicate_ids(df2, "clip_id",
+                                   certificate=cert2).collect()}
+    assert got2 == {"z": 3}
+    assert cert2["clustered_certified"] is True
+
+
 def test_referential_check_broadcast(spark):
     fact = spark.createDataFrame(
         [(1, "pcm_s16le"), (2, "ulaw"), (3, "opus"), (4, None)],
