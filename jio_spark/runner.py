@@ -399,11 +399,38 @@ class ClipsValidationJob:
         sink = RunSink(output_root) if output_root else None
         manifest = Manifest(output_root) if output_root else None
 
+        # the semantic fingerprint: every knob that changes WHICH rows
+        # come out. A resumed run must match the run it resumes — the
+        # completed groups' outputs were produced under the old config,
+        # so a mismatch would silently mix two rule versions' violations
+        # in one output dir (per-group lineage would say nothing: the
+        # manifest records completion, not semantics).
+        semantics = {
+            "ruleset": ruleset_fingerprint(cfg.rules),
+            "partition_col": cfg.partition_col,
+            "audio_check": cfg.audio_check,
+            "check_reference": cfg.check_reference,
+            "snr_threshold": cfg.snr_threshold,
+            "decode_on_corrupt": cfg.decode_on_corrupt,
+        }
+        resumed_from = None
         if sink:
+            prev = sink.read_run_metadata()
+            if resume and prev:
+                diffs = {k: {"completed_groups_used": prev[k], "now": v}
+                         for k, v in semantics.items()
+                         if k in prev and prev[k] != v}
+                if diffs:
+                    raise ValueError(
+                        "resume would mix outputs from two different "
+                        f"configurations: {diffs} — rerun without "
+                        "resume (full rewrite) or restore the original "
+                        "config")
+                resumed_from = prev.get("run_id")
             sink.write_run_metadata({
-                "ruleset": ruleset_fingerprint(cfg.rules),
-                "partition_col": cfg.partition_col,
-                "audio_check": cfg.audio_check,
+                **semantics,
+                **({"resumed_from": resumed_from} if resumed_from
+                   else {}),
             })
 
         # partition discovery is metadata-only when the table location is
@@ -662,9 +689,9 @@ class ClipsValidationJob:
             # keep the run-start lineage keys — the final write replaces
             # run.json wholesale
             sink.write_run_metadata({
-                "ruleset": ruleset_fingerprint(cfg.rules),
-                "partition_col": cfg.partition_col,
-                "audio_check": cfg.audio_check,
+                **semantics,
+                **({"resumed_from": resumed_from} if resumed_from
+                   else {}),
                 "metrics": {k: v for k, v in metrics.items()
                             if k != "drift"},
             })

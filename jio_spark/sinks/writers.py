@@ -114,6 +114,15 @@ class RunSink:
         with open(os.path.join(self.root, "run.json"), "w") as f:
             json.dump(meta, f, indent=2)
 
+    def read_run_metadata(self) -> Optional[dict]:
+        """The previous run.json at this root, or None — what a resumed
+        run checks its semantics against before overwriting it."""
+        p = os.path.join(self.root, "run.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
     def append(self, df: DataFrame, name: str,
                partition_col: Optional[str] = "bucket_id") -> None:
         w = df.write.mode("append")

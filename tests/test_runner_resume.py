@@ -82,6 +82,50 @@ def test_resume_noop_when_complete(spark, clips_path, tmp_path):
     assert m2["groups_run"] == 0 and m2["rows"] == 0
 
 
+def test_resume_refuses_changed_semantics(spark, clips_path, tmp_path):
+    """A resumed run must run the SAME validation as the run it resumes:
+    the completed groups' outputs were produced under the old config, so
+    resuming with different rules or thresholds would silently mix two
+    rule versions' violations in one output dir. run.json carries the
+    semantic fingerprint; resume checks it before touching anything."""
+    import json
+
+    from jio_spark import K
+
+    df = spark.read.parquet(clips_path)
+    out = str(tmp_path / "sem")
+    cfg = ClipsJobConfig(group_size=4, audio_check=False, drift=False)
+    job = ClipsValidationJob(spark, cfg)
+    job.run(df, output_root=out)
+    manifest = Manifest(out)
+    group_files = sorted(n for n in os.listdir(manifest.dir)
+                         if n.startswith("group_"))
+    os.remove(os.path.join(manifest.dir, group_files[0]))
+
+    # changed ruleset → refused, nothing rewritten
+    cfg2 = ClipsJobConfig(
+        group_size=4, audio_check=False, drift=False,
+        rules=K.object({"sr_hz": K.number().required().min(1)}))
+    with pytest.raises(ValueError, match="ruleset"):
+        ClipsValidationJob(spark, cfg2).run(df, output_root=out,
+                                            resume=True)
+
+    # changed audio semantics → refused (config-level fingerprint:
+    # deliberately strict even when audio_check is off)
+    cfg3 = ClipsJobConfig(group_size=4, audio_check=False, drift=False,
+                          snr_threshold=25.0)
+    with pytest.raises(ValueError, match="snr_threshold"):
+        ClipsValidationJob(spark, cfg3).run(df, output_root=out,
+                                            resume=True)
+
+    # identical config → resumes the one open group and records lineage
+    m = job.run(df, output_root=out, resume=True)
+    assert m["groups_run"] == 1
+    with open(os.path.join(out, "run.json")) as f:
+        run = json.load(f)
+    assert run.get("resumed_from")
+
+
 def test_partition_discovery_is_metadata_only(spark, clips_path):
     """list_partition_values reads the hive directory names — no Spark
     job, values parsed back to the column's int domain — and the runner
