@@ -142,8 +142,25 @@ def drift_check(current: DataFrame, baseline: DataFrame,
     cur = {r["col_name"]: r for r in current.collect()}
     base = {r["col_name"]: r for r in baseline.collect()}
     out = []
+    for c in sorted(set(cur) - set(base)):
+        # a monitored column with no baseline is NOT silently skipped —
+        # a user adding a column to DRIFT_SPECS against a stale baseline
+        # must see it was never evaluated (pass: nothing to compare yet)
+        out.append((c, None, None, True, True, True,
+                    f"field `{c}` has no baseline snapshot — drift not "
+                    "evaluated"))
     for c in sorted(set(cur) & set(base)):
         rc, rb = cur[c], base[c]
+        if (rb["lo"], rb["hi"], len(rb["histogram"])) != \
+                (rc["lo"], rc["hi"], len(rc["histogram"])):
+            # PSI over misaligned bins is a meaningless number, not a
+            # drift verdict — this is a config error, fail loudly
+            raise ValueError(
+                f"drift baseline for `{c}` was built with a different "
+                f"histogram spec (baseline lo={rb['lo']} hi={rb['hi']} "
+                f"bins={len(rb['histogram']) - 2}, current lo={rc['lo']} "
+                f"hi={rc['hi']} bins={len(rc['histogram']) - 2}) — "
+                "rebuild the baseline snapshot with the current HistSpec")
         ks = (ks_from_quantiles(rb["quantiles"], rc["quantiles"])
               if rb["quantiles"] and rc["quantiles"] else None)
         psi = psi_from_histograms(rb["histogram"], rc["histogram"])

@@ -256,6 +256,38 @@ def test_drift_check_end_to_end(spark):
     assert not bad["pass"], bad
 
 
+def test_drift_check_refuses_mismatched_bin_specs(spark):
+    """PSI over misaligned bins is a meaningless number: a baseline
+    built with a different HistSpec (range or bin count) must fail
+    loudly, not return a garbage statistic."""
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 100).cast("double").alias("dur_ms"))
+    snap_a = snapshot(df, {"dur_ms": HistSpec(0.0, 160.0, 32)})
+    snap_bins = snapshot(df, {"dur_ms": HistSpec(0.0, 160.0, 16)})
+    snap_range = snapshot(df, {"dur_ms": HistSpec(0.0, 320.0, 32)})
+    with pytest.raises(ValueError, match="histogram spec"):
+        drift_check(snap_a, snap_bins)
+    with pytest.raises(ValueError, match="histogram spec"):
+        drift_check(snap_a, snap_range)
+
+
+def test_drift_check_reports_missing_baseline_column(spark):
+    """A column monitored now but absent from the baseline must surface
+    as an explicit not-evaluated row (pass=True), not vanish silently —
+    the stale-baseline signal when DRIFT_SPECS grows."""
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 100).cast("double").alias("dur_ms"),
+        (F.col("id") % 50).cast("double").alias("sr_hz"))
+    base = snapshot(df, {"dur_ms": HistSpec(0.0, 160.0, 32)})
+    cur = snapshot(df, {"dur_ms": HistSpec(0.0, 160.0, 32),
+                        "sr_hz": HistSpec(0.0, 64.0, 16)})
+    rows = {r["col_name"]: r for r in drift_check(cur, base).collect()}
+    assert rows["dur_ms"]["pass"] and rows["dur_ms"]["psi"] is not None
+    nb = rows["sr_hz"]
+    assert nb["pass"] and nb["ks"] is None and nb["psi"] is None
+    assert "no baseline" in nb["message"]
+
+
 def test_snapshot_roundtrip(spark, tmp_path):
     df = spark.range(0, 500).select(
         (F.col("id") % 50).cast("double").alias("x"))
