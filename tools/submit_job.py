@@ -58,6 +58,19 @@ def main(argv=None):
     ap.add_argument("--schema-warn", action="store_true",
                     help="record schema-contract breaks as metrics instead "
                          "of failing the run")
+    ap.add_argument("--uniqueness-layout", default="any",
+                    choices=["any", "clustered"],
+                    help="'clustered' = shuffle-free boundary-exchange "
+                         "uniqueness for clip_id-sort-ordered tables "
+                         "(Iceberg sort order); 'any' = exact groupBy")
+    ap.add_argument("--on-unclustered", default="fallback",
+                    choices=["warn", "error", "trust", "fallback"],
+                    help="what to do when the clustered path's free "
+                         "runtime range certificate finds the layout not "
+                         "key-clustered: 'fallback' (default here) reruns "
+                         "via the exact groupBy — always exact; 'trust' "
+                         "for layouts exact by construction (hash-bucketed "
+                         "or equal-keys-colocated writes)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -89,6 +102,8 @@ def main(argv=None):
                          schema_contract_mode=("warn" if args.schema_warn
                                                else "fail"),
                          table_format=args.format,
+                         uniqueness_layout=args.uniqueness_layout,
+                         uniqueness_on_unclustered=args.on_unclustered,
                          drift=baseline is not None)
     job = ClipsValidationJob(spark, cfg,
                              codec_dim=default_codec_dim(spark),
