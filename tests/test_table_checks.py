@@ -204,6 +204,58 @@ def test_clustered_chain_runs_in_range_order(spark):
     assert cert2["clustered_certified"] is True
 
 
+def test_clustered_certificate_soundness_fuzz(spark):
+    """The certificate's core claim, fuzzed: over random key multisets
+    scattered into random partition layouts (sorted runs, scrambled
+    ranges, duplicates split across arbitrary partitions, empty
+    partitions), certified ⇒ the clustered result equals the Counter
+    truth, and the 'fallback' mode is exact ALWAYS."""
+    import random
+    from collections import Counter
+
+    for seed in (3, 11, 29, 101):
+        rng = random.Random(seed)
+        keys = []
+        for _ in range(rng.randint(4, 25)):
+            keys += [f"k{rng.randint(0, 20):03d}"] * rng.randint(1, 6)
+        expect = {k: c for k, c in Counter(keys).items() if c > 1}
+        layouts = ["scatter", "sorted_chunks", "hash"]
+        for layout in layouts:
+            n_parts = rng.randint(1, 6)
+            if layout == "scatter":
+                rng.shuffle(keys)
+                rows = [(k,) for k in keys]
+            elif layout == "sorted_chunks":
+                # globally sorted, then chunk order scrambled — the
+                # scrambled-but-disjoint read the range-order chain fixes
+                srt = sorted(keys)
+                cut = sorted(rng.sample(range(len(srt) + 1),
+                                        min(n_parts - 1, len(srt))))
+                chunks = [srt[a:b]
+                          for a, b in zip([0] + cut, cut + [len(srt)])]
+                rng.shuffle(chunks)
+                rows = [(k,) for ch in chunks for k in ch]
+            else:
+                rows = sorted(((k,) for k in keys),
+                              key=lambda r: hash((seed, r[0])))
+            df = spark.createDataFrame(
+                spark.sparkContext.parallelize(rows, n_parts),
+                "clip_id string")
+            cert = {}
+            got = {r["key"]: r["cnt"]
+                   for r in duplicate_ids(df, "clip_id",
+                                          on_unclustered="trust",
+                                          certificate=cert).collect()}
+            if cert["clustered_certified"]:
+                assert got == expect, (seed, layout, n_parts)
+            cert2 = {}
+            v = {r["clip_id"]: r for r in
+                 uniqueness_check(df, "clip_id", layout="clustered",
+                                  on_unclustered="fallback",
+                                  certificate=cert2).collect()}
+            assert set(v) == set(expect), (seed, layout, n_parts, cert2)
+
+
 def test_referential_check_broadcast(spark):
     fact = spark.createDataFrame(
         [(1, "pcm_s16le"), (2, "ulaw"), (3, "opus"), (4, None)],
