@@ -580,7 +580,12 @@ def q_uniqueness_clustered(spark, sf):
     merge — no full-table shuffle of the key column. The oracle is the
     plain groupBy SQL: both must produce identical duplicate sets."""
     li = _t(spark, sf, "lineitem").repartitionByRange(16, "l_orderkey")
-    return uniqueness_check(li, "l_orderkey", layout="clustered") \
+    # on_unclustered='error': an in-session range repartition is
+    # pid-monotone by construction, so the free runtime exactness
+    # certificate MUST pass here — if it ever stops passing, fail the
+    # driver harness loudly instead of comparing a lucky result
+    return uniqueness_check(li, "l_orderkey", layout="clustered",
+                            on_unclustered="error") \
         .withColumnRenamed("l_orderkey", "key_str")
 
 
