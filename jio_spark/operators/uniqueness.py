@@ -118,11 +118,12 @@ def _clustered_certificate(by_pid: Dict, pids: List) -> Dict:
 
     After ``sortWithinPartitions``, each partition's first/last run keys
     ARE its min/max (non-null) key, so the boundary rows carry every
-    partition's key range. The chain merge is exact iff consecutive-pid
-    ranges do not overlap (``max_i <= min_{i+1}``, equality allowed —
-    that is precisely the boundary the chain merges); consecutive
-    monotonicity implies global monotonicity by transitivity. When the
-    check fails the layout is NOT key-clustered in pid order and a
+    partition's key range. The chain merge is exact iff consecutive
+    ranges (in the (min, max)-sorted order the caller also chains in) do
+    not overlap (``max_i <= min_{i+1}``, equality allowed — that is
+    precisely the boundary the chain merges); consecutive monotonicity
+    implies global monotonicity by transitivity. When the
+    check fails the layout is NOT key-clustered and a
     duplicated key can be silently undercounted (concretely: an interior
     count-1 run is emitted nowhere, so a key occurring once mid-partition
     and again in another partition loses that occurrence; boundary runs
@@ -214,9 +215,9 @@ def duplicate_ids(df: DataFrame, key: str,
         certificate.update(cert)
     if not cert["clustered_certified"] and on_unclustered != "trust":
         ex = cert["overlaps"][0]
-        msg = (f"layout is not key-clustered in partition order: "
+        msg = (f"layout is not key-clustered: "
                f"{cert['overlap_count']} of {cert['partitions']} "
-               f"consecutive partition ranges overlap (e.g. partition "
+               f"range-adjacent partition ranges overlap (e.g. partition "
                f"{ex['pid_a']} max {ex['max_a']!r} > partition "
                f"{ex['pid_b']} min {ex['min_b']!r}); duplicates of "
                f"`{key}` spanning non-adjacent partitions would be "
