@@ -173,7 +173,9 @@ def duplicate_ids(df: DataFrame, key: str,
     Pass a dict as ``certificate`` to receive the verdict either way."""
     if on_unclustered not in ("warn", "error", "trust"):
         raise ValueError("on_unclustered must be 'warn', 'error' or "
-                         f"'trust', got {on_unclustered!r}")
+                         f"'trust', got {on_unclustered!r} "
+                         "('fallback' exists one level up, on "
+                         "uniqueness_check, which can rerun via groupBy)")
     spark = df.sparkSession
     scan = (df.select(key)
               .sortWithinPartitions(key)
