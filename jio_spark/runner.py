@@ -25,6 +25,7 @@ from typing import Dict, List, Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .compiler import compile_ruleset
 from .dsl import K, ObjectSchema
 from .engine import validate
 from .audio.decode import decode_check, decode_violations
@@ -261,6 +262,17 @@ class ClipsJobConfig:
     #: reads; merged across groups driver-side into metrics
     observe_stats: bool = True
     stat_cols: Sequence[str] = ("sr_hz", "dur_ms", "codec", "transcript")
+    #: per-RULE evaluated/passed/failed counts riding the SAME observe
+    #: (2 long sums per rule — map-side combinable, no extra scan):
+    #: the run metrics answer "which rule failed how often" without
+    #: re-reading the written violations. jio analog: the per-rule
+    #: verdicts its test suite asserts, aggregated. Covers the compiled
+    #: rule chain; referential/decode/uniqueness counts live in their
+    #: own violation streams. Requires ``observe_stats``. OFF by
+    #: default: a 5-rep interleaved A/B at sf0.1 measured the ~2×19
+    #: extra observe aggregates at +0.6 s (+9%) on the full job
+    #: (7.80 vs 7.17 s medians) — worth paying only when asked for.
+    observe_rule_counts: bool = False
 
 
 class ClipsValidationJob:
@@ -298,11 +310,20 @@ class ClipsValidationJob:
         if observation is not None:
             # stats piggyback on the SAME scan (before the violation
             # filter drops passing rows) — no extra source read
-            ann = ann.observe(observation,
-                              *stats_exprs(df, list(self.cfg.stat_cols),
-                                           quantiles=None,
-                                           hll_sketch=True,
-                                           kll_quantiles=True))
+            exprs = stats_exprs(df, list(self.cfg.stat_cols),
+                                quantiles=None,
+                                hll_sketch=True,
+                                kll_quantiles=True)
+            if self.cfg.observe_rule_counts:
+                # per-rule verdict tallies on the same pass: 2 plain
+                # long sums per rule (failed = evaluated - passed)
+                for i, e in enumerate(res.compiled.entries):
+                    exprs += [
+                        F.sum(e.evaluated.cast("long"))
+                         .alias(f"__rule{i}__ev"),
+                        F.sum((e.evaluated & e.passed).cast("long"))
+                         .alias(f"__rule{i}__ps")]
+            ann = ann.observe(observation, *exprs)
 
         if self.codec_dim is not None:
             dim = F.broadcast(self.codec_dim.select(
@@ -634,6 +655,22 @@ class ClipsValidationJob:
             if g_integrity is not None:
                 integrity.append(g_integrity)
             group_secs.append(g_sec)
+        rule_counts = None
+        if cfg.observe_stats and cfg.observe_rule_counts and group_stats:
+            # metadata from ONE driver-side compile (deterministic for
+            # the same ruleset — the per-group clones compile to the
+            # same entry order); counts are plain sums across groups
+            meta = [(e.rule_id, e.path, e.rule_name)
+                    for e in compile_ruleset(df, cfg.rules.clone()).entries]
+            rule_counts = []
+            for i, (rid, path, name) in enumerate(meta):
+                ev = sum(int(g.get(f"__rule{i}__ev") or 0)
+                         for g in group_stats)
+                ps = sum(int(g.get(f"__rule{i}__ps") or 0)
+                         for g in group_stats)
+                rule_counts.append(
+                    {"rule_id": rid, "rule_path": path, "rule_name": name,
+                     "evaluated": ev, "passed": ps, "failed": ev - ps})
         col_stats = (_merge_observed_stats(group_stats,
                                            list(cfg.stat_cols),
                                            spark=self.spark)
@@ -664,6 +701,8 @@ class ClipsValidationJob:
         }
         if cfg.schema_contract:
             metrics["schema_violations"] = schema_viols
+        if rule_counts is not None:
+            metrics["rule_counts"] = rule_counts
         if uniq_cert:
             # the clustered path's runtime exactness verdict (free: built
             # from the boundary rows the merge already collected)

@@ -24,7 +24,9 @@ def test_full_job_metrics(spark, clips_path, tmp_path):
     baseline = snapshot(clips_frame(spark, 1200, clean=True, partitions=4),
                         {"dur_ms": HistSpec(200.0, 30000.0, 32),
                          "sr_hz": HistSpec(0.0, 48000.0, 48)})
-    job = ClipsValidationJob(spark, ClipsJobConfig(group_size=16),
+    job = ClipsValidationJob(spark,
+                             ClipsJobConfig(group_size=16,
+                                            observe_rule_counts=True),
                              codec_dim=default_codec_dim(spark),
                              baseline_snapshot=baseline)
     m = job.run(df)
@@ -40,6 +42,17 @@ def test_full_job_metrics(spark, clips_path, tmp_path):
     assert 0 < ph["groups_max"] <= ph["groups_sum"]
     assert ph["groups_max"] <= m["wall_sec"]
     assert ph["uniqueness"] > 0 and ph["drift"] > 0
+    # per-rule tallies ride the same observe: every rule has
+    # evaluated >= passed, nothing evaluated beyond the row count, the
+    # injected anomalies fail at least one rule, and the summed failed
+    # equals the rule-chain share of the violation rows (total minus
+    # referential + decode streams, which keep their own accounting)
+    rc = m["rule_counts"]
+    assert rc and all(0 <= r["passed"] <= r["evaluated"] <= m["rows"]
+                      and r["failed"] == r["evaluated"] - r["passed"]
+                      for r in rc)
+    assert sum(r["failed"] for r in rc) > 0
+    assert sum(r["failed"] for r in rc) <= m["violations"]
 
 
 def test_resume_skips_completed_groups(spark, clips_path, tmp_path):

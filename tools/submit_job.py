@@ -58,6 +58,11 @@ def main(argv=None):
     ap.add_argument("--schema-warn", action="store_true",
                     help="record schema-contract breaks as metrics instead "
                          "of failing the run")
+    ap.add_argument("--rule-counts", action="store_true",
+                    help="carry per-rule evaluated/passed/failed tallies "
+                         "in the run metrics (rides the stats observe — "
+                         "no extra scan; measured +9%% full-job wall at "
+                         "sf0.1, so opt-in)")
     ap.add_argument("--uniqueness-layout", default="any",
                     choices=["any", "clustered"],
                     help="'clustered' = shuffle-free boundary-exchange "
@@ -104,6 +109,7 @@ def main(argv=None):
                          table_format=args.format,
                          uniqueness_layout=args.uniqueness_layout,
                          uniqueness_on_unclustered=args.on_unclustered,
+                         observe_rule_counts=args.rule_counts,
                          drift=baseline is not None)
     job = ClipsValidationJob(spark, cfg,
                              codec_dim=default_codec_dim(spark),
