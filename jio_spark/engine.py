@@ -32,6 +32,21 @@ from .dsl import BaseSchema, ObjectSchema
 VIOLATION_FIELDS = ["rule_path", "rule_name", "expected", "actual", "message"]
 
 
+def rule_count_exprs(entries, prefix: str = "__rule") -> List[Column]:
+    """Per-rule evaluated/passed sum pairs (``{prefix}{i}__ev`` /
+    ``{prefix}{i}__ps``) — the ONE place the tally recipe lives:
+    :meth:`ValidationResult.summary` and the runner's observe-riding
+    ``rule_counts`` both consume it, so the two can never diverge.
+    ``failed = evaluated - passed`` by boolean identity
+    (``ev&!ps = ev - ev&ps``), so no third sum is carried."""
+    aggs: List[Column] = []
+    for i, e in enumerate(entries):
+        aggs += [F.sum(e.evaluated.cast("long")).alias(f"{prefix}{i}__ev"),
+                 F.sum((e.evaluated & e.passed).cast("long"))
+                  .alias(f"{prefix}{i}__ps")]
+    return aggs
+
+
 @dataclass
 class ValidationResult:
     """Lazy bundle of the validation outputs (all share one scan)."""
@@ -121,20 +136,15 @@ class ValidationResult:
         """Per-rule counts in ONE whole-table aggregation (map-side
         combine; the reduced state is 3 longs per rule — no row-level
         shuffle)."""
-        aggs = []
-        for i, e in enumerate(self.compiled.entries):
-            ev = e.evaluated.cast("long")
-            ps = (e.evaluated & e.passed).cast("long")
-            fl = (e.evaluated & ~e.passed).cast("long")
-            aggs += [F.sum(ev).alias(f"_e{i}"), F.sum(ps).alias(f"_p{i}"),
-                     F.sum(fl).alias(f"_f{i}")]
-        row = self._prepared.agg(*aggs).collect()[0]
+        row = self._prepared.agg(
+            *rule_count_exprs(self.compiled.entries)).collect()[0]
         spark = self.df.sparkSession
         data = []
         for i, e in enumerate(self.compiled.entries):
+            ev = int(row[f"__rule{i}__ev"] or 0)
+            ps = int(row[f"__rule{i}__ps"] or 0)
             data.append((e.rule_id, e.path, e.rule_name, e.expected,
-                         int(row[f"_e{i}"] or 0), int(row[f"_p{i}"] or 0),
-                         int(row[f"_f{i}"] or 0)))
+                         ev, ps, ev - ps))
         return spark.createDataFrame(
             data, "rule_id string, rule_path string, rule_name string, "
                   "expected string, evaluated long, passed long, failed long")

@@ -132,6 +132,36 @@ def psi_from_histograms(h_base: Sequence[int], h_cur: Sequence[int],
     return float(np.sum((pc - pb) * np.log(pc / pb)))
 
 
+def assert_baseline_spec_compatible(baseline: DataFrame,
+                                    specs: Dict[str, HistSpec]) -> None:
+    """Driver-side preflight: the baseline snapshot's recorded (lo, hi,
+    bins) must match the CURRENT HistSpecs for every shared column.
+    Snapshots are tiny (one row per column) so this costs one
+    milliseconds-scale collect — run it BEFORE the expensive scans, so a
+    stale baseline fails a 10^12-row job at submit time, not after the
+    last partition group finished (drift_check keeps the same guard as
+    defense in depth for direct callers). Columns only one side knows
+    are not an error — drift_check surfaces them as explicit
+    not-evaluated rows."""
+    rows = {r["col_name"]: r for r in baseline.collect()}
+    bad = []
+    for c, spec in specs.items():
+        r = rows.get(c)
+        if r is None:
+            continue
+        if (float(r["lo"]), float(r["hi"]), len(r["histogram"])) != \
+                (float(spec.lo), float(spec.hi), spec.bins + 2):
+            bad.append(
+                f"`{c}` baseline lo={r['lo']} hi={r['hi']} "
+                f"bins={len(r['histogram']) - 2} vs current lo={spec.lo} "
+                f"hi={spec.hi} bins={spec.bins}")
+    if bad:
+        raise ValueError(
+            "drift baseline was built with a different histogram spec: "
+            + "; ".join(bad) + " — rebuild the baseline snapshot with "
+            "the current HistSpecs")
+
+
 def drift_check(current: DataFrame, baseline: DataFrame,
                 ks_threshold: float = 0.1,
                 psi_threshold: float = 0.25) -> DataFrame:
@@ -149,6 +179,13 @@ def drift_check(current: DataFrame, baseline: DataFrame,
         out.append((c, None, None, True, True, True,
                     f"field `{c}` has no baseline snapshot — drift not "
                     "evaluated"))
+    for c in sorted(set(base) - set(cur)):
+        # ... and the mirror: a baseline column that vanished from the
+        # current snapshot (dropped from the specs, or the column is
+        # gone) surfaces instead of monitoring silently stopping
+        out.append((c, None, None, True, True, True,
+                    f"field `{c}` has a baseline but no current "
+                    "snapshot — drift no longer evaluated"))
     for c in sorted(set(cur) & set(base)):
         rc, rb = cur[c], base[c]
         if (rb["lo"], rb["hi"], len(rb["histogram"])) != \

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .compiler import compile_ruleset
 from .dsl import K, ObjectSchema
-from .engine import validate
+from .engine import rule_count_exprs, validate
 from .audio.decode import decode_check, decode_violations
 from .audio.files import decode_check_files
 from .operators.drift import HistSpec, drift_check, snapshot
@@ -315,14 +315,10 @@ class ClipsValidationJob:
                                 hll_sketch=True,
                                 kll_quantiles=True)
             if self.cfg.observe_rule_counts:
-                # per-rule verdict tallies on the same pass: 2 plain
-                # long sums per rule (failed = evaluated - passed)
-                for i, e in enumerate(res.compiled.entries):
-                    exprs += [
-                        F.sum(e.evaluated.cast("long"))
-                         .alias(f"__rule{i}__ev"),
-                        F.sum((e.evaluated & e.passed).cast("long"))
-                         .alias(f"__rule{i}__ps")]
+                # per-rule verdict tallies on the same pass (the shared
+                # recipe from engine.rule_count_exprs — summary() and
+                # this path can never diverge)
+                exprs += rule_count_exprs(res.compiled.entries)
             ann = ann.observe(observation, *exprs)
 
         if self.codec_dim is not None:
@@ -411,6 +407,19 @@ class ClipsValidationJob:
                 "uniqueness_on_unclustered must be 'warn', 'error', "
                 "'trust' or 'fallback', got "
                 f"{cfg.uniqueness_on_unclustered!r}")
+        if cfg.observe_rule_counts and not cfg.observe_stats:
+            raise ValueError(
+                "observe_rule_counts requires observe_stats: the "
+                "tallies ride the stats observe — enabling one without "
+                "the other would silently produce no rule_counts")
+        if cfg.drift and self.baseline is not None:
+            # preflight the baseline's bin specs against the current
+            # DRIFT_SPECS NOW (both sides are tiny): a stale baseline
+            # must fail before any group scans, not after them in the
+            # drift step — same fail-in-milliseconds rule as the schema
+            # contract
+            from .operators.drift import assert_baseline_spec_compatible
+            assert_baseline_spec_compatible(self.baseline, DRIFT_SPECS)
         schema_viols: List[Dict] = []
         if cfg.schema_contract:
             schema_viols = schema_contract_violations(
@@ -419,6 +428,13 @@ class ClipsValidationJob:
                 raise_schema_violations(schema_viols)
         sink = RunSink(output_root) if output_root else None
         manifest = Manifest(output_root) if output_root else None
+        if manifest and not resume:
+            # a FRESH run into an existing root invalidates every old
+            # completion record: if this run crashes, a later resume
+            # must re-run only what THIS run didn't finish — stale
+            # records from a previous (possibly differently-configured)
+            # run would otherwise be trusted and their groups skipped
+            manifest.clear()
 
         # the semantic fingerprint: every knob that changes WHICH rows
         # come out. A resumed run must match the run it resumes — the
@@ -433,6 +449,9 @@ class ClipsValidationJob:
             "check_reference": cfg.check_reference,
             "snr_threshold": cfg.snr_threshold,
             "decode_on_corrupt": cfg.decode_on_corrupt,
+            "decode_source": cfg.decode_source,
+            "uniqueness_layout": cfg.uniqueness_layout,
+            "uniqueness_on_unclustered": cfg.uniqueness_on_unclustered,
         }
         resumed_from = None
         if sink:

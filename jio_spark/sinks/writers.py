@@ -95,6 +95,21 @@ class Manifest:
             done.update(rec["partitions"])
         return done
 
+    def clear(self) -> None:
+        """Remove every completion record. A FRESH (non-resume) run into
+        an existing output root calls this first: stale records describe
+        a DIFFERENT run's work (possibly under a different config), and
+        if the fresh run crashes, a later resume would otherwise trust
+        them and skip groups whose outputs the fresh run never rewrote —
+        the config-mixing hole the semantic fingerprint alone cannot
+        close (the fingerprint matches the fresh run.json, not the old
+        records)."""
+        if not os.path.isdir(self.dir):
+            return
+        for name in os.listdir(self.dir):
+            if name.endswith(".json"):
+                os.remove(os.path.join(self.dir, name))
+
 
 @dataclass
 class RunSink:
@@ -111,8 +126,13 @@ class RunSink:
         meta = dict(meta)
         meta.setdefault("run_id", self.run_id)
         meta.setdefault("started_at", time.time())
-        with open(os.path.join(self.root, "run.json"), "w") as f:
+        # tmp + rename like Manifest.mark: run.json is READ on the
+        # resume path, so a crash mid-write must not leave truncated
+        # JSON that bricks every later run into this root
+        tmp = os.path.join(self.root, ".run.json.tmp")
+        with open(tmp, "w") as f:
             json.dump(meta, f, indent=2)
+        os.replace(tmp, os.path.join(self.root, "run.json"))
 
     def read_run_metadata(self) -> Optional[dict]:
         """The previous run.json at this root, or None — what a resumed

@@ -131,12 +131,63 @@ def test_resume_refuses_changed_semantics(spark, clips_path, tmp_path):
         ClipsValidationJob(spark, cfg3).run(df, output_root=out,
                                             resume=True)
 
+    # changed uniqueness semantics → refused (the _global_uniqueness
+    # step is resume-skipped via the manifest, so its knobs are part of
+    # the fingerprint)
+    cfg4 = ClipsJobConfig(group_size=4, audio_check=False, drift=False,
+                          uniqueness_layout="clustered",
+                          uniqueness_on_unclustered="trust")
+    with pytest.raises(ValueError, match="uniqueness_layout"):
+        ClipsValidationJob(spark, cfg4).run(df, output_root=out,
+                                            resume=True)
+
     # identical config → resumes the one open group and records lineage
     m = job.run(df, output_root=out, resume=True)
     assert m["groups_run"] == 1
     with open(os.path.join(out, "run.json")) as f:
         run = json.load(f)
     assert run.get("resumed_from")
+
+
+def test_fresh_run_clears_stale_manifest(spark, clips_path, tmp_path,
+                                         monkeypatch):
+    """A FRESH (resume=False) run into an existing output root must
+    invalidate the previous run's completion records: if the fresh run
+    crashes partway, a later resume may trust records written by THIS
+    run only — stale ones describe outputs the fresh run never rewrote
+    (under possibly different semantics; the fingerprint check compares
+    against the fresh run.json, so only clearing closes the hole)."""
+    from jio_spark.runner import ClipsValidationJob as Job
+
+    df = spark.read.parquet(clips_path)
+    out = str(tmp_path / "stale")
+    cfg = ClipsJobConfig(group_size=4, audio_check=False, drift=False)
+    job = ClipsValidationJob(spark, cfg)
+    job.run(df, output_root=out)                   # run 1 completes
+    assert len(Manifest(out).completed_partitions()) == 16
+
+    # run 2 (fresh) crashes after its first group
+    calls = {"n": 0}
+    orig = Job.group_violations
+
+    def boom(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(Job, "group_violations", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        job.run(df, output_root=out)
+    monkeypatch.setattr(Job, "group_violations", orig)
+
+    # only run 2's finished work is trusted — run 1's 16 are GONE
+    done = Manifest(out).completed_partitions()
+    assert 0 < len(done) <= 4
+    # resume finishes exactly the remaining groups
+    m = job.run(df, output_root=out, resume=True)
+    assert m["groups_run"] == (16 - len(done)) // 4
+    assert len(Manifest(out).completed_partitions()) == 16
 
 
 def test_partition_discovery_is_metadata_only(spark, clips_path):

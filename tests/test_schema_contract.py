@@ -95,6 +95,15 @@ def test_mode_typos_fail_loudly(spark):
         codec_dim=dim)
     with pytest.raises(ValueError, match="decode_on_corrupt"):
         bad_corrupt.run(df)
+    # rule counts ride the stats observe: asking for one without the
+    # carrier must refuse, not silently omit rule_counts from metrics
+    bad_observe = ClipsValidationJob(
+        spark, ClipsJobConfig(observe_stats=False,
+                              observe_rule_counts=True,
+                              drift=False, audio_check=False),
+        codec_dim=dim)
+    with pytest.raises(ValueError, match="observe_rule_counts"):
+        bad_observe.run(df)
 
 
 def test_contract_satisfied_records_empty_list(spark):

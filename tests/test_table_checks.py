@@ -323,6 +323,30 @@ def test_drift_check_refuses_mismatched_bin_specs(spark):
         drift_check(snap_a, snap_range)
 
 
+def test_drift_baseline_preflight_fails_before_scans(spark):
+    """The runner must reject a stale-spec baseline at submit time
+    (driver-side, before any group scan), mirroring the schema-contract
+    fail-in-milliseconds rule."""
+    from jio_spark.audio.synth import clips_frame
+    from jio_spark.operators.drift import assert_baseline_spec_compatible
+    from jio_spark.runner import (DRIFT_SPECS, ClipsJobConfig,
+                                  ClipsValidationJob, default_codec_dim)
+
+    clean = clips_frame(spark, 50, clean=True, partitions=2)
+    stale = snapshot(clean, {"dur_ms": HistSpec(0.0, 99.0, 8),
+                             "sr_hz": DRIFT_SPECS["sr_hz"]})
+    with pytest.raises(ValueError, match="rebuild the baseline"):
+        assert_baseline_spec_compatible(stale, DRIFT_SPECS)
+    job = ClipsValidationJob(spark, ClipsJobConfig(audio_check=False),
+                             codec_dim=default_codec_dim(spark),
+                             baseline_snapshot=stale)
+    with pytest.raises(ValueError, match="rebuild the baseline"):
+        job.run(clean)
+    # matching specs pass the preflight
+    good = snapshot(clean, DRIFT_SPECS)
+    assert_baseline_spec_compatible(good, DRIFT_SPECS)
+
+
 def test_drift_check_reports_missing_baseline_column(spark):
     """A column monitored now but absent from the baseline must surface
     as an explicit not-evaluated row (pass=True), not vanish silently —
@@ -338,6 +362,13 @@ def test_drift_check_reports_missing_baseline_column(spark):
     nb = rows["sr_hz"]
     assert nb["pass"] and nb["ks"] is None and nb["psi"] is None
     assert "no baseline" in nb["message"]
+
+    # the mirror direction: a baseline column that vanished from the
+    # current snapshot surfaces too (monitoring stopped ≠ silence)
+    rows2 = {r["col_name"]: r for r in drift_check(base, cur).collect()}
+    gone = rows2["sr_hz"]
+    assert gone["pass"] and gone["psi"] is None
+    assert "no longer evaluated" in gone["message"]
 
 
 def test_snapshot_roundtrip(spark, tmp_path):
