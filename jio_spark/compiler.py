@@ -45,6 +45,7 @@ compile straight-line and verdict masking is applied only at reporting.
 from __future__ import annotations
 
 import itertools
+import math
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -139,6 +140,10 @@ class ColState:
     ev: Column               # chain still active
     err: Column              # aborted with error
     spark_type: Optional[T.DataType] = None
+    #: the COLUMN's declared type, never mutated (spark_type tracks the
+    #: dynamic value and changes under Convert/Set) — the write-back
+    #: target type for retagged Any chains
+    orig_spark_type: Optional[T.DataType] = None
 
     def cur_null(self) -> Column:
         """Is the current dynamic value nil (any.go:48 / 60 / 70)."""
@@ -259,8 +264,11 @@ class CompileCtx:
             col = F.col(parts[0]) if col is None else col.getField(p)
         if ref_path in self.completed:
             ccol, ctag = self.completed[ref_path]
-            return ccol, ctag, ok
-        return col, type_tag(dt), ok
+            # a coerced completed ref (e.g. parse_string'd) carries its
+            # POST-coercion tag; its declared DataType only still applies
+            # when the tag didn't change (non-scalar refs in particular)
+            return ccol, ctag, ok, _tag_to_type(ctag) or dt
+        return col, type_tag(dt), ok, dt
 
 
 # ---------------------------------------------------------------------------
@@ -315,7 +323,8 @@ def compile_chain(schema: BaseSchema, col: Optional[Column],
         st = ColState(typed=seed.typed, is_typed=seed.is_typed,
                       untyped=seed.untyped, utype=seed.utype,
                       vtype=seed.vtype, ev=F.lit(False), err=F.lit(False),
-                      spark_type=seed.spark_type)
+                      spark_type=seed.spark_type,
+                      orig_spark_type=seed.orig_spark_type)
     else:
         st = _init_state(schema, col, dtype)
     st.ev = init_ev
@@ -367,15 +376,18 @@ def _init_state(schema: BaseSchema, col: Optional[Column],
     f = F.lit(False)
     if schema.TYPE == "any":
         return ColState(typed=col, is_typed=F.lit(True), untyped=None,
-                        utype=tag, vtype=tag, ev=f, err=f, spark_type=dtype)
+                        utype=tag, vtype=tag, ev=f, err=f, spark_type=dtype,
+                        orig_spark_type=dtype)
     want = schema.TYPE
     matches = (tag == want) or (want == "struct" and tag == "map")
     if matches:
         return ColState(typed=col, is_typed=F.lit(True), untyped=None,
-                        utype=tag, vtype=want, ev=f, err=f, spark_type=dtype)
+                        utype=tag, vtype=want, ev=f, err=f, spark_type=dtype,
+                        orig_spark_type=dtype)
     null_typed = F.lit(None).cast(_null_type(want))
     return ColState(typed=null_typed, is_typed=F.lit(False), untyped=col,
-                    utype=tag, vtype=want, ev=f, err=f, spark_type=dtype)
+                    utype=tag, vtype=want, ev=f, err=f, spark_type=dtype,
+                    orig_spark_type=dtype)
 
 
 def _null_type(want: str) -> T.DataType:
@@ -452,10 +464,53 @@ def _h_default(cc, st, path, spec, schema):
 
 
 def _h_set(cc, st, path, spec, schema):
-    # any.go:77-81: unconditional replace
+    # any.go:77-81: unconditional replace. The substituted value is
+    # judged by the REST of the chain — including the final type
+    # assertion — so a cross-type Set fails per-row at the type gate
+    # (reference semantics), instead of silently mis-typing the carrier
+    # or crashing at schema-build time. Because the replace is
+    # unconditional, rebuilding the carriers/tags is sound; inside a
+    # When `then` sub-chain a retagged carrier simply doesn't write
+    # back (_merge_when_value's documented type-changing deviation).
     v = spec.params["value"]
-    st.typed = F.lit(float(v)) if st.vtype == "double" else F.lit(v)
-    st.is_typed = F.lit(True)
+    vt = _lit_tag(v)
+    if v is None:
+        # Set(nil): Required sees nil, typed chains fail their type
+        # gate per-row (Go type switch on nil), Any chains carry nil
+        if schema.TYPE == "any" and st.spark_type is not None:
+            st.typed = F.lit(None).cast(st.spark_type)
+        else:
+            st.typed = F.lit(None).cast(_null_type(st.vtype))
+        st.is_typed = F.lit(schema.TYPE == "any")
+        st.untyped = None
+        return
+    if vt == st.vtype:
+        st.typed = F.lit(float(v)) if st.vtype == "double" else F.lit(v)
+        st.is_typed = F.lit(True)
+        st.untyped = None
+    elif schema.TYPE == "any":
+        # Any chain: the unconditional replace retags the dynamic
+        # value for every row — rebuild the state around the literal
+        st.typed = F.lit(v)
+        st.is_typed = F.lit(True)
+        st.untyped = None
+        st.utype = vt
+        st.vtype = vt
+        st.spark_type = None
+    else:
+        # cross-type Set on a typed chain: the value rides the untyped
+        # carrier and every later type gate fails per-row, exactly like
+        # the reference substituting a mis-typed value
+        st.untyped = F.lit(v)
+        st.utype = vt
+        st.is_typed = F.lit(False)
+
+
+def _is_nan_lit(v: Any) -> bool:
+    """Literal-NaN guard: Go's == (and reflect.DeepEqual on float64)
+    never matches NaN, while Spark's = / eqNullSafe treat NaN as equal
+    to NaN — a NaN literal must therefore match NOTHING."""
+    return isinstance(v, float) and math.isnan(v)
 
 
 def _h_equal(cc, st, path, spec, schema):
@@ -464,7 +519,8 @@ def _h_equal(cc, st, path, spec, schema):
     if isinstance(schema, (NumberSchema, StringSchema)):
         # routes through Check → type gate first (number.go:83-90)
         _gated_check(cc, st, path, "equal", expected,
-                     lambda c: c.eqNullSafe(_typed_lit(st, v)),
+                     (lambda c: F.lit(False)) if _is_nan_lit(v)
+                     else (lambda c: c.eqNullSafe(_typed_lit(st, v))),
                      f"is not {expected}")
         return
     # Any/Bool: direct interface comparison (any.go:84-91, bool.go:80-86)
@@ -478,7 +534,8 @@ def _h_valid(cc, st, path, spec, schema):
     values = spec.params["values"]
     expected = go_repr_list(values)
     if isinstance(schema, (NumberSchema, StringSchema)):
-        lits = [_typed_lit(st, v) for v in values]
+        # NaN members can never match (Go ==; see _is_nan_lit)
+        lits = [_typed_lit(st, v) for v in values if not _is_nan_lit(v)]
         _gated_check(cc, st, path, "valid", expected,
                      lambda c: c.isin(*lits) if lits else F.lit(False),
                      f"not in {expected}")
@@ -498,6 +555,8 @@ def _dyn_eq(st: ColState, v: Any) -> Column:
     vt = _lit_tag(v)
     if v is None:
         return st.cur_null()
+    if _is_nan_lit(v):
+        return F.lit(False)
     preds = []
     if vt == st.vtype or st.vtype == "any":
         preds.append(st.is_typed & st.typed.eqNullSafe(_typed_lit(st, v)))
@@ -566,8 +625,14 @@ def _h_nmin(cc, st, path, spec, schema):
 
 def _h_nmax(cc, st, path, spec, schema):
     v = spec.params["value"]
+    # Go aborts on `value > max` (number.go:128-134): NaN > max is FALSE
+    # in Go, so NaN PASSES Max — Spark orders NaN largest (NaN > max is
+    # true), so NaN must be exempted explicitly. Min needs no exemption:
+    # Go's !(NaN < min) and Spark's NaN >= min are both true.
     _gated_check(cc, st, path, "max", f"<= {go_repr(v)}",
-                 lambda c: c <= _typed_lit(st, v), f"exceeded {go_repr(v)}")
+                 lambda c: F.isnan(c.cast("double"))
+                 | (c <= _typed_lit(st, v)),
+                 f"exceeded {go_repr(v)}")
 
 
 def _h_integer(cc, st, path, spec, schema):
@@ -577,7 +642,9 @@ def _h_integer(cc, st, path, spec, schema):
                             T.LongType)):
         pred_fn = lambda c: F.lit(True)  # integral columns trivially pass
     else:
-        pred_fn = lambda c: c == _trunc(c)
+        # Go: NaN != math.Trunc(NaN) fails Integer; Spark's NaN == NaN
+        # is true, so NaN must be rejected explicitly
+        pred_fn = lambda c: ~F.isnan(c.cast("double")) & (c == _trunc(c))
     _gated_check(cc, st, path, "integer", "integer", pred_fn, "not integer")
 
 
@@ -643,9 +710,10 @@ def _h_convert(cc, st, path, spec, schema):
 # cast overflowing to ±Inf while the literal isn't an inf form.
 # Documented exactness corners: Go's hex-float literals (0x1p-3) are not
 # accepted here; extreme underflow (≈<1e-323, ErrRange in Go with f=0)
-# passes here as 0.0; and a parsed NaN later diverges on Max only (Spark
-# orders NaN largest; Go's NaN>max is false ⇒ Go passes Max, Spark
-# fails) — all outside the conformance corpus.
+# passes here as 0.0. A parsed NaN follows Go semantics downstream:
+# Max exempts it, Integer rejects it, Equal/Valid never match it
+# (explicit NaN handling in those handlers — Spark's native NaN
+# ordering/equality differs from Go's on all three).
 _D = r"\d+(?:_\d+)*"
 _GO_FLOAT_NUM = rf"^[+-]?({_D}(\.(?:{_D})?)?|\.{_D})([eE][+-]?{_D})?$"
 _GO_FLOAT_INF = r"^[+-]?[iI][nN][fF]([iI][nN][iI][tT][yY])?$"
@@ -961,14 +1029,28 @@ def _normalized_value(sub: ColState, original: Column) -> Column:
     documented deviation from jio's heterogeneous JSON output)."""
     completed = sub.ev
     if sub.untyped is None:
-        return F.when(completed, sub.typed).otherwise(original)
+        out = sub.typed
+        orig_tag = (type_tag(sub.orig_spark_type)
+                    if sub.orig_spark_type is not None else None)
+        if orig_tag is not None and orig_tag != sub.vtype \
+                and not (sub.vtype == "struct" and orig_tag == "map"):
+            # retagged Any chain (Set substituted a differently-typed
+            # value): the output column can only hold the ORIGINAL type,
+            # so the write-back rides a try_cast (typed-table deviation,
+            # same class as the schema-type-wins rule below). The
+            # struct-over-map carve-out mirrors _init_state's type
+            # equivalence — that pair is NOT a retag.
+            out = sub.typed.cast("string").try_cast(sub.orig_spark_type)
+        return F.when(completed, out).otherwise(original)
     if sub.vtype not in ("double", "boolean", "string"):
         # array/object schemas have no coercion rules: a mismatched column
         # can never become typed, so the original value stays as-is
         return original
     target = _null_type(sub.vtype)
-    return F.when(completed & sub.is_typed, sub.typed) \
-            .when(completed, sub.untyped.try_cast(target)) \
+    # completed ⇒ is_typed: every typed chain ends with the final type
+    # assertion, which aborts (ev = false) wherever is_typed is false,
+    # so no completed-but-untyped state can exist here
+    return F.when(completed, sub.typed) \
             .otherwise(original.try_cast(target))
 
 
@@ -1036,16 +1118,25 @@ def _h_when(cc, st, path, spec, schema):
     condition = spec.params["condition"]
     then: BaseSchema = spec.params["then"]
     try:
-        ref_col, ref_tag, ref_ok = cc.ref(ref_path)
+        ref_col, ref_tag, ref_ok, ref_dtype = cc.ref(ref_path)
     except KeyError:
         return  # Ref miss → no-op (schema.go:23-25)
 
     if isinstance(condition, BaseSchema):
         # condition schema validates the REF value in a fresh context
-        # (schema.go:26-33); Skip-without-error counts as pass
+        # (schema.go:26-33); Skip-without-error counts as pass. The
+        # ref's REAL DataType flows in, so conditions over array/
+        # struct/map refs (K.array().min(1) on an array column) compile
+        # against the actual column instead of a type-mismatched
+        # placeholder that would gate to constant false
         cond_ok = compile_pass_predicate(condition, ref_col,
-                                         _tag_to_type(ref_tag),
-                                         cc.root_schema)
+                                         ref_dtype, cc.root_schema)
+    elif condition is None:
+        # Go interface equality: a nil condition matches a nil ref
+        # value (schema.go:35-37 — nil == nil is true), which the
+        # tag-mismatch shortcut below would wrongly turn into
+        # constant false
+        cond_ok = ref_col.isNull()
     else:
         # Go interface equality (schema.go:35-37): values of DIFFERENT
         # dynamic types are simply unequal — never Spark's implicit-cast
@@ -1067,10 +1158,11 @@ def _h_when(cc, st, path, spec, schema):
     # run `then` as a CONTINUATION of this field's state: the reference
     # validates the current ctx.Value (schema.go:34-36), which includes
     # earlier coercions (parse_string/truthy/default). When the `then`
-    # schema's type matches the field's, seed the sub-chain with the live
+    # schema's type matches the field's — or is Any, which judges
+    # whatever the live value is — seed the sub-chain with the live
     # (typed, is_typed, untyped) triple; for a type-changing `then` fall
     # back to the raw column (typed-column constraint).
-    if then.TYPE == st.vtype:
+    if then.TYPE == st.vtype or then.TYPE == "any":
         sub = compile_chain(then, None, st.spark_type, path, cc,
                             init_ev=gate, seed=st)
     else:
@@ -1122,13 +1214,46 @@ def _tag_to_type(tag: str) -> Optional[T.DataType]:
 # ---------------------------------------------------------------------------
 
 
+def _contains_when(schema: BaseSchema) -> bool:
+    """Does this schema tree contain a ``when`` rule anywhere (incl.
+    nested Items/Keys/condition/then sub-schemas)?"""
+    for spec in schema._ordered_rules():
+        if spec.name == "when":
+            return True
+        for v in spec.params.values():
+            if isinstance(v, dict):
+                vals = list(v.values())
+            elif isinstance(v, (list, tuple)):
+                vals = list(v)
+            else:
+                vals = [v]
+            for x in vals:
+                if isinstance(x, BaseSchema) and _contains_when(x):
+                    return True
+    return False
+
+
 def compile_pass_predicate(schema: BaseSchema, col: Column,
                            dtype: Optional[T.DataType],
                            root_schema: T.StructType) -> Column:
     """Pass/fail of a full schema chain over an expression — used for
     ``Items`` elements (array.go:100-107) and `When` condition schemas
     (schema.go:26-33): pass ⇔ ``ctx.Err == nil`` (a Skip without error,
-    e.g. Optional on NULL, counts as pass)."""
+    e.g. Optional on NULL, counts as pass).
+
+    A ``when`` INSIDE such a sub-schema is refused at compile time: the
+    reference gives condition schemas and Items elements a FRESH context
+    rooted at the ref/element value (schema.go:26-33, array.go:100-103),
+    while this compiler's ref resolution walks the DOCUMENT root — the
+    ref would silently resolve against the wrong object (or KeyError on
+    a column the element has but the document lacks). Failing loudly
+    beats silently-wrong verdicts; lift the When to the field chain."""
+    if _contains_when(schema):
+        raise NotImplementedError(
+            "when() inside an Items element or When condition schema is "
+            "not supported: the reference roots its refs at the element/"
+            "ref value (schema.go:26-33, array.go:100-103), which this "
+            "compiler cannot rebase — lift the when() to the field chain")
     cc = CompileCtx(root_schema, collect=False, pure=True)
     sub = compile_chain(schema, col, dtype, "<cond>", cc,
                         init_ev=F.lit(True))

@@ -12,6 +12,7 @@ documented non-goals.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Sequence
 
 from pyspark.sql import Column
@@ -25,6 +26,12 @@ def go_repr(v: Any) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
+        # Go %v: strconv.FormatFloat prints the special values as
+        # NaN / +Inf / -Inf (int(v) would raise on them anyway)
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "+Inf" if v > 0 else "-Inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
