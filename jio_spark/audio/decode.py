@@ -56,6 +56,11 @@ def salted_repartition(df: DataFrame, codec_col: str = "codec",
     aggregation on (codec, bucket) follows the decode.
 
     Deterministic (no rand()) — reruns land identically."""
+    if mode not in ("uniform", "grouped"):
+        # a typo'd mode must not silently select the 5x-slower grouped
+        # path (same loud-knob rule as the runner's mode validations)
+        raise ValueError(f"mode must be 'uniform' or 'grouped', "
+                         f"got {mode!r}")
     if mode == "uniform":
         key = F.xxhash64(F.col(id_col))
     else:
@@ -80,7 +85,13 @@ def _decode_batches(check_reference: bool, snr_threshold: float,
             codecs = pdf["codec"].tolist()
             srs = pdf["sr_hz"].tolist()
             durs = pdf["dur_ms"].tolist()
-            transcripts = pdf["transcript"].tolist()
+            transcripts = (pdf["transcript"].tolist()
+                           if check_reference else None)
+            # snr/transcript flags default to the NOT-ASSERTED value
+            # when the reference check is off: False would make
+            # decode_violations fabricate snr/transcript violations for
+            # every clean clip (the one-violation-per-defect rule)
+            ref = not check_reference
             out = {
                 "clip_id": ids,
                 "decode_ok": np.zeros(n, dtype=bool),
@@ -88,8 +99,8 @@ def _decode_batches(check_reference: bool, snr_threshold: float,
                 "sr_match": np.zeros(n, dtype=bool),
                 "dur_match": np.zeros(n, dtype=bool),
                 "snr_db": np.full(n, np.nan),
-                "snr_ok": np.zeros(n, dtype=bool),
-                "transcript_match": np.zeros(n, dtype=bool),
+                "snr_ok": np.full(n, ref, dtype=bool),
+                "transcript_match": np.full(n, ref, dtype=bool),
                 "n_samples": np.zeros(n, dtype=np.int64),
                 "error": np.array([None] * n, dtype=object),
             }
@@ -106,16 +117,26 @@ def _decode_batches(check_reference: bool, snr_threshold: float,
                 out["decode_ok"][j] = True
                 out["n_samples"][j] = len(coded)
                 out["codec_match"][j] = (fmt_codec == codecs[j])
-                out["sr_match"][j] = (sr == int(srs[j]))
+                # NULL metadata must become a failed assertion, not an
+                # int(NaN) crash that kills the whole task (Arrow ships
+                # nullable ints as NaN floats)
+                sr_v, dur_v = srs[j], durs[j]
+                out["sr_match"][j] = (not pd.isna(sr_v)
+                                      and sr == int(sr_v))
                 dur_actual = 1000.0 * len(coded) / sr if sr else 0.0
-                out["dur_match"][j] = (abs(dur_actual - int(durs[j]))
+                out["dur_match"][j] = (not pd.isna(dur_v)
+                                       and abs(dur_actual - int(dur_v))
                                        <= dur_tolerance_ms)
                 if check_reference:
                     cid = ids[j]
                     try:
                         i = int(cid.rsplit("_", 1)[1])
-                    except (IndexError, ValueError):
+                    except (IndexError, ValueError, AttributeError):
+                        # AttributeError: a NULL clip_id (None.rsplit)
+                        # is bad data, not a task-killing crash
                         out["error"][j] = f"unparseable clip_id {cid}"
+                        out["snr_ok"][j] = False
+                        out["transcript_match"][j] = False
                         continue
                     period, n_ref = expected_period(i)
                     s = snr_db_vs_period(coded, fmt_codec, period, n_ref)
@@ -143,7 +164,11 @@ def decode_check(df: DataFrame, check_reference: bool = True,
     exactly what the decode needs before the Arrow exchange, so parquet
     scan pruning still applies (SURVEY.md §4.2)."""
     extra = [c for c in (passthrough or []) if c in df.columns]
-    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+    if check_reference:
+        # only the reference check reads transcripts — a metadata-only
+        # table without the column must still be decodable
+        cols.append("transcript")
     slim = df.select(*cols, *extra)
     if salt:
         slim = salted_repartition(slim, num_partitions=num_partitions)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import glob
 import os
 import re
+import zlib
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -61,6 +62,10 @@ def list_row_group_splits(root: str,
     ``(path, -1, pval)`` instead of raising here on the driver; the
     decode workers turn markers into structured decode violations so one
     bad file cannot kill the whole job. Default ``'fail'`` raises."""
+    if on_corrupt not in ("fail", "violation"):
+        # a typo ('violations') must not silently degrade to strict-fail
+        raise ValueError("on_corrupt must be 'fail' or 'violation', "
+                         f"got {on_corrupt!r}")
     import pyarrow as pa
     import pyarrow.parquet as pq
     tagged, _ = _tagged_files(root, partition_filter, partition_col)
@@ -86,23 +91,33 @@ def _tagged_files(root: str, partition_filter: Optional[Sequence],
     semantics. Purely a directory listing: no footer is touched."""
     paths = sorted(glob.glob(os.path.join(root, "**", "*.parquet"),
                              recursive=True))
-    tagged = []
+    raw_tags: List = []
     any_hive = False
     for path in paths:
-        m = re.search(rf"{partition_col}=([^/]+)/", path)
-        pval = None
+        # match against the path RELATIVE to root: an ancestor directory
+        # above the table that happens to contain '<col>=value/' (e.g. a
+        # table stored under another table's partition dir) must not
+        # mis-tag every file
+        rel = os.path.relpath(path, root)
+        m = re.search(rf"(?:^|/){partition_col}=([^/]+)/", rel)
+        raw = None
         if m:
             any_hive = True
             raw = m.group(1)
-            if raw == _HIVE_NULL:
-                pval = None
-            else:
-                raw = _unescape_hive(raw)
-                try:
-                    pval = int(raw)
-                except ValueError:
-                    pval = raw
-        tagged.append((path, pval))
+            raw = None if raw == _HIVE_NULL else _unescape_hive(raw)
+        raw_tags.append((path, raw))
+    # int-parse with the SAME all-or-nothing rule as the manifest's
+    # list_partition_values (sources/tables.py): per-value parsing would
+    # tag bucket_id=10 as int 10 while the manifest carries '10' for a
+    # mixed string domain — the wanted-set never matches and the
+    # partition silently decodes zero files
+    vals = [r for _, r in raw_tags if r is not None]
+    try:
+        parsed = {r: int(r) for r in vals}
+    except ValueError:
+        parsed = {r: r for r in vals}
+    tagged = [(p, None if r is None else parsed[r])
+              for p, r in raw_tags]
     # a non-hive layout (e.g. a sort-ordered/clustered table: one dir of
     # range files, partition value carried as a DATA column) cannot be
     # dir-pruned — ignore the filter rather than silently pruning
@@ -215,7 +230,12 @@ def decode_check_files(spark: SparkSession, root: str,
     metric. Default ``'fail'`` keeps strict semantics."""
     splits = list_row_group_splits(root, partition_filter, partition_col,
                                    on_corrupt=on_corrupt)
-    splits = sorted(splits, key=lambda s: hash((s[0], s[1])) & 0xFFFFFFFF)
+    # crc32, NOT builtin hash(): str hashing is PYTHONHASHSEED-random
+    # per driver process, which would scramble the split→task packing
+    # across runs and break bench comparability ("deterministically
+    # shuffled" must mean it)
+    splits = sorted(splits, key=lambda s: zlib.crc32(
+        f"{s[0]}#{s[1]}".encode()))
     n_tasks = max(1, min(len(splits),
                          spark.sparkContext.defaultParallelism
                          * tasks_per_cpu))
@@ -254,6 +274,11 @@ def decode_check_files(spark: SparkSession, root: str,
                 try:
                     pf = pq.ParquetFile(path)
                     cols = list(_COLUMNS)
+                    if not check_reference:
+                        # mirror decode_check: only the reference check
+                        # reads transcripts — metadata-only tables
+                        # without the column must still decode
+                        cols.remove("transcript")
                     # non-hive layouts carry the partition value as a
                     # data column inside the file — read it instead of
                     # the (absent) directory value

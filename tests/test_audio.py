@@ -152,3 +152,74 @@ def test_salted_repartition_balances_hostile_cost_skew(spark):
                .where(F.col("codec") == "ulaw")
                .select("pid").distinct().count())
     assert grouped >= 8  # the heavy group spans many partitions, not one
+
+
+def test_check_reference_off_is_not_asserted(spark):
+    """check_reference=False must not fabricate snr/transcript
+    violations for clean clips (flags default to not-asserted, the same
+    one-violation-per-defect rule as the corrupt-unit frames), and a
+    metadata-only table WITHOUT a transcript column must still decode."""
+    clips = clips_frame(spark, 60, clean=True, partitions=2)
+    dv = decode_violations(
+        decode_check(clips, check_reference=False)).collect()
+    assert dv == []
+    res = decode_check(clips.drop("transcript"), check_reference=False)
+    assert res.where(~F.col("decode_ok")).count() == 0
+
+
+def test_null_metadata_is_violation_not_crash(spark):
+    """A NULL sr_hz/dur_ms (Arrow nullable int → NaN) or NULL clip_id
+    must become a failed assertion row, not an int(NaN)/None.rsplit
+    crash that kills the whole task."""
+    clips = clips_frame(spark, 8, clean=True, partitions=1)
+    first = clips.select("clip_id").orderBy("clip_id").first()[0]
+    broken = (clips
+              .withColumn("sr_hz", F.when(F.col("clip_id") == first,
+                                          F.lit(None)).otherwise(
+                                              F.col("sr_hz")))
+              .withColumn("clip_id", F.when(F.col("clip_id") == first,
+                                            F.lit(None)).otherwise(
+                                                F.col("clip_id"))))
+    rows = decode_check(broken, check_reference=True).collect()
+    assert len(rows) == 8
+    bad = [r for r in rows if r["clip_id"] is None]
+    assert len(bad) == 1
+    assert bad[0]["decode_ok"] and not bad[0]["sr_match"]
+    assert "unparseable clip_id" in bad[0]["error"]
+    assert all(r["sr_match"] and r["snr_ok"]
+               for r in rows if r["clip_id"] is not None)
+
+
+def test_mode_knob_typos_fail_loudly(spark):
+    clips = clips_frame(spark, 4, clean=True, partitions=1)
+    with pytest.raises(ValueError, match="mode"):
+        salted_repartition(clips, mode="unifrom")
+    from jio_spark.audio.files import list_row_group_splits
+    with pytest.raises(ValueError, match="on_corrupt"):
+        list_row_group_splits("/nonexistent", on_corrupt="violations")
+
+
+def test_tagged_files_parse_and_ancestor_dirs(spark, tmp_path):
+    """_tagged_files must int-parse hive values with the manifest's
+    all-or-nothing rule (a mixed string domain stays strings, so the
+    wanted-set from list_partition_values matches), and must ignore a
+    '<col>=value/' segment in an ANCESTOR directory above the table
+    root (it belongs to some other table's layout)."""
+    from jio_spark.audio.files import _tagged_files
+
+    mixed = str(tmp_path / "mixed")
+    (clips_frame(spark, 8, clean=True, partitions=1)
+     .withColumn("grp", F.when(F.col("dur_ms") % 2 == 0,
+                               F.lit("10")).otherwise(F.lit("east")))
+     .write.partitionBy("grp").parquet(mixed))
+    tagged, hive = _tagged_files(mixed, None, "grp")
+    assert hive and {pv for _, pv in tagged} <= {"10", "east"}
+    assert all(isinstance(pv, str) for _, pv in tagged)
+    # filter with the manifest's string values prunes correctly
+    t10, _ = _tagged_files(mixed, ["10"], "grp")
+    assert t10 and all(pv == "10" for _, pv in t10)
+
+    nested = str(tmp_path / "bucket_id=3" / "clips")
+    clips_frame(spark, 6, clean=True, partitions=1).write.parquet(nested)
+    tagged2, hive2 = _tagged_files(nested, None, "bucket_id")
+    assert not hive2 and all(pv is None for _, pv in tagged2)
