@@ -198,6 +198,27 @@ def drift_check(current: DataFrame, baseline: DataFrame,
                 f"bins={len(rb['histogram']) - 2}, current lo={rc['lo']} "
                 f"hi={rc['hi']} bins={len(rc['histogram']) - 2}) — "
                 "rebuild the baseline snapshot with the current HistSpec")
+        # an EMPTY side is a verdict of its own, never a silent pass:
+        # psi_from_histograms returns 0.0 when either histogram is all
+        # zeros and KS is skipped when a quantile sketch is null, so an
+        # all-NULL/empty current column — a total data outage, the most
+        # drifted state possible — would otherwise sail through green
+        base_has = sum(rb["histogram"]) > 0
+        cur_has = sum(rc["histogram"]) > 0
+        if base_has and not cur_has:
+            out.append((c, None, None, False, False, False,
+                        f"field `{c}` has no data in the current "
+                        "snapshot (empty table or all-NULL column) but "
+                        "the baseline has — total outage, not drift-"
+                        "free"))
+            continue
+        if not base_has:
+            # a data-less baseline can't support a verdict either way;
+            # surface it like the missing-baseline rows (not evaluated)
+            out.append((c, None, None, True, True, True,
+                        f"field `{c}` has no data in the baseline "
+                        "snapshot — drift not evaluated"))
+            continue
         ks = (ks_from_quantiles(rb["quantiles"], rc["quantiles"])
               if rb["quantiles"] and rc["quantiles"] else None)
         psi = psi_from_histograms(rb["histogram"], rc["histogram"])

@@ -198,10 +198,16 @@ def column_stats_bounds(df: DataFrame,
         if numeric[c]:
             pa, lo, hi = (row[f"{c}__pa"], row[f"{c}__lo"], row[f"{c}__hi"])
             slack = 1e-9
-            quantiles_ok = all(
-                (l is None and h is None) or
-                (l - slack <= a <= h + slack)
-                for a, l, h in zip(pa, lo, hi))
+            if pa is None:
+                # an all-NULL column (or empty frame) has NO sketch at
+                # all — percentile_approx returns a null ARRAY, so the
+                # bound holds vacuously rather than zip(None,...) crash
+                quantiles_ok = lo is None and hi is None
+            else:
+                quantiles_ok = all(
+                    (l is None and h is None) or
+                    (l - slack <= a <= h + slack)
+                    for a, l, h in zip(pa, lo, hi))
         else:
             quantiles_ok = True
         out.append((c, bool(distinct_ok), bool(quantiles_ok)))
@@ -213,14 +219,18 @@ def column_stats(df: DataFrame, columns: Optional[Sequence[str]] = None,
                  quantiles: Sequence[float] = DEFAULT_QUANTILES,
                  accuracy: int = 10000) -> DataFrame:
     """One row per column: (col_name, count, nulls, null_rate, distinct,
-    min, max, mean, quantiles) — computed in a single aggregation and
-    reshaped driver-side (the agg result is one tiny row)."""
+    min, max, mean, quantiles, total_bytes, avg_bytes) — computed in a
+    single aggregation and reshaped driver-side (the agg result is one
+    tiny row). ``total_bytes``/``avg_bytes`` are the binary columns'
+    payload-size stats (null elsewhere) — binary columns have no
+    min/max/mean, and an aggregate the scan paid for must reach the
+    output, not be silently dropped."""
     cols = list(columns) if columns is not None else df.columns
     row = df.agg(*stats_exprs(df, cols, quantiles, accuracy)).collect()[0]
-    n = int(row["rows"])
+    d = row.asDict()
+    n = int(d["rows"])
     out = []
     for c in cols:
-        d = row.asDict()
         nulls = int(d.get(f"{c}__nulls") or 0)
         qs = d.get(f"{c}__quantiles")
         out.append((
@@ -232,9 +242,13 @@ def column_stats(df: DataFrame, columns: Optional[Sequence[str]] = None,
             float(d[f"{c}__mean"]) if d.get(f"{c}__mean") is not None
             else None,
             [float(x) for x in qs] if qs is not None else None,
+            int(d[f"{c}__bytes"]) if d.get(f"{c}__bytes") is not None
+            else None,
+            float(d[f"{c}__avg_bytes"])
+            if d.get(f"{c}__avg_bytes") is not None else None,
         ))
     return df.sparkSession.createDataFrame(
         out,
         "col_name string, count long, nulls long, null_rate double, "
         "approx_distinct long, min double, max double, mean double, "
-        "quantiles array<double>")
+        "quantiles array<double>, total_bytes long, avg_bytes double")

@@ -34,9 +34,14 @@ from .operators.drift import HistSpec, drift_check, snapshot
 from .operators.referential import referential_check
 from .operators.schema import (raise_schema_violations,
                                schema_contract_violations)
-from .operators.stats import column_stats, stats_exprs
+from .operators.stats import stats_exprs
 from .operators.uniqueness import uniqueness_check
-from .sinks.writers import Manifest, RunSink, ruleset_fingerprint
+from .sinks.writers import (Manifest, RunSink, frame_fingerprint,
+                            ruleset_fingerprint)
+
+#: every step-output dir a run can write — a fresh run into an existing
+#: root clears ALL of them (see RunSink.clear_outputs)
+STEP_OUTPUTS = ("violations", "uniqueness_violations", "snapshot", "drift")
 
 VIOLATION_COLS = ["clip_id", "rule_path", "rule_name", "expected", "actual",
                   "message"]
@@ -435,6 +440,12 @@ class ClipsValidationJob:
             # records from a previous (possibly differently-configured)
             # run would otherwise be trusted and their groups skipped
             manifest.clear()
+            # ... and every old step output: the violations writer is a
+            # DYNAMIC partition overwrite, which never deletes a
+            # partition absent from the new data — a partition dirty
+            # last run but clean now would keep its stale violation
+            # rows under this run's run.json
+            sink.clear_outputs(STEP_OUTPUTS)
 
         # the semantic fingerprint: every knob that changes WHICH rows
         # come out. A resumed run must match the run it resumes — the
@@ -444,6 +455,11 @@ class ClipsValidationJob:
         # manifest records completion, not semantics).
         semantics = {
             "ruleset": ruleset_fingerprint(cfg.rules),
+            # the referential dim's CONTENTS change which rows come out
+            # exactly like the rule set does (a codec missing from a
+            # rebuilt dim flags every row carrying it) — tiny broadcast
+            # frame, so hashing it costs one dimension-sized collect
+            "codec_dim": frame_fingerprint(self.codec_dim),
             "partition_col": cfg.partition_col,
             "audio_check": cfg.audio_check,
             "check_reference": cfg.check_reference,
@@ -612,7 +628,13 @@ class ClipsValidationJob:
             u_t0 = time.time()
             uniq_key = "_global_uniqueness"
             if manifest and resume and uniq_key in manifest.completed():
-                return 0, time.time() - u_t0
+                # the step is skipped but its RESULTS must survive into
+                # this run's metrics/run.json — returning 0 here would
+                # make the final wholesale run.json rewrite claim zero
+                # duplicates while the written violations say otherwise
+                rec = manifest.completed()[uniq_key].get("metrics", {})
+                uniq_cert.update(rec.get("certificate") or {})
+                return int(rec.get("violations", 0)), time.time() - u_t0
             uv = uniqueness_check(
                 df, "clip_id", layout=cfg.uniqueness_layout,
                 on_unclustered=cfg.uniqueness_on_unclustered,
@@ -625,7 +647,10 @@ class ClipsValidationJob:
                     sink.overwrite(uv, "uniqueness_violations")
             n = uv.count()
             if manifest:
-                manifest.mark(uniq_key, [], {"violations": n})
+                details = {"violations": n}
+                if uniq_cert:
+                    details["certificate"] = uniq_cert
+                manifest.mark(uniq_key, [], details)
             return n, time.time() - u_t0
 
         # global step 2: drift snapshot + check
@@ -635,8 +660,11 @@ class ClipsValidationJob:
                 return [], time.time() - d_t0
             snap = snapshot(df, DRIFT_SPECS)
             if sink:
-                snap.write.mode("overwrite").parquet(
-                    sink.path("snapshot"))
+                # same single-committer rule as the group/uniqueness
+                # writes: all commits into one output root queue
+                with sink_lock:
+                    snap.write.mode("overwrite").parquet(
+                        sink.path("snapshot"))
             if self.baseline is None:
                 return [], time.time() - d_t0
             dc = drift_check(snap, self.baseline,
@@ -644,16 +672,22 @@ class ClipsValidationJob:
                              psi_threshold=cfg.psi_threshold)
             rows = [r.asDict() for r in dc.collect()]
             if sink:
-                dc.write.mode("overwrite").parquet(sink.path("drift"))
+                with sink_lock:
+                    dc.write.mode("overwrite").parquet(sink.path("drift"))
             return rows, time.time() - d_t0
 
         if cfg.group_concurrency > 1:
             # the read-only global steps overlap the group jobs: Spark
             # schedules all of them; no step depends on another's output
             from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(cfg.group_concurrency + 2) as pool:
-                uniq_f = pool.submit(run_uniqueness)
-                drift_f = pool.submit(run_drift)
+            # the global steps get their OWN two workers: sharing one
+            # oversized pool would let finished global slots run extra
+            # groups, exceeding the group_concurrency contract the user
+            # set to bound concurrent Spark jobs
+            with ThreadPoolExecutor(2) as global_pool, \
+                    ThreadPoolExecutor(cfg.group_concurrency) as pool:
+                uniq_f = global_pool.submit(run_uniqueness)
+                drift_f = global_pool.submit(run_drift)
                 results = list(pool.map(run_group, groups))
                 uniq_viols, uniq_sec = uniq_f.result()
                 drift_rows, drift_sec = drift_f.result()

@@ -111,6 +111,18 @@ class Manifest:
                 os.remove(os.path.join(self.dir, name))
 
 
+def frame_fingerprint(df: Optional[DataFrame]) -> Optional[str]:
+    """Stable hash of a SMALL frame's contents (order-insensitive) —
+    lineage for tiny config-like inputs such as the referential codec
+    dim, whose contents change which violation rows come out just as
+    much as the rule set does. Collects the frame: callers must only
+    pass dimension-sized inputs."""
+    if df is None:
+        return None
+    blob = "\n".join(sorted(repr(r) for r in df.collect())).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
 @dataclass
 class RunSink:
     """Writers for one validation run."""
@@ -120,6 +132,21 @@ class RunSink:
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
+
+    def clear_outputs(self, names: Sequence[str]) -> None:
+        """Delete stale step-output dirs. A FRESH run into an existing
+        root calls this alongside ``Manifest.clear``: the violations
+        writer uses DYNAMIC partition overwrite, which only replaces
+        partitions present in the new data — a partition that produced
+        violations last run but is clean now would keep its stale rows
+        forever, and steps this run has disabled (e.g. drift off) would
+        leave a previous run's outputs under a run.json that never
+        produced them."""
+        import shutil
+        for name in names:
+            p = self.path(name)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
 
     def write_run_metadata(self, meta: dict) -> None:
         os.makedirs(self.root, exist_ok=True)

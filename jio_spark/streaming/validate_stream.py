@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..compiler import compile_ruleset
 from ..dsl import BaseSchema, ObjectSchema
-from ..engine import VIOLATION_FIELDS
+from ..engine import validate
 
 
 def validate_stream(stream_df: DataFrame,
@@ -28,15 +28,20 @@ def validate_stream(stream_df: DataFrame,
                     window: str = "1 minute",
                     schema_contract: Optional[Dict[str, str]] = None
                     ) -> Dict[str, DataFrame]:
-    """Compile the rule set once and return streaming outputs:
+    """Validate a streaming frame with the SAME engine face as batch:
 
-    * ``annotated`` — input rows + ``_pass`` + ``_violations`` (append mode)
+    * ``annotated`` — input rows + ``_pass`` + ``_violations`` +
+      ``_first_violation`` (append mode; identical to
+      ``ValidationResult.annotated`` — one derivation, two faces)
     * ``violations`` — exploded violation rows (append mode)
     * ``rates`` — watermarked windowed pass/fail counts per rule window
       (update/append with watermark), when ``ts_col`` is given
 
     Each is an unstarted streaming DataFrame: attach ``.writeStream`` with
-    the sink of your choice.
+    the sink of your choice. The compiler emits pure Column expressions,
+    so ``engine.validate`` applies to a streaming DataFrame unchanged —
+    this module adds only the streaming-specific ``rates`` output rather
+    than re-deriving (and drifting from) the batch outputs.
 
     ``schema_contract``: optional physical-schema preflight
     (operators/schema.py). A streaming source whose schema drifted fails
@@ -47,25 +52,12 @@ def validate_stream(stream_df: DataFrame,
     if schema_contract:
         from ..operators.schema import assert_schema_contract
         assert_schema_contract(stream_df, schema_contract)
-    compiled = compile_ruleset(stream_df, schema)
-    ids = list(id_cols) if id_cols else [stream_df.columns[0]]
+    res = validate(stream_df, schema, id_cols=id_cols)
 
-    prepared = compiled.prepare(stream_df)
-    annotated = (prepared
-                 .withColumn("_violations", compiled.violations_array)
-                 .withColumn("_pass", compiled.row_pass)
-                 .drop(*compiled.internal_cols))
-
-    violations = (prepared
-                  .withColumn("_violations", compiled.violations_array)
-                  .select(*ids, F.explode("_violations").alias("_v"))
-                  .select(*ids, *[F.col(f"_v.{f}").alias(f)
-                                  for f in VIOLATION_FIELDS]))
-
-    out = {"annotated": annotated, "violations": violations}
+    out = {"annotated": res.annotated, "violations": res.violations}
     if ts_col:
-        rates = (prepared
-                 .withColumn("_pass", compiled.row_pass)
+        rates = (res.prepared
+                 .withColumn("_pass", res.compiled.row_pass)
                  .withWatermark(ts_col, watermark)
                  .groupBy(F.window(F.col(ts_col), window))
                  .agg(F.count(F.lit(1)).alias("rows"),

@@ -811,3 +811,62 @@ def test_merge_handles_all_null_columns(spark):
     m2 = _merge_observed_stats(groups2, ["half"], spark=spark)
     assert abs(m2["half"]["distinct"] - 100) <= 5
     assert "quantiles" in m2["half"]
+
+
+def test_fresh_run_clears_stale_step_outputs(spark, tmp_path):
+    """Dynamic partition overwrite never deletes a partition absent
+    from the new data: a fresh run into a root whose previous run wrote
+    violations must clear the step outputs first, or a now-clean
+    partition keeps phantom violation rows under the new run.json."""
+    import glob
+
+    out = str(tmp_path / "root")
+    cfg = ClipsJobConfig(group_size=16, audio_check=False, drift=False)
+    job = ClipsValidationJob(spark, cfg)
+    job.run(clips_frame(spark, 300, clean=False, partitions=2),
+            output_root=out)
+    vdir = os.path.join(out, "violations")
+    assert glob.glob(os.path.join(vdir, "**", "*.parquet"),
+                     recursive=True)  # dirty run produced rows
+    job.run(clips_frame(spark, 300, clean=True, partitions=2),
+            output_root=out)
+    stale = glob.glob(os.path.join(vdir, "**", "*.parquet"),
+                      recursive=True)
+    assert not stale or spark.read.parquet(vdir).count() == 0
+
+
+def test_resume_preserves_uniqueness_metrics(spark, tmp_path):
+    """A resumed run skips the completed uniqueness step but must carry
+    its recorded count into this run's metrics/run.json — returning 0
+    would claim zero duplicates while the written violations disagree."""
+    out = str(tmp_path / "uniq")
+    base = clips_frame(spark, 200, clean=True, partitions=2)
+    df = base.unionByName(base.limit(5))
+    cfg = ClipsJobConfig(group_size=16, audio_check=False, drift=False)
+    job = ClipsValidationJob(spark, cfg)
+    m1 = job.run(df, output_root=out)
+    assert m1["uniqueness_violations"] == 5
+    m2 = job.run(df, output_root=out, resume=True)
+    assert m2["groups_run"] == 0
+    assert m2["uniqueness_violations"] == 5
+    # the final wholesale run.json rewrite carries the real count too
+    from jio_spark.sinks.writers import RunSink
+    meta = RunSink(out).read_run_metadata()
+    assert meta["metrics"]["uniqueness_violations"] == 5
+
+
+def test_resume_refuses_changed_codec_dim(spark, clips_path, tmp_path):
+    """The referential dim's CONTENTS are output semantics: resuming
+    with a rebuilt dim missing a codec would flag every row carrying it
+    in the resumed groups only — the exact mixed-config output the
+    fingerprint exists to prevent."""
+    df = spark.read.parquet(clips_path)
+    out = str(tmp_path / "dim")
+    cfg = ClipsJobConfig(group_size=16, audio_check=False, drift=False)
+    ClipsValidationJob(spark, cfg,
+                       codec_dim=default_codec_dim(spark)) \
+        .run(df, output_root=out)
+    smaller = default_codec_dim(spark).where(F.col("codec") != "ulaw")
+    with pytest.raises(ValueError, match="resume would mix"):
+        ClipsValidationJob(spark, cfg, codec_dim=smaller) \
+            .run(df, output_root=out, resume=True)

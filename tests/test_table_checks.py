@@ -380,3 +380,47 @@ def test_snapshot_roundtrip(spark, tmp_path):
     back = spark.read.parquet(p)
     res = drift_check(back, snap).collect()[0]
     assert res["pass"] and res["ks"] == 0.0
+
+
+def test_drift_empty_current_is_outage_not_pass(spark):
+    """An all-NULL/empty current column must FAIL drift — a total data
+    outage is the most drifted state possible, but the zero-histogram
+    PSI shortcut (0.0) and the null-quantiles KS skip would otherwise
+    report it green. A data-less BASELINE, by contrast, can't support a
+    verdict either way and surfaces as an explicit not-evaluated row."""
+    spec = {"dur_ms": HistSpec(0.0, 160.0, 32)}
+    full = spark.range(0, 500).select(
+        (F.col("id") % 100).cast("double").alias("dur_ms"))
+    nulls = spark.range(0, 500).select(
+        F.lit(None).cast("double").alias("dur_ms"))
+    outage = drift_check(snapshot(nulls, spec),
+                         snapshot(full, spec)).collect()[0]
+    assert not outage["pass"] and not outage["ks_pass"]
+    assert "no data in the current" in outage["message"]
+    noeval = drift_check(snapshot(full, spec),
+                         snapshot(nulls, spec)).collect()[0]
+    assert noeval["pass"] and "baseline" in noeval["message"]
+    both = drift_check(snapshot(nulls, spec),
+                       snapshot(nulls, spec)).collect()[0]
+    assert both["pass"] and "not evaluated" in both["message"]
+
+
+def test_column_stats_binary_bytes_and_all_null_bounds(spark):
+    """Binary columns surface the total/avg byte sizes the scan paid to
+    compute (null for other types), and column_stats_bounds must treat
+    an all-NULL numeric column as vacuously in-bound instead of
+    crashing on the null percentile_approx array."""
+    from jio_spark.operators.stats import column_stats_bounds
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc"), None), (2, bytearray(b"defgh"), None),
+         (3, None, None)],
+        "id int, payload binary, y double")
+    stats = {r["col_name"]: r for r in column_stats(df).collect()}
+    assert stats["payload"]["total_bytes"] == 8
+    assert abs(stats["payload"]["avg_bytes"] - 4.0) < 1e-9
+    assert stats["id"]["total_bytes"] is None
+    assert stats["y"]["total_bytes"] is None
+    bounds = {r["col_name"]: r for r in
+              column_stats_bounds(df, ["id", "y"]).collect()}
+    assert bounds["y"]["distinct_ok"] and bounds["y"]["quantiles_ok"]
+    assert bounds["id"]["distinct_ok"] and bounds["id"]["quantiles_ok"]
