@@ -1565,6 +1565,8 @@ def oracle_sql() -> dict[str, str]:
                        AS n_punct,
                      length(regexp_replace(text, '[^0-9]', '', 'g'))
                        AS n_digit,
+                     length(regexp_replace(text, '\\s', '', 'g'))
+                       AS n_nonws,
                      len(list_filter(list_transform({_WS_WORDS},
                          x -> lower(x)),
                          x -> x IN ('the','and','of','to','is','that',
@@ -1583,7 +1585,7 @@ def oracle_sql() -> dict[str, str]:
                            > 0.2 THEN 0.5 ELSE 1.0 END
                     * CASE WHEN n_digit / greatest(n_chars, 1)::DOUBLE
                            > 0.3 THEN 0.5 ELSE 1.0 END
-                    * CASE WHEN (n_chars - n_words + 1)
+                    * CASE WHEN n_nonws
                            / greatest(n_words, 1)::DOUBLE > 12
                            THEN 0.5 ELSE 1.0 END) AS quality_score
             FROM t""",
@@ -1597,7 +1599,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                      AS fp,
                    count(*)::BIGINT AS n_docs
-            FROM documents GROUP BY 1 HAVING count(*) > 1""",
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY 1 HAVING count(*) > 1""",
         "dedup_prefix_groups": f"""
             WITH t AS (
               SELECT doc_id,
@@ -1632,7 +1635,9 @@ def oracle_sql() -> dict[str, str]:
                      length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
                        AS n_punct,
                      length(regexp_replace(text, '[^0-9]', '', 'g'))
-                       AS n_digit
+                       AS n_digit,
+                     length(regexp_replace(text, '\\s', '', 'g'))
+                       AS n_nonws
               FROM documents),
             f AS (
               SELECT doc_id, lang, text, n_words,
@@ -1644,7 +1649,7 @@ def oracle_sql() -> dict[str, str]:
                             > 0.2 THEN 0.5 ELSE 1.0 END
                      * CASE WHEN n_digit / greatest(n_chars, 1)::DOUBLE
                             > 0.3 THEN 0.5 ELSE 1.0 END
-                     * CASE WHEN (n_chars - n_words + 1)
+                     * CASE WHEN n_nonws
                             / greatest(n_words, 1)::DOUBLE > 12
                             THEN 0.5 ELSE 1.0 END) >= 1.0),
             k AS (SELECT fp, min(doc_id) AS md FROM f GROUP BY 1)

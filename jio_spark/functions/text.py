@@ -80,7 +80,11 @@ def quality_metrics(col: Column) -> Dict[str, Column]:
         lambda w: w.isin(*LANG_MARKERS["en"])))
     safe_len = F.greatest(length, F.lit(1)).cast("double")
     safe_words = F.greatest(n_words, F.lit(1)).cast("double")
-    mean_word_len = (length - n_words + 1).cast("double") / safe_words
+    # mean word length = non-whitespace chars / words: subtracting the
+    # word count instead would bill every EXTRA whitespace char (runs
+    # of spaces, newlines) to the words and mis-trigger the >12 penalty
+    non_ws = F.length(F.regexp_replace(col, r"\s", ""))
+    mean_word_len = non_ws.cast("double") / safe_words
     score = (
         F.when(length < 20, 0.0).otherwise(1.0)
         * F.when(punct / safe_len > 0.2, 0.5).otherwise(1.0)
@@ -111,8 +115,11 @@ def language_id(col: Column) -> Column:
     scores = lang_scores(col)
     best_lang = F.lit("und")
     best_score = F.lit(0)
-    # iterate descending so earlier (ascending) codes win ties with >
-    for lang in sorted(scores, reverse=True):
+    # the fold nests each WHEN OUTSIDE the previous one, so the LAST
+    # language iterated is evaluated first and only overwrites on a
+    # strict >: iterate ASCENDING so ties fall through to the
+    # ascending-first code (matching the oracle's ascending CASE)
+    for lang in sorted(scores):
         s = scores[lang]
         take = s > best_score
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)

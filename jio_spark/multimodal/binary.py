@@ -255,9 +255,14 @@ def decode_image_stub(df: DataFrame, id_col: str, bytes_col: str,
                    "ok": np.zeros(n, dtype=bool),
                    "error": np.array([None] * n, dtype=object)}
             for j in range(n):
+                payload = pdf["bytes"].iloc[j]
+                if payload is None:
+                    # bad data, not a task-killing bytes(None) crash —
+                    # same rule as decode_image's real path
+                    out["error"][j] = "null payload"
+                    continue
                 try:
-                    img = _decode_rgb(bytes(pdf["bytes"].iloc[j]),
-                                      height, width)
+                    img = _decode_rgb(bytes(payload), height, width)
                     out["mean_pixel"][j] = float(img.mean())
                     out["ok"][j] = True
                 except NotImplementedError as e:
@@ -278,8 +283,11 @@ def resize_stub(df: DataFrame, id_col: str, bytes_col: str,
         for pdf in batches:
             ids, payloads = [], []
             for j in range(len(pdf)):
+                payload = pdf["bytes"].iloc[j]
+                if payload is None:
+                    continue  # undecodable rows are skipped, not crashes
                 try:
-                    img = _decode_rgb(bytes(pdf["bytes"].iloc[j]), 32, 32)
+                    img = _decode_rgb(bytes(payload), 32, 32)
                 except NotImplementedError:
                     continue
                 ys = (np.arange(target_h) * 32 // target_h)
@@ -287,7 +295,11 @@ def resize_stub(df: DataFrame, id_col: str, bytes_col: str,
                 resized = img[np.ix_(ys, xs)]
                 ids.append(str(pdf["id"].iloc[j]))
                 payloads.append(resized.tobytes())
-            yield pd.DataFrame({"id": ids, "resized": payloads})
+            # object dtype explicitly: an all-skipped batch would yield
+            # empty float64 columns Arrow can't cast to binary
+            yield pd.DataFrame({"id": pd.Series(ids, dtype=object),
+                                "resized": pd.Series(payloads,
+                                                     dtype=object)})
 
     slim = df.select(F.col(id_col).cast("string").alias("id"),
                      F.col(bytes_col).alias("bytes"))
@@ -304,14 +316,21 @@ def extract_features(df: DataFrame, id_col: str, bytes_col: str,
         for pdf in batches:
             ids, vecs = [], []
             for j in range(len(pdf)):
-                payload = bytes(pdf["bytes"].iloc[j])
+                raw = pdf["bytes"].iloc[j]
+                if raw is None:
+                    continue  # no features for a null payload, no crash
+                payload = bytes(raw)
                 digest = hashlib.sha512(payload).digest() * (
                     (dim * 4) // 64 + 1)
                 v = (np.frombuffer(digest[: dim * 4], dtype=np.uint32)
                      .astype(np.float32) / np.float32(2**32))
                 ids.append(str(pdf["id"].iloc[j]))
                 vecs.append(v.tolist())
-            yield pd.DataFrame({"id": ids, "features": vecs})
+            # object dtype explicitly: an all-skipped batch would yield
+            # empty float64 columns Arrow can't cast to list<float>
+            yield pd.DataFrame({"id": pd.Series(ids, dtype=object),
+                                "features": pd.Series(vecs,
+                                                      dtype=object)})
 
     slim = df.select(F.col(id_col).cast("string").alias("id"),
                      F.col(bytes_col).alias("bytes"))
@@ -328,15 +347,23 @@ def frame_sample(df: DataFrame, id_col: str, bytes_col: str,
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for j in range(len(pdf)):
-                payload = bytes(pdf["bytes"].iloc[j])
+                raw = pdf["bytes"].iloc[j]
+                if raw is None:
+                    continue  # no frames from a null payload, no crash
+                payload = bytes(raw)
                 for fi in range(min(max_frames,
                                     max(1, len(payload) // every_n_bytes))):
                     ids.append(str(pdf["id"].iloc[j]))
                     idxs.append(fi)
                     frames.append(
                         payload[fi * every_n_bytes:(fi + 1) * every_n_bytes])
-            yield pd.DataFrame({"id": ids, "frame_idx": idxs,
-                                "frame": frames})
+            # object/int dtypes explicitly: an all-skipped batch would
+            # yield empty float64 columns Arrow can't cast
+            yield pd.DataFrame({"id": pd.Series(ids, dtype=object),
+                                "frame_idx": pd.Series(idxs,
+                                                       dtype="int64"),
+                                "frame": pd.Series(frames,
+                                                   dtype=object)})
 
     slim = df.select(F.col(id_col).cast("string").alias("id"),
                      F.col(bytes_col).alias("bytes"))

@@ -39,9 +39,13 @@ from ..functions.vectors import dot, l2_norm
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Groups of identical (normalized) content: (fingerprint, n_docs,
-    doc_ids). One row per duplicated group."""
+    doc_ids). One row per duplicated group. NULL text is ABSENT content,
+    not identical content — md5(NULL) is NULL and groupBy would pool
+    every null-text doc into one phantom "duplicate" group, so those
+    rows are excluded."""
     return (df.select(F.col(id_col),
                       doc_fingerprint(F.col(text_col)).alias("fp"))
+            .where(F.col("fp").isNotNull())
             .groupBy("fp")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
@@ -51,8 +55,15 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep the smallest id per identical-content group (deterministic
-    survivor), implemented as a window-free groupBy + semi join."""
-    fp = doc_fingerprint(F.col(text_col)).alias("fp")
+    survivor), implemented as a window-free groupBy + semi join.
+
+    NULL-text rows are each their own group (kept, never collapsed):
+    md5(NULL) is NULL, and grouping on it directly would silently DELETE
+    all-but-one of the docs whose content is merely missing. The
+    coalesce to a per-id sentinel keeps the single-pass shape."""
+    fp = F.coalesce(doc_fingerprint(F.col(text_col)),
+                    F.concat(F.lit("__null__:"),
+                             F.col(id_col).cast("string"))).alias("fp")
     keep = (df.select(F.col(id_col), fp)
             .groupBy("fp").agg(F.min(id_col).alias(id_col)))
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
@@ -419,10 +430,13 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.95,
     the correctness baseline; the scale path is the LSH-bucketed variant
     in similarity.py."""
     v = F.col(vec_col)
+    # zero-norm/null vectors excluded: cosine is undefined for them and
+    # Spark 4's default ANSI mode turns the division into a job-killing
+    # DIVIDE_BY_ZERO (same convention as similarity._with_norm)
     a = df.select(F.col(id_col).alias("id_a"), v.alias("v_a"),
-                  l2_norm(v).alias("n_a"))
+                  l2_norm(v).alias("n_a")).where(F.col("n_a") > 0)
     b = df.select(F.col(id_col).alias("id_b"), v.alias("v_b"),
-                  l2_norm(v).alias("n_b"))
+                  l2_norm(v).alias("n_b")).where(F.col("n_b") > 0)
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     # norms precomputed per input row (below the join), not per pair;
     # same dot/(sqrt·sqrt) expression shape → scores bit-identical

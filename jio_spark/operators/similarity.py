@@ -35,10 +35,15 @@ def _with_norm(df: DataFrame, id_col: str, vec_col: str, id_alias: str,
     below the join, so scoring J pairs costs J dots — not J dots + 2J
     norm recomputations (cosine_similarity inlined at the pair level
     re-derives both norms per pair; at corpus scale that triples the
-    flops of the scoring stage)."""
+    flops of the scoring stage).
+
+    Zero-norm (all-zero) and null vectors are EXCLUDED: their cosine is
+    undefined, and under Spark 4's default ANSI mode the division would
+    raise DIVIDE_BY_ZERO and kill the job over one degenerate row."""
     v = F.col(vec_col)
-    return df.select(F.col(id_col).alias(id_alias), v.alias(vec_alias),
-                     l2_norm(v).alias(n_alias))
+    return (df.select(F.col(id_col).alias(id_alias), v.alias(vec_alias),
+                      l2_norm(v).alias(n_alias))
+            .where(F.col(n_alias) > 0))
 
 
 def _cos(va: str, vb: str, na: str, nb: str) -> Column:
@@ -94,6 +99,21 @@ def _bucket_expr(vec: Column, dim: int, table: int, bits: int) -> Column:
     return acc
 
 
+def _with_buckets(base: DataFrame, id_alias: str, vec_alias: str,
+                  n_alias: str, dim: int, tables: int,
+                  bits: int) -> DataFrame:
+    """Explode a normed frame to one row per (vector, LSH table) with its
+    sign-bucket — the ONE bucketing projection both lsh_topk and
+    lsh_dup_pairs ride (a hashing change lands in both or neither)."""
+    v = F.col(vec_alias)
+    b = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 _bucket_expr(v, dim, t, bits).alias("bkt"))
+        for t in range(tables)])).alias("tb")
+    return (base.select(id_alias, vec_alias, n_alias, b)
+            .select(id_alias, vec_alias, n_alias, "tb.tbl", "tb.bkt"))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              dim: int = 64, tables: int = 4, bits: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -101,19 +121,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """Random-hyperplane LSH top-k: join corpus and queries on
     (table, sign-bucket); score only collisions. Expected candidate
     fraction ≈ tables × 2^-bits of the corpus per query."""
-    def with_buckets(df, id_alias, vec_alias, n_alias):
-        base = _with_norm(df, id_col, vec_col, id_alias, vec_alias,
-                          n_alias)
-        v = F.col(vec_alias)
-        b = F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     _bucket_expr(v, dim, t, bits).alias("bkt"))
-            for t in range(tables)])).alias("tb")
-        return (base.select(id_alias, vec_alias, n_alias, b)
-                .select(id_alias, vec_alias, n_alias, "tb.tbl", "tb.bkt"))
-
-    c = with_buckets(corpus, "neighbor_id", "c_vec", "c_n")
-    q = F.broadcast(with_buckets(queries, "query_id", "q_vec", "q_n"))
+    c = _with_buckets(_with_norm(corpus, id_col, vec_col,
+                                 "neighbor_id", "c_vec", "c_n"),
+                      "neighbor_id", "c_vec", "c_n", dim, tables, bits)
+    q = F.broadcast(_with_buckets(_with_norm(queries, id_col, vec_col,
+                                             "query_id", "q_vec", "q_n"),
+                                  "query_id", "q_vec", "q_n",
+                                  dim, tables, bits))
     cand = (c.join(q, ["tbl", "bkt"])
             .select("query_id", "neighbor_id", "q_vec", "c_vec",
                     "q_n", "c_n")
@@ -126,19 +140,31 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return _rank_topk(scored, k)
 
 
+def _cent_structs(vec_col: Column, norm_col: Column,
+                  cents: List[tuple]) -> List[Column]:
+    """Per-centroid ``struct(cos, -cid)`` literals — the ONE place the
+    literal-centroid scoring shape lives (assign argmax and probe sort
+    both consume it, so they can't drift). A zero-norm centroid (the
+    mean of a degenerate cluster) scores as a constant 0 instead of
+    raising ANSI DIVIDE_BY_ZERO. ``cents`` = [(cid, vector, norm)]."""
+    structs = []
+    for cid, vec, cn in cents:
+        c_arr = F.array(*[F.lit(float(x)) for x in vec])
+        cos = dot(vec_col, c_arr) / (norm_col * F.lit(cn if cn > 0
+                                                      else 1.0))
+        structs.append(F.struct(cos.alias("cos"),
+                                F.lit(-cid).alias("ncid")))
+    return structs
+
+
 def _assign_expr(vec_col: Column, norm_col: Column,
                  cents: List[tuple]) -> Column:
     """Nearest-centroid id as a PURE column expression over literal
     centroid arrays: argmax cosine via ``array_max`` of
     ``struct(cos, -cid)`` (ties → smallest cid). Zero shuffle, zero row
     expansion — the scan stays one codegen'd pass however large the
-    corpus. ``cents`` = [(cid, vector, norm)]."""
-    structs = []
-    for cid, vec, cn in cents:
-        c_arr = F.array(*[F.lit(float(x)) for x in vec])
-        cos = dot(vec_col, c_arr) / (norm_col * F.lit(cn))
-        structs.append(F.struct(cos.alias("cos"),
-                                F.lit(-cid).alias("ncid")))
+    corpus."""
+    structs = _cent_structs(vec_col, norm_col, cents)
     return (-F.array_max(F.array(*structs))["ncid"]).cast("int")
 
 
@@ -146,13 +172,8 @@ def _probe_expr(vec_col: Column, norm_col: Column, cents: List[tuple],
                 nprobe: int) -> Column:
     """Top-``nprobe`` centroid ids by cosine (desc, cid asc) as a pure
     expression: sort the literal struct array descending and slice."""
-    structs = []
-    for cid, vec, cn in cents:
-        c_arr = F.array(*[F.lit(float(x)) for x in vec])
-        cos = dot(vec_col, c_arr) / (norm_col * F.lit(cn))
-        structs.append(F.struct(cos.alias("cos"),
-                                F.lit(-cid).alias("ncid")))
-    ranked = F.sort_array(F.array(*structs), asc=False)
+    ranked = F.sort_array(
+        F.array(*_cent_structs(vec_col, norm_col, cents)), asc=False)
     return F.transform(F.slice(ranked, 1, nprobe),
                        lambda s: (-s.getField("ncid")).cast("int"))
 
@@ -182,12 +203,7 @@ def lsh_dup_pairs(df: DataFrame, threshold: float = 0.95,
     collide with high probability). Same deterministic hyperplanes as
     lsh_topk, so a SQL oracle replays bucketing exactly."""
     base = _with_norm(df, id_col, vec_col, "vid", "v", "n")
-    b = F.explode(F.array(*[
-        F.struct(F.lit(t).alias("tbl"),
-                 _bucket_expr(F.col("v"), dim, t, bits).alias("bkt"))
-        for t in range(tables)])).alias("tb")
-    buckets = (base.select("vid", "v", "n", b)
-               .select("vid", "v", "n", "tb.tbl", "tb.bkt"))
+    buckets = _with_buckets(base, "vid", "v", "n", dim, tables, bits)
     a = buckets.alias("a")
     bb = buckets.alias("b")
     cand = (a.join(bb, (F.col("a.tbl") == F.col("b.tbl"))
@@ -209,10 +225,12 @@ def lsh_dup_pairs(df: DataFrame, threshold: float = 0.95,
 
 def _centroid_frame(spark, cents: List[tuple]) -> DataFrame:
     """[(cid, vec, norm)] → broadcast-ready centroid table. The floats
-    are the same Python doubles the literal-expression path embeds, so
-    both assignment paths score bit-identically."""
+    are the same Python doubles the literal-expression path embeds —
+    including the zero-norm→1.0 guard of ``_cent_structs`` — so both
+    assignment paths score bit-identically."""
     return spark.createDataFrame(
-        [(int(cid), [float(x) for x in vec], float(n))
+        [(int(cid), [float(x) for x in vec],
+          float(n) if n > 0 else 1.0)
          for cid, vec, n in cents],
         "cid int, cv array<double>, cn double")
 
@@ -302,8 +320,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  .limit(n_centroids)
                  .collect())
     if not seed_rows:   # empty corpus → empty result, not an IndexError
+        # same schema as the non-empty path: id types follow the inputs
+        # (a hardcoded `long` would make the empty case union-incompatible
+        # with a string-keyed corpus's results)
+        q_t = queries.schema[id_col].dataType.simpleString()
+        c_t = corpus.schema[id_col].dataType.simpleString()
         return corpus.sparkSession.createDataFrame(
-            [], "query_id long, rank int, neighbor_id long, score double")
+            [], f"query_id {q_t}, rank int, neighbor_id {c_t}, "
+                "score double")
     seeds = _with_norms_py([(cid, list(r["v"]))
                             for cid, r in enumerate(seed_rows)])
     dim = len(seeds[0][1])

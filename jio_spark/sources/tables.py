@@ -48,8 +48,17 @@ class TableAdapter:
         if vals:
             return vals
         df = self.read(spark, location)
-        return sorted(r[0] for r in
-                      df.select(self.partition_col).distinct().collect())
+        raw = [r[0] for r in
+               df.select(self.partition_col).distinct().collect()]
+        # a NULL partition value is exactly the case the hive listing
+        # degrades to this fallback for (it returns [] on a
+        # __HIVE_DEFAULT_PARTITION__ dir) — None can't sort against
+        # ints/strings, so it rides as an explicit last member, same
+        # convention as the runner's fallback
+        out = sorted(v for v in raw if v is not None)
+        if any(v is None for v in raw):
+            out.append(None)
+        return out
 
 
 def list_partition_values(spark: SparkSession, location: str,

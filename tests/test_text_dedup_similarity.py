@@ -392,3 +392,102 @@ def test_simhash_mode_pair_sets_agree(spark, collision_corpus):
                for r in simhash_pairs(corpus, max_hamming=3, n=3,
                                       hash_mode=mode).collect()}
         assert got == expected, mode
+
+
+def test_language_id_tie_breaks_ascending(spark):
+    """One 'de' hit + one 'zh' hit: the tie must go to the ASCENDING
+    language code ('de'), matching both the docstring and the DuckDB
+    oracle's ascending CASE — the fold nests the last-iterated language
+    outermost, so iteration order decides ties."""
+    df = spark.createDataFrame([(1, "die shi4")], "id int, t string")
+    assert df.select(language_id(F.col("t")).alias("l")) \
+             .first()["l"] == "de"
+
+
+def test_quality_mean_word_len_ignores_extra_whitespace(spark):
+    """Whitespace-padded text must not trip the >12 mean-word-length
+    penalty: mean word length counts non-whitespace chars per word, not
+    every padding space."""
+    t = "a" + " " * 30 + "b plus filler beyond the short-text gate"
+    df = spark.createDataFrame([(1, t)], "id int, t string")
+    m = quality_metrics(F.col("t"))
+    row = df.select(m["mean_word_len"].alias("mwl"),
+                    m["quality_score"].alias("q")).first()
+    assert row["mwl"] < 6 and row["q"] == 1.0
+
+
+def test_null_text_is_not_duplicate_content(spark):
+    """md5(NULL) is NULL: grouping on it directly would pool every
+    null-text doc into one phantom dup group and dedup_exact would
+    silently DELETE all but one of them."""
+    rows = [(1, "same text here"), (2, "same text here"),
+            (10, None), (20, None), (30, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    groups = exact_duplicates(df).collect()
+    assert len(groups) == 1 and groups[0]["doc_ids"] == [1, 2]
+    kept = {r["doc_id"] for r in dedup_exact(df).collect()}
+    assert kept == {1, 10, 20, 30}
+
+
+def test_zero_norm_vectors_excluded_not_ansi_crash(spark):
+    """An all-zero embedding has undefined cosine; under Spark 4's
+    default ANSI mode the unguarded division raised DIVIDE_BY_ZERO and
+    killed every similarity job over one degenerate row. Zero-norm rows
+    are excluded instead — results over the healthy rows unchanged."""
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(12):
+        v = rng.randn(8)
+        rows.append((i, (v / np.linalg.norm(v))
+                     .astype(np.float32).tolist()))
+    v0 = np.array(rows[0][1]) + 0.01
+    rows.append((40, (v0 / np.linalg.norm(v0))
+                 .astype(np.float32).tolist()))
+    rows.append((99, [0.0] * 8))          # the degenerate vector
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    queries = df.where(F.col("vec_id") == 0)
+    top = brute_force_topk(df, queries, k=3).collect()
+    assert top[0]["neighbor_id"] == 40
+    assert all(r["neighbor_id"] != 99 for r in top)
+    pairs = embedding_dup_pairs(df, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 40)}
+    ivf = ivf_topk(df, queries, k=3, n_centroids=3, nprobe=2).collect()
+    assert ivf and ivf[0]["neighbor_id"] == 40
+    dup = lsh_dup_pairs(df, threshold=0.99, dim=8, tables=8,
+                        bits=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in dup} <= {(0, 40)}
+    # a zero-norm QUERY yields no rows rather than a crash
+    zq = df.where(F.col("vec_id") == 99)
+    assert brute_force_topk(df, zq, k=3).collect() == []
+
+
+def test_ivf_empty_corpus_schema_follows_inputs(spark):
+    """The empty-corpus early return must carry the INPUT id types: a
+    string-keyed corpus's empty result must union with its non-empty
+    results."""
+    empty = spark.createDataFrame([],
+                                  "vec_id string, embedding array<float>")
+    q = spark.createDataFrame([("q1", [1.0, 0.0])],
+                              "vec_id string, embedding array<float>")
+    out = ivf_topk(empty, q, k=3)
+    assert out.schema["query_id"].dataType.simpleString() == "string"
+    assert out.schema["neighbor_id"].dataType.simpleString() == "string"
+    assert out.count() == 0
+
+
+def test_multimodal_null_payload_rows_skipped_not_crash(spark):
+    """A NULL payload cell must not kill the task via bytes(None) in any
+    of the stub paths (decode/resize/features/frames)."""
+    from jio_spark.multimodal import resize_stub
+    rows = [(1, bytearray(b"p" * 8192)), (2, None)]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    dec = {r["id"]: r for r in
+           decode_image_stub(df, "id", "payload").collect()}
+    assert dec["1"]["ok"] and not dec["2"]["ok"]
+    assert dec["2"]["error"] == "null payload"
+    assert {r["id"] for r in
+            resize_stub(df, "id", "payload", 8, 8).collect()} == {"1"}
+    assert {r["id"] for r in
+            extract_features(df, "id", "payload").collect()} == {"1"}
+    assert {r["id"] for r in
+            frame_sample(df, "id", "payload").collect()} == {"1"}
