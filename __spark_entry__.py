@@ -1499,7 +1499,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l_orderkey AS VARCHAR) || ' is duplicated ' ||
                    CAST(cnt AS VARCHAR) || ' times' AS message
             FROM (SELECT l_orderkey, count(*)::BIGINT AS cnt
-                  FROM lineitem GROUP BY 1 HAVING count(*) > 1)""",
+                  FROM lineitem WHERE l_orderkey IS NOT NULL
+                  GROUP BY 1 HAVING count(*) > 1)""",
         "uniqueness_clustered": """
             SELECT CAST(l_orderkey AS VARCHAR) AS key_str,
                    'l_orderkey' AS rule_path,
@@ -1510,7 +1511,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l_orderkey AS VARCHAR) || ' is duplicated ' ||
                    CAST(cnt AS VARCHAR) || ' times' AS message
             FROM (SELECT l_orderkey, count(*)::BIGINT AS cnt
-                  FROM lineitem GROUP BY 1 HAVING count(*) > 1)""",
+                  FROM lineitem WHERE l_orderkey IS NOT NULL
+                  GROUP BY 1 HAVING count(*) > 1)""",
         "stats_profile": """
             SELECT 'l_quantity' AS col_name, count(*)::BIGINT AS count,
                    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0

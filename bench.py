@@ -194,7 +194,11 @@ def main():
         queries[name] = round(statistics.median(runs), 3)
 
     out = {
-        "metric": "validated clips/sec (full rule-set pass)",
+        # metric/value/unit agree: the VALUE is the full-pass wall
+        # median in seconds; the throughput rides in clips_per_sec
+        # (a consumer pairing metric with value must not read seconds
+        # where the name promises a rate)
+        "metric": "full rule-set validation pass wall (median of runs)",
         "value": round(full_pass_sec, 3),
         "unit": "sec",
         "clips": N_CLIPS,

@@ -146,16 +146,41 @@ def parse_wav(raw: bytes) -> Tuple[np.ndarray, int, str]:
     ``len()`` is the decoded sample count.
 
     Raises ValueError on malformed/truncated input (drives the corrupt-
-    payload violations in FIXTURES.md §1)."""
+    payload violations in FIXTURES.md §1).
+
+    The RIFF chunk list is WALKED per spec, not assumed canonical: a
+    valid WAV may carry an 18/40-byte fmt chunk (WAVEFORMATEX/EXTENSIBLE)
+    or fact/LIST chunks before data — the table's bytes come from
+    arbitrary encoders, not just this module's 44-byte writer — and a
+    buffer whose fmt fields are garbage must be rejected, not unpacked
+    from a fixed offset."""
     if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    (fmt, channels, sr, _, _, bits) = struct.unpack("<HHIIHH", raw[20:36])
-    if raw[36:40] != b"data":
+    fmt = channels = sr = bits = None
+    payload = None
+    pos = 12
+    while pos + 8 <= len(raw):
+        cid = raw[pos:pos + 4]
+        (clen,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+        body = raw[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            if clen < 16 or len(body) < 16:
+                raise ValueError("malformed fmt chunk")
+            (fmt, channels, sr, _, _, bits) = struct.unpack(
+                "<HHIIHH", body[:16])
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            if len(body) < clen:
+                raise ValueError("truncated data chunk")
+            payload = body
+            break
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None:
+        raise ValueError("missing fmt chunk")
+    if payload is None:
         raise ValueError("missing data chunk")
-    (dlen,) = struct.unpack("<I", raw[40:44])
-    payload = raw[44:44 + dlen]
-    if len(payload) < dlen:
-        raise ValueError("truncated data chunk")
+    dlen = len(payload)
     if channels != 1:
         raise ValueError(f"unsupported channel count {channels}")
     if fmt == _FMT_PCM16:

@@ -20,7 +20,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .codecs import ENCODERS, synth_wave
+from .codecs import DEFAULT_AMPLITUDE, ENCODERS, _one_period, synth_wave
 
 CLIPS_SCHEMA = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
                 "codec string, transcript string, bucket_id int")
@@ -97,7 +97,6 @@ def expected_period(i: int, clean: bool = False):
     blocked SNR check (codecs.snr_db_vs_period): the reference is never
     tiled to full length. Falls back to the full signal as a length-n
     'period' if the frequency were ever non-integral."""
-    from .codecs import DEFAULT_AMPLITUDE, _one_period
     _, freq, sr, dur, _, _ = _row_params(i, clean)
     n = int(round(sr * dur / 1000.0))
     if float(freq).is_integer():
@@ -123,6 +122,13 @@ def make_row(i: int, clean: bool = False):
             decl_dur = dur + 500
         tu = _u(i, 15)
         if tu < 0.005:                                   # mutated transcript
+            # the replacement draw is uniform over the SAME vocab, so
+            # ~1/64 of this bucket replaces a word with itself (no-op):
+            # the effective mutation rate is 0.5%·63/64 ≈ 0.492%.
+            # Deliberately left as-is — fixture bytes are pinned across
+            # rounds (oracle VALUES tables + recorded violation counts
+            # derive from them); rate-derived expectations must use the
+            # effective rate (FIXTURES.md documents this corner).
             words = transcript.split(" ")
             words[_mix(i, 16) % len(words)] = _VOCAB[_mix(i, 17) % 64]
             transcript = " ".join(words)

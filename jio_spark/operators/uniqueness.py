@@ -246,7 +246,13 @@ def duplicate_ids(df: DataFrame, key: str,
         fk, fc = runs["first"]
         lk, lc = runs["last"]
         if open_key is not None and fk == open_key:
-            open_cnt += fc
+            # the open chain absorbs this partition's first run AND
+            # closes here: within one sorted partition first/last are
+            # distinct keys, so the chained key cannot continue past
+            # this partition — without this flush the merged count was
+            # silently DROPPED when a duplicate's run ended at a
+            # partition's first run (overwritten by the last run below)
+            add(open_key, open_cnt + fc)
         else:
             if open_key is not None:
                 add(open_key, open_cnt)
@@ -281,20 +287,35 @@ def uniqueness_check(df: DataFrame, key: str, layout: str = "clustered",
     path, and if the certificate refuses, discard its result and rerun
     via the exact groupBy — always exact, shuffle-free when the layout
     certifies, one wasted key-column scan when it does not (recorded as
-    ``certificate['fallback_used']``)."""
-    if layout == "any":
-        dups = (df.groupBy(F.col(key).alias("key"))
+    ``certificate['fallback_used']``).
+
+    NULL keys are NOT uniqueness violations on either path (a missing
+    id is a `required` rule failure, not a duplicate): the groupBy path
+    filters them explicitly so both layouts — and the fallback rerun —
+    report identical violation sets."""
+    if layout not in ("clustered", "any"):
+        # same loud-knob rule as on_unclustered: a typo must not
+        # silently select the boundary-exchange path
+        raise ValueError("layout must be 'clustered' or 'any', "
+                         f"got {layout!r}")
+
+    def exact_groupby():
+        # the ONE exact-path definition: layout='any' and the fallback
+        # rerun share it so they can never drift
+        return (df.where(F.col(key).isNotNull())
+                  .groupBy(F.col(key).alias("key"))
                   .agg(F.count(F.lit(1)).alias("cnt"))
                   .where(F.col("cnt") > 1))
+
+    if layout == "any":
+        dups = exact_groupby()
     elif on_unclustered == "fallback":
         cert = {} if certificate is None else certificate
         dups = duplicate_ids(df, key, on_unclustered="trust",
                              certificate=cert)
         if not cert.get("clustered_certified", True):
             cert["fallback_used"] = True
-            dups = (df.groupBy(F.col(key).alias("key"))
-                      .agg(F.count(F.lit(1)).alias("cnt"))
-                      .where(F.col("cnt") > 1))
+            dups = exact_groupby()
         else:
             cert["fallback_used"] = False
     else:

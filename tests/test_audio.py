@@ -223,3 +223,46 @@ def test_tagged_files_parse_and_ancestor_dirs(spark, tmp_path):
     clips_frame(spark, 6, clean=True, partitions=1).write.parquet(nested)
     tagged2, hive2 = _tagged_files(nested, None, "bucket_id")
     assert not hive2 and all(pv is None for _, pv in tagged2)
+
+
+def test_parse_wav_walks_chunks_per_spec():
+    """parse_wav must accept spec-valid WAVs whose data chunk is NOT at
+    the canonical offset 36 (18-byte WAVEFORMATEX fmt, fact/LIST chunks
+    before data) and must reject a buffer with b'data' positioned where
+    the canonical layout expects it but no fmt chunk at all."""
+    import struct
+    import numpy as np
+    from jio_spark.audio.codecs import parse_wav, synth_wave
+
+    pcm = synth_wave(200, 40, 8000).astype("<i2")
+    payload = pcm.tobytes()
+    sr, block, bits = 8000, 2, 16
+    fmt18 = struct.pack("<HHIIHHH", 1, 1, sr, sr * block, block, bits, 0)
+    fact = struct.pack("<I", len(pcm))
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt18)) + fmt18
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    coded, got_sr, codec = parse_wav(raw)
+    assert got_sr == sr and codec == "pcm_s16le"
+    assert np.array_equal(coded, pcm)
+
+    # canonical 44-byte layout still parses (the synth fixtures)
+    from jio_spark.audio.codecs import encode_pcm16_wav
+    coded2, sr2, _ = parse_wav(encode_pcm16_wav(pcm, sr))
+    assert sr2 == sr and np.array_equal(coded2, pcm)
+
+    # b'data' at the canonical offset but a junk chunk where fmt should
+    # be: the old fixed-offset parse unpacked garbage as fmt/sr — the
+    # walker rejects it
+    junk = b"JUNK" + struct.pack("<I", 16) + b"\x07" * 16
+    bad_body = (b"WAVE" + junk
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+    bad = b"RIFF" + struct.pack("<I", len(bad_body)) + bad_body
+    with pytest.raises(ValueError, match="fmt"):
+        parse_wav(bad)
+
+    # truncated data chunk still refused
+    with pytest.raises(ValueError, match="truncated"):
+        parse_wav(raw[:-10])

@@ -424,3 +424,64 @@ def test_column_stats_binary_bytes_and_all_null_bounds(spark):
               column_stats_bounds(df, ["id", "y"]).collect()}
     assert bounds["y"]["distinct_ok"] and bounds["y"]["quantiles_ok"]
     assert bounds["id"]["distinct_ok"] and bounds["id"]["quantiles_ok"]
+
+
+def test_boundary_chain_flushes_mid_partition_merge(spark):
+    """[[a,a,b],[b,b,c,d]] is certified key-clustered (ranges touch at
+    b); b's three copies span the boundary and its run ends at
+    partition 1's FIRST run — the merged count must be flushed, not
+    silently overwritten by the partition's last run."""
+    d1 = spark.createDataFrame([("a",), ("a",), ("b",)],
+                               "clip_id string").coalesce(1)
+    d2 = spark.createDataFrame([("b",), ("b",), ("c",), ("d",)],
+                               "clip_id string").coalesce(1)
+    df = d1.union(d2)
+    cert = {}
+    got = {r["key"]: r["cnt"] for r in
+           duplicate_ids(df, "clip_id", certificate=cert).collect()}
+    assert cert["clustered_certified"]
+    assert got == {"a": 2, "b": 3}
+
+
+def test_uniqueness_null_keys_and_layout_knob(spark):
+    """NULL keys are `required` failures, not duplicates — BOTH layouts
+    (and therefore the fallback rerun) must agree; and a typo'd layout
+    fails loudly instead of silently selecting the clustered path."""
+    df = spark.createDataFrame([("x",), ("x",), (None,), (None,)],
+                               "clip_id string")
+    for layout in ("any", "clustered"):
+        got = {r["clip_id"] for r in
+               uniqueness_check(df, "clip_id", layout=layout,
+                                on_unclustered="trust").collect()}
+        assert got == {"x"}, layout
+    with pytest.raises(ValueError, match="layout"):
+        uniqueness_check(df, "clip_id", layout="clusterd")
+
+
+def test_certified_even_splits_of_sorted_duplicates_fuzz(spark):
+    """Globally sorted data split EVENLY across partitions certifies by
+    construction, and even splits routinely cut a duplicate's run at a
+    partition boundary — exactly the case the original soundness fuzz
+    under-sampled (its certified layouts rarely split runs). Certified
+    ⇒ exact, over many split points."""
+    import random
+    from collections import Counter
+
+    for seed in (5, 17, 43, 97):
+        rng = random.Random(seed)
+        keys = []
+        for _ in range(rng.randint(5, 20)):
+            keys += [f"k{rng.randint(0, 8):02d}"] * rng.randint(1, 5)
+        srt = sorted(keys)
+        expect = {k: c for k, c in Counter(srt).items() if c > 1}
+        for n_parts in (2, 3, 5):
+            df = spark.createDataFrame(
+                spark.sparkContext.parallelize([(k,) for k in srt],
+                                               n_parts),
+                "clip_id string")
+            cert = {}
+            got = {r["key"]: r["cnt"] for r in
+                   duplicate_ids(df, "clip_id",
+                                 certificate=cert).collect()}
+            assert cert["clustered_certified"], (seed, n_parts)
+            assert got == expect, (seed, n_parts)
