@@ -70,17 +70,23 @@ from jio_spark.operators.stats import (column_profile_exact,
                                        column_stats_bounds)
 from jio_spark.operators.uniqueness import uniqueness_check
 
-_WORKERS_READY = False
+_WORKERS_READY_APPS: set = set()
 
 
 def _ensure_workers(spark: SparkSession) -> None:
     """Ship the jio_spark package to Python workers (mapInPandas closures
     unpickle by module reference) — the local stand-in for
-    ``spark-submit --py-files jio_spark.zip``."""
-    global _WORKERS_READY
-    if _WORKERS_READY:
+    ``spark-submit --py-files jio_spark.zip``.
+
+    Keyed to the SparkContext's applicationId, not a process-global
+    bool: a second session in the same Python process needs its own
+    addPyFile or every mapInPandas task dies with ModuleNotFoundError.
+    The zip is per-process (pid-suffixed) so two drivers on one host
+    can't overwrite each other's file mid-fetch."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _WORKERS_READY_APPS:
         return
-    zpath = os.path.join("/tmp", "jio_spark_pkg.zip")
+    zpath = os.path.join("/tmp", f"jio_spark_pkg_{os.getpid()}.zip")
     with zipfile.ZipFile(zpath, "w") as z:
         pkg = os.path.join(_REPO, "jio_spark")
         for root, _, files in os.walk(pkg):
@@ -89,7 +95,7 @@ def _ensure_workers(spark: SparkSession) -> None:
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, _REPO))
     spark.sparkContext.addPyFile(zpath)
-    _WORKERS_READY = True
+    _WORKERS_READY_APPS.add(app_id)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1723,8 +1729,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(2000 AS BIGINT) AS clips,
                    CAST(1991 AS BIGINT) AS decoded,
                    CAST(11 AS BIGINT) AS sr_mismatch,
-                   CAST(60 AS BIGINT) AS bad_transcript,
-                   CAST(1988 AS BIGINT) AS snr_ok""",
+                   CAST(51 AS BIGINT) AS bad_transcript,
+                   CAST(1997 AS BIGINT) AS snr_ok""",
         "audio_checks": """
             SELECT * FROM (VALUES
               ('rule', 'clip_id/required', '2000:2000:0'),

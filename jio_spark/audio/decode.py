@@ -87,20 +87,23 @@ def _decode_batches(check_reference: bool, snr_threshold: float,
             durs = pdf["dur_ms"].tolist()
             transcripts = (pdf["transcript"].tolist()
                            if check_reference else None)
-            # snr/transcript flags default to the NOT-ASSERTED value
-            # when the reference check is off: False would make
-            # decode_violations fabricate snr/transcript violations for
-            # every clean clip (the one-violation-per-defect rule)
-            ref = not check_reference
+            # every flag EXCEPT decode_ok defaults to the NOT-ASSERTED
+            # value (True): a corrupt payload is ONE defect and must
+            # emit exactly the decode violation — zeros would fabricate
+            # codec/sr/dur/snr/transcript violations on top (the
+            # one-violation-per-defect rule files.py's _corrupt_frame
+            # already follows), and with check_reference off the
+            # snr/transcript checks never run at all. On a successful
+            # decode each flag is overwritten by its real verdict.
             out = {
                 "clip_id": ids,
                 "decode_ok": np.zeros(n, dtype=bool),
-                "codec_match": np.zeros(n, dtype=bool),
-                "sr_match": np.zeros(n, dtype=bool),
-                "dur_match": np.zeros(n, dtype=bool),
+                "codec_match": np.ones(n, dtype=bool),
+                "sr_match": np.ones(n, dtype=bool),
+                "dur_match": np.ones(n, dtype=bool),
                 "snr_db": np.full(n, np.nan),
-                "snr_ok": np.full(n, ref, dtype=bool),
-                "transcript_match": np.full(n, ref, dtype=bool),
+                "snr_ok": np.ones(n, dtype=bool),
+                "transcript_match": np.ones(n, dtype=bool),
                 "n_samples": np.zeros(n, dtype=np.int64),
                 "error": np.array([None] * n, dtype=object),
             }
@@ -208,7 +211,9 @@ def decode_violations(results: DataFrame,
             F.coalesce(F.col("error"),
                        F.lit(msg)).alias("actual"),
             F.concat(F.lit(f"field `{path}` "), F.lit(msg),
-                     F.lit(" (clip "), F.col("clip_id"), F.lit(")"))
+                     F.lit(" (clip "),
+                     F.coalesce(F.col("clip_id"), F.lit("<null>")),
+                     F.lit(")"))
              .alias("message"))).otherwise(F.lit(None))
         for flag, path, name, expected, msg in checks]
     arr = F.array_compact(F.array(*structs))

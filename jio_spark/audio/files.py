@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .decode import DECODE_RESULT_SCHEMA, _decode_batches
-from ..sources.tables import _unescape_hive
+from ..sources.tables import _unescape_hive, parse_hive_values
 
 _COLUMNS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
 
@@ -106,16 +106,12 @@ def _tagged_files(root: str, partition_filter: Optional[Sequence],
             raw = m.group(1)
             raw = None if raw == _HIVE_NULL else _unescape_hive(raw)
         raw_tags.append((path, raw))
-    # int-parse with the SAME all-or-nothing rule as the manifest's
-    # list_partition_values (sources/tables.py): per-value parsing would
-    # tag bucket_id=10 as int 10 while the manifest carries '10' for a
-    # mixed string domain — the wanted-set never matches and the
-    # partition silently decodes zero files
-    vals = [r for _, r in raw_tags if r is not None]
-    try:
-        parsed = {r: int(r) for r in vals}
-    except ValueError:
-        parsed = {r: r for r in vals}
+    # the manifest's parse rule, literally (parse_hive_values is the ONE
+    # copy): per-value parsing would tag bucket_id=10 as int 10 while
+    # the manifest carries '10' for a mixed string domain — the
+    # wanted-set never matches and the partition silently decodes zero
+    # files
+    parsed = parse_hive_values([r for _, r in raw_tags if r is not None])
     tagged = [(p, None if r is None else parsed[r])
               for p, r in raw_tags]
     # a non-hive layout (e.g. a sort-ordered/clustered table: one dir of
@@ -169,13 +165,19 @@ def _partition_dtype(splits: Sequence[Tuple[str, int, Optional[int]]],
     if pvals:
         return "string" if any(isinstance(v, str) for v in pvals) else "int"
     # peek the first READABLE footer (corrupt-marker splits have rg < 0
-    # and an unreadable footer by definition)
+    # and an unreadable footer by definition). The peek itself is
+    # guarded: in violation mode a file deleted/damaged between the
+    # listing and this driver-side read must not kill the job the mode
+    # exists to protect — try the next split instead
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     for path, rg, _ in splits:
         if rg < 0:
             continue
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        sch = pq.ParquetFile(path).schema_arrow
+        try:
+            sch = pq.ParquetFile(path).schema_arrow
+        except (OSError, ValueError, pa.ArrowException):
+            continue
         if partition_col in sch.names:
             t = sch.field(partition_col).type
             if pa.types.is_string(t) or pa.types.is_large_string(t):
@@ -288,6 +290,16 @@ def decode_check_files(spark: SparkSession, root: str,
                         cols.append(partition_col)
                     tbl = pf.read_row_group(int(rg), columns=cols,
                                             use_threads=False)
+                    # pyarrow silently DROPS requested columns missing
+                    # from the file — a schema-drifted writer would
+                    # otherwise surface as a raw KeyError inside the
+                    # decode, outside this try, killing the job even in
+                    # violation mode
+                    missing = [c for c in cols
+                               if c not in tbl.schema.names]
+                    if missing:
+                        raise ValueError(
+                            f"file missing required columns {missing}")
                     block = tbl.to_pandas()
                 except (OSError, ValueError, pa.ArrowException) as e:
                     if on_corrupt != "violation":

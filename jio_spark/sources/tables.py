@@ -7,7 +7,7 @@ pushdown and partition pruning either way."""
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -108,12 +108,21 @@ def list_partition_values(spark: SparkSession, location: str,
                 # null partition's rows
                 return []
             raw_vals.append(_unescape_hive(raw))
-    # parse to int only when EVERY value parses (a mixed int/str list
-    # would not be sortable and would not compare equal to the column)
+    return sorted(parse_hive_values(raw_vals).values())
+
+
+def parse_hive_values(vals: List[str]) -> Dict[str, object]:
+    """All-or-nothing int parse of hive directory values ({raw: parsed}):
+    ints only when EVERY value parses, else all stay strings — a mixed
+    int/str domain would neither sort nor compare equal to the column.
+    THE one copy of this rule: the manifest's ``list_partition_values``
+    and the decoder's ``audio.files._tagged_files`` both call it, so the
+    wanted-set and the file tags can never drift apart (a drift means a
+    partition silently decodes zero files)."""
     try:
-        return sorted(int(v) for v in raw_vals)
+        return {v: int(v) for v in vals}
     except ValueError:
-        return sorted(raw_vals)
+        return {v: v for v in vals}
 
 
 def iceberg_partition_row_counts(spark: SparkSession, location: str,

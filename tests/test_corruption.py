@@ -15,6 +15,7 @@ import glob
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from jio_spark.audio.decode import decode_violations
 from jio_spark.audio.files import (decode_check_files, footer_row_counts,
@@ -194,3 +195,64 @@ def test_row_integrity_clean_table(spark, tmp_path):
     assert ri == {"rows_expected": total, "unreadable_files": 0,
                   "ok": True}
     assert m["rows"] == total
+
+
+def test_schema_drifted_file_is_violation_not_keyerror(spark, tmp_path):
+    """pyarrow silently drops requested columns missing from a file, so
+    a writer-drifted file (no transcript column) previously surfaced as
+    a raw worker KeyError that bypassed on_corrupt='violation'. It must
+    be ONE structured violation in violation mode and a clear error in
+    fail mode."""
+    root = str(tmp_path / "drift")
+    files = _write_clips(spark, root)
+    # rewrite one file without the transcript column (writer drift)
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(files[0])
+    pq.write_table(tbl.drop_columns(["transcript"]), files[0])
+
+    with pytest.raises(Exception, match="missing required columns"):
+        decode_check_files(spark, root, check_reference=True).collect()
+    rows = decode_check_files(spark, root, check_reference=True,
+                              on_corrupt="violation").collect()
+    markers = [r for r in rows if not r["decode_ok"]
+               and "missing required columns" in (r["error"] or "")]
+    assert len(markers) == 1
+    # the undrifted files all decoded clean
+    ok = [r for r in rows if r["decode_ok"]]
+    assert ok and all(r["snr_ok"] and r["transcript_match"] for r in ok)
+    # check_reference=False never reads transcripts: same file decodes
+    rows2 = decode_check_files(spark, root, check_reference=False)
+    assert rows2.where(~F.col("decode_ok")).count() == 0
+
+
+def test_corrupt_payload_emits_one_violation_dataframe_path(spark):
+    """The dataframe decode must match files-mode's one-violation-per-
+    defect rule: a truncated WAV asserts ONLY decode_ok (previously it
+    fabricated codec/sr/dur/snr/transcript failures on top — 6 rows for
+    one defect), and a NULL clip_id still yields a non-null message."""
+    from jio_spark.audio.decode import decode_check, decode_violations
+    clips = clips_frame(spark, 30, clean=True, partitions=1)
+    first = clips.select("clip_id").orderBy("clip_id").first()[0]
+    broken = clips.withColumn(
+        "bytes", F.when(F.col("clip_id") == first,
+                        F.expr("substring(bytes, 1, 10)"))
+                  .otherwise(F.col("bytes")))
+    dv = decode_violations(decode_check(broken)).collect()
+    assert len(dv) == 1
+    assert dv[0]["rule_name"] == "decode" and dv[0]["clip_id"] == first
+    nulled = broken.withColumn(
+        "clip_id", F.when(F.col("clip_id") == first, F.lit(None))
+                    .otherwise(F.col("clip_id")))
+    dv2 = decode_violations(decode_check(nulled)).collect()
+    assert len(dv2) == 1 and dv2[0]["message"] is not None
+    assert "<null>" in dv2[0]["message"]
+
+
+def test_submit_rejects_files_decode_on_iceberg():
+    """--decode-source files with --format iceberg would silently fall
+    back to the dataframe decode (making --on-corrupt inert) — rejected
+    at argparse time like every other contradictory knob."""
+    import tools.submit_job as sj
+    with pytest.raises(SystemExit):
+        sj.main(["--input", "/x", "--output", "/y",
+                 "--format", "iceberg", "--decode-source", "files"])

@@ -121,8 +121,12 @@ def snr_db_independent(ref: np.ndarray, dec: np.ndarray) -> float:
 
 def check_clip(row):
     clip_id, raw, decl_sr, decl_dur, codec, transcript = row[:6]
-    r = {"decode_ok": False, "sr_match": False, "snr_ok": False,
-         "transcript_match": False}
+    # one violation per defect: an undecodable payload asserts ONLY
+    # decode_ok — the downstream checks never ran, so their flags carry
+    # the not-asserted value (True), mirroring decode._decode_batches
+    # and files._corrupt_frame
+    r = {"decode_ok": False, "sr_match": True, "snr_ok": True,
+         "transcript_match": True}
     try:
         dec, sr, fmt_codec = parse_wav_independent(bytes(raw))
     except ValueError:
@@ -132,6 +136,10 @@ def check_clip(row):
     try:
         idx = int(clip_id.rsplit("_", 1)[1])
     except (IndexError, ValueError):
+        # an unparseable clip_id IS bad data: the reference checks fail
+        # (decode._decode_batches sets both flags False here)
+        r["snr_ok"] = False
+        r["transcript_match"] = False
         return r
     ref = reference_pcm(idx)
     r["snr_ok"] = snr_db_independent(ref, dec) >= SNR_THRESHOLD

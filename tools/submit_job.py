@@ -77,6 +77,17 @@ def main(argv=None):
                          "for layouts exact by construction (hash-bucketed "
                          "or equal-keys-colocated writes)")
     args = ap.parse_args(argv)
+    if args.decode_source == "files" and args.format != "parquet":
+        # the runner would silently route to the dataframe decode (an
+        # Iceberg location is a catalog name, not a listable dir), which
+        # also makes --on-corrupt violation inert — the same loud-knob
+        # rule as the mode validations: a config that cannot mean what
+        # it says is an error, not a silent downgrade
+        ap.error("--decode-source files requires --format parquet "
+                 "(payload-local decode reads parquet row groups; with "
+                 "--format iceberg it would silently fall back to the "
+                 "dataframe decode and --on-corrupt would have no "
+                 "effect)")
 
     from pyspark.sql import SparkSession
     spark = SparkSession.builder.appName("jio_spark-validate").getOrCreate()
