@@ -27,16 +27,13 @@ N = 360  # clean corpus size; big enough for every corruption class x seeds
 
 # corruption -> the EXACT set of (rule_path, rule_name) violations it must
 # produce, and no others. Derived from the engine's documented semantics:
-#  * a truncated payload fails decode; every downstream decode-derived
-#    assertion (codec/sr/dur/snr/transcript) is unknowable and reports too
-#    (decode.py:_decode_batches leaves the flags False on decode failure)
+#  * a truncated payload is ONE defect and asserts exactly the decode
+#    violation — the downstream decode-derived checks never ran, so
+#    their flags carry the not-asserted value (one-violation-per-defect,
+#    decode.py:_decode_batches matching files.py:_corrupt_frame)
 #  * an unparseable clip_id fails the id regex rule AND the reference
 #    checks that need the id to locate the oracle (snr, transcript)
-DECODE_CASCADE = {
-    ("bytes", "decode"), ("codec", "codec_consistency"),
-    ("sr_hz", "sr_consistency"), ("dur_ms", "dur_consistency"),
-    ("bytes", "snr"), ("transcript", "transcript_equality"),
-}
+DECODE_CASCADE = {("bytes", "decode")}
 EXPECT = {
     "truncate_payload": DECODE_CASCADE,
     "zero_body": {("bytes", "snr")},
