@@ -15,6 +15,9 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..compiler import type_tag
+from ..gofmt import fmt_col
+
 
 def referential_check(df: DataFrame, fk: str, dim: DataFrame, pk: str,
                       id_cols: Optional[Sequence[str]] = None,
@@ -31,12 +34,16 @@ def referential_check(df: DataFrame, fk: str, dim: DataFrame, pk: str,
     if not nulls_violate:
         probe = probe.where(F.col(fk).isNotNull())
     missing = probe.join(dimk, on=fk, how="left_anti")
+    # Go-%v rendering via the engine's ONE formatter: a numeric fk of
+    # 12.0 must read '12' here exactly as it does in the rule-chain
+    # violations it gets unioned with (fmt_col also supplies the
+    # NULL→'<nil>' rendering)
+    shown = fmt_col(F.col(fk), type_tag(df.schema[fk].dataType))
     return missing.select(
         *ids,
         F.lit(fk).alias("rule_path"),
         F.lit("referential").alias("rule_name"),
         F.lit(f"exists in dim.{pk}").alias("expected"),
-        F.col(fk).cast("string").alias("actual"),
-        F.concat(F.lit(f"field `{fk}` value "),
-                 F.coalesce(F.col(fk).cast("string"), F.lit("<nil>")),
+        shown.alias("actual"),
+        F.concat(F.lit(f"field `{fk}` value "), shown,
                  F.lit(f" not found in dimension `{pk}`")).alias("message"))

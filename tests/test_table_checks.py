@@ -485,3 +485,48 @@ def test_certified_even_splits_of_sorted_duplicates_fuzz(spark):
                                  certificate=cert).collect()}
             assert cert["clustered_certified"], (seed, n_parts)
             assert got == expect, (seed, n_parts)
+
+
+def test_gofmt_double_rendering_matches_go(spark):
+    """Go %v prints integral float64 as plain integers at any magnitude
+    (Java switches to E-notation at 1e7), ±Inf as +Inf/-Inf, -0.0 as
+    -0; array rendering strips '.0' only from numeric-looking elements
+    and renders NULL elements '<nil>'."""
+    from jio_spark.gofmt import fmt_col, go_repr
+    df = spark.createDataFrame(
+        [(12345678.0, ["v1.0", None, "x"], [1.0, None, 2.5])],
+        "d double, sa array<string>, da array<double>")
+    row = df.select(
+        fmt_col(F.col("d"), "double").alias("big"),
+        fmt_col(F.lit(0.0001), "double").alias("small"),
+        fmt_col(F.lit(float("inf")), "double").alias("pinf"),
+        fmt_col(F.lit(-0.0), "double").alias("nzero"),
+        fmt_col(F.lit(12.0), "double").alias("twelve"),
+        fmt_col(F.col("sa"), "array").alias("strs"),
+        fmt_col(F.col("da"), "array").alias("nums"),
+    ).first()
+    assert row["big"] == "12345678"
+    # documented non-goal (gofmt.py): non-integral |v| < 1e-3 keeps
+    # Java's E-notation; Go would print '0.0001'
+    assert row["small"] == "1.0E-4"
+    assert row["pinf"] == "+Inf"
+    assert row["nzero"] == "-0"
+    assert row["twelve"] == "12"
+    assert row["strs"] == "[v1.0 <nil> x]"
+    assert row["nums"] == "[1 <nil> 2.5]"
+    assert go_repr(-0.0) == "-0" and go_repr(12345678.0) == "12345678"
+
+
+def test_public_vector_functions_null_not_ansi_crash(spark):
+    """The exported cosine_similarity/normalize must yield NULL for
+    zero-norm vectors, not an ANSI DIVIDE_BY_ZERO that kills the job."""
+    from jio_spark.functions import cosine_similarity, normalize
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 0.0])], "a array<double>, b array<double>")
+    row = df.select(
+        cosine_similarity(F.col("a"), F.col("b")).alias("c"),
+        normalize(F.col("b")).alias("nb"),
+        cosine_similarity(F.col("a"), F.col("a")).alias("self")).first()
+    assert row["c"] is None
+    assert row["nb"] == [None, None]
+    assert abs(row["self"] - 1.0) < 1e-12
