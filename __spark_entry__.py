@@ -60,9 +60,9 @@ from jio_spark.functions.text import (LANG_MARKERS, doc_fingerprint,
                                       language_id, quality_metrics,
                                       token_count_regex, token_count_ws,
                                       words)
-from jio_spark.operators.dedup import (embedding_dup_pairs, exact_duplicates,
-                                       minhash_lsh_pairs, ngram_jaccard_pairs,
-                                       simhash_pairs)
+from jio_spark.operators.dedup import (dedup_exact, embedding_dup_pairs,
+                                       exact_duplicates, minhash_lsh_pairs,
+                                       ngram_jaccard_pairs, simhash_pairs)
 from jio_spark.operators.referential import referential_check
 from jio_spark.operators.similarity import (brute_force_topk, ivf_topk,
                                             lsh_dup_pairs, lsh_topk)
@@ -688,7 +688,6 @@ def q_corpus_pipeline(spark, sf):
     dedup (min-id survivor per content fingerprint) → per-language corpus
     stats. Each stage is an engine operator; the oracle replays the same
     pipeline in SQL."""
-    from jio_spark.operators.dedup import dedup_exact
     d = _t(spark, sf, "documents")
     m = quality_metrics(F.col("text"))
     kept = d.where(m["quality_score"] >= 1.0)
@@ -1081,10 +1080,13 @@ def _simhash_oracle(max_hamming: int) -> str:
             WHERE eq_chunks > 0 AND hamming <= {max_hamming}"""
 
 
-def _ann_lsh_oracle(k: int, dim: int, tables: int, bits: int) -> str:
-    """Replays lsh_topk with the deterministic hyperplanes embedded as
-    literal double arrays (the Spark side generates the identical planes
-    via _hyperplane — same integer-hash recurrence, no RNG state)."""
+def _lsh_bands_sql(dim: int, tables: int, bits: int) -> str:
+    """UNION-ALL rows ``(vec_id, v, tbl, bkt)`` over a CTE named ``e``,
+    one SELECT per hash table, with the deterministic hyperplanes
+    embedded as literal double arrays (the Spark side generates the
+    identical planes via _hyperplane — same integer-hash recurrence, no
+    RNG state). Shared by the ann_lsh and dedup_embed_lsh oracles so a
+    bucketing-scheme change can't desynchronize them."""
     from jio_spark.operators.similarity import _hyperplane
 
     def bucket_sql(t: int) -> str:
@@ -1096,12 +1098,19 @@ def _ann_lsh_oracle(k: int, dim: int, tables: int, bits: int) -> str:
                          f"THEN {1 << b} ELSE 0 END)")
         return " + ".join(terms)
 
-    table_rows = "\n              UNION ALL ".join(
+    return "\n              UNION ALL ".join(
         f"SELECT vec_id, v, {t} AS tbl, {bucket_sql(t)} AS bkt FROM e"
         for t in range(tables))
+
+
+def _ann_lsh_oracle(k: int, dim: int, tables: int, bits: int) -> str:
+    """Replays lsh_topk over the shared literal-hyperplane bands."""
+    table_rows = _lsh_bands_sql(dim, tables, bits)
     return f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                       FROM embeddings),
+                       FROM embeddings
+                       WHERE list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]) > 0),
             b AS ({table_rows}),
             q AS (SELECT vec_id AS query_id, tbl, bkt FROM b
                   WHERE vec_id < 10),
@@ -1131,25 +1140,15 @@ def _lang_hits(lang: str) -> str:
 
 def _embed_lsh_pairs_oracle(threshold: float, dim: int, tables: int,
                             bits: int) -> str:
-    """Replays lsh_dup_pairs: hyperplane sign buckets (literal planes),
-    bucket self-join, distinct pairs, rounded-cosine threshold."""
-    from jio_spark.operators.similarity import _hyperplane
-
-    def bucket_sql(t: int) -> str:
-        terms = []
-        for b in range(bits):
-            plane = "[" + ", ".join(repr(x) for x in
-                                    _hyperplane(dim, t, b)) + "]"
-            terms.append(f"(CASE WHEN list_dot_product(v, {plane}) > 0 "
-                         f"THEN {1 << b} ELSE 0 END)")
-        return " + ".join(terms)
-
-    table_rows = "\n              UNION ALL ".join(
-        f"SELECT vec_id, v, {t} AS tbl, {bucket_sql(t)} AS bkt FROM e"
-        for t in range(tables))
+    """Replays lsh_dup_pairs: hyperplane sign buckets (the shared
+    literal-plane bands), bucket self-join, distinct pairs,
+    rounded-cosine threshold."""
+    table_rows = _lsh_bands_sql(dim, tables, bits)
     return f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                       FROM embeddings),
+                       FROM embeddings
+                       WHERE list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]) > 0),
             b AS ({table_rows}),
             cand AS (SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
                      FROM b a JOIN b bb
@@ -1178,7 +1177,9 @@ def _ann_ivf_oracle(k: int, dim: int, n_centroids: int,
 
     return f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                       FROM embeddings),
+                       FROM embeddings
+                       WHERE list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]) > 0),
             seeds AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid,
                              v AS c
                       FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v
@@ -1219,6 +1220,23 @@ def _ann_ivf_oracle(k: int, dim: int, n_centroids: int,
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY score DESC, neighbor_id ASC) AS rnk
               FROM scored) WHERE rnk <= {k}"""
+
+
+# the groupBy replay both uniqueness layouts (any/clustered) are judged
+# against — one string, so a message-format or NULL-key fix can't be
+# applied to one layout and missed on the other
+_UNIQUENESS_ORACLE = """
+            SELECT CAST(l_orderkey AS VARCHAR) AS key_str,
+                   'l_orderkey' AS rule_path,
+                   'unique' AS rule_name,
+                   'unique' AS expected,
+                   'count=' || CAST(cnt AS VARCHAR) AS actual,
+                   'field `l_orderkey` value ' ||
+                   CAST(l_orderkey AS VARCHAR) || ' is duplicated ' ||
+                   CAST(cnt AS VARCHAR) || ' times' AS message
+            FROM (SELECT l_orderkey, count(*)::BIGINT AS cnt
+                  FROM lineitem WHERE l_orderkey IS NOT NULL
+                  GROUP BY 1 HAVING count(*) > 1)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1495,30 +1513,10 @@ def oracle_sql() -> dict[str, str]:
                    min(l_extendedprice) AS price_min,
                    max(l_extendedprice) AS price_max
             FROM lineitem""",
-        "uniqueness": """
-            SELECT CAST(l_orderkey AS VARCHAR) AS key_str,
-                   'l_orderkey' AS rule_path,
-                   'unique' AS rule_name,
-                   'unique' AS expected,
-                   'count=' || CAST(cnt AS VARCHAR) AS actual,
-                   'field `l_orderkey` value ' ||
-                   CAST(l_orderkey AS VARCHAR) || ' is duplicated ' ||
-                   CAST(cnt AS VARCHAR) || ' times' AS message
-            FROM (SELECT l_orderkey, count(*)::BIGINT AS cnt
-                  FROM lineitem WHERE l_orderkey IS NOT NULL
-                  GROUP BY 1 HAVING count(*) > 1)""",
-        "uniqueness_clustered": """
-            SELECT CAST(l_orderkey AS VARCHAR) AS key_str,
-                   'l_orderkey' AS rule_path,
-                   'unique' AS rule_name,
-                   'unique' AS expected,
-                   'count=' || CAST(cnt AS VARCHAR) AS actual,
-                   'field `l_orderkey` value ' ||
-                   CAST(l_orderkey AS VARCHAR) || ' is duplicated ' ||
-                   CAST(cnt AS VARCHAR) || ' times' AS message
-            FROM (SELECT l_orderkey, count(*)::BIGINT AS cnt
-                  FROM lineitem WHERE l_orderkey IS NOT NULL
-                  GROUP BY 1 HAVING count(*) > 1)""",
+        # both layouts share ONE oracle string on purpose — the layouts
+        # must agree with each other, not just each with the engine
+        "uniqueness": _UNIQUENESS_ORACLE,
+        "uniqueness_clustered": _UNIQUENESS_ORACLE,
         "stats_profile": """
             SELECT 'l_quantity' AS col_name, count(*)::BIGINT AS count,
                    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0
@@ -1667,7 +1665,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "embed_cosine_pairs": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] v
-                       FROM embeddings)
+                       FROM embeddings
+                       WHERE list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]) > 0)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM e a, e b
             WHERE a.vec_id < b.vec_id
@@ -1676,7 +1676,9 @@ def oracle_sql() -> dict[str, str]:
                    * sqrt(list_dot_product(b.v, b.v))) >= 0.4""",
         "ann_bruteforce": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] v
-                       FROM embeddings),
+                       FROM embeddings
+                       WHERE list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]) > 0),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e
                   WHERE vec_id < 10),
             scored AS (

@@ -31,7 +31,12 @@ from pyspark.sql import SparkSession
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CLIPS = int(os.environ.get("JIO_BENCH_CLIPS", "100000"))
-CLIPS_CACHE = f"/tmp/jio_spark_bench/clips_{N_CLIPS}"
+# cache keys carry the partition counts (not just N): the layout is part
+# of what the bench measures (CPUS*2 write partitions, CPUS*4 range
+# files), so a run at a different SPARK_GRAFT_CPUS must not silently
+# reuse a stale physical layout behind the _SUCCESS marker
+CLIPS_PARTS = max(CPUS * 2, 16)
+CLIPS_CACHE = f"/tmp/jio_spark_bench/clips_{N_CLIPS}_p{CLIPS_PARTS}"
 
 BENCH_QUERIES = [
     "rule_number_range", "rule_when_cross_field", "violations_shape",
@@ -57,15 +62,15 @@ def build_spark() -> SparkSession:
             .getOrCreate())
 
 
-CLIPS_CLUSTERED = f"/tmp/jio_spark_bench/clips_clustered_{N_CLIPS}"
+CLIPS_CLUSTERED = (
+    f"/tmp/jio_spark_bench/clips_clustered_{N_CLIPS}_r{CPUS * 4}")
 
 
 def ensure_clips(spark: SparkSession):
     from jio_spark.audio.synth import write_clips
     marker = os.path.join(CLIPS_CACHE, "_SUCCESS")
     if not os.path.exists(marker):
-        write_clips(spark, N_CLIPS, CLIPS_CACHE,
-                    partitions=max(CPUS * 2, 16))
+        write_clips(spark, N_CLIPS, CLIPS_CACHE, partitions=CLIPS_PARTS)
     return spark.read.parquet(CLIPS_CACHE)
 
 
@@ -120,6 +125,8 @@ def main():
 
     warm = os.environ.get("JIO_BENCH_WARMUP", "1") == "1"
     repeats = int(os.environ.get("JIO_BENCH_REPEATS", "3"))
+    if repeats < 1:
+        raise SystemExit(f"JIO_BENCH_REPEATS must be >= 1, got {repeats}")
     if warm:
         job.run(clips, table_root=CLIPS_CACHE)  # warm cache + workers
     # medians of N: the sandbox host shows 10-50% run-to-run variance
@@ -161,12 +168,18 @@ def main():
         t0 = time.time()
         cmetrics = cjob.run(clustered, table_root=CLIPS_CLUSTERED)
         cl_runs.append(time.time() - t0)
-    assert cmetrics["violations"] == metrics["violations"], \
-        (cmetrics["violations"], metrics["violations"])
-    assert (cmetrics["uniqueness_violations"]
-            == metrics["uniqueness_violations"]), \
-        (cmetrics["uniqueness_violations"],
-         metrics["uniqueness_violations"])
+    # explicit raises (not assert): the cross-layout exactness gate must
+    # survive `python -O`
+    if cmetrics["violations"] != metrics["violations"]:
+        raise RuntimeError(
+            "clustered-layout violation count diverged: "
+            f"{cmetrics['violations']} != {metrics['violations']}")
+    if (cmetrics["uniqueness_violations"]
+            != metrics["uniqueness_violations"]):
+        raise RuntimeError(
+            "clustered-layout uniqueness count diverged: "
+            f"{cmetrics['uniqueness_violations']} != "
+            f"{metrics['uniqueness_violations']}")
 
     # isolated uniqueness-step timing, any-layout groupBy vs clustered
     # boundary exchange (medians; forced through count())
@@ -181,7 +194,10 @@ def main():
                                 layout="clustered",
                                 on_unclustered="trust").count()
         uc.append(time.time() - t0)
-    assert n_any == n_cl, (n_any, n_cl)
+    if n_any != n_cl:
+        raise RuntimeError(
+            f"uniqueness step count diverged across layouts: "
+            f"any={n_any} clustered={n_cl}")
 
     queries = {}
     qmap = E.queries()

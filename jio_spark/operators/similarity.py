@@ -312,10 +312,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     — one corpus shuffle, no Window over the expanded corpus). Both
     paths score with identical double arithmetic, so their outputs are
     bit-identical (pinned by test_ivf_join_assignment_matches_expr)."""
+    # 2+3's corpus frame, built first so seeding draws from the SAME
+    # zero-norm/null-excluded population (the oracle seeds from its
+    # guarded CTE; a zero-norm seed here would desynchronize them)
+    c = _with_norm(corpus, id_col, vec_col, "neighbor_id", "c_vec", "c_n")
+
     # 1. deterministic driver-side seeds
-    seed_rows = (corpus
-                 .select(F.col(id_col).alias("sid"),
-                         F.col(vec_col).alias("v"))
+    seed_rows = (c
+                 .select(F.col("neighbor_id").alias("sid"),
+                         F.col("c_vec").alias("v"))
                  .orderBy(F.md5(F.col("sid").cast("string")))
                  .limit(n_centroids)
                  .collect())
@@ -333,7 +338,6 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     dim = len(seeds[0][1])
 
     # 2+3. assign to seed centroids, refine by per-dim mean
-    c = _with_norm(corpus, id_col, vec_col, "neighbor_id", "c_vec", "c_n")
     if assign == "join":
         asg1 = _assign_join(c, seeds)
     else:
