@@ -1253,7 +1253,12 @@ def oracle_sql() -> dict[str, str]:
         lang_case += f"WHEN {cond} THEN '{l}' "
     lang_case += "ELSE 'und' END"
 
-    go_num = ("CASE WHEN {v} = floor({v}) THEN "
+    # engine parity: gofmt._go_double renders integral doubles as plain
+    # digits (decimal cast). The BIGINT leg is bounds-guarded so a rogue
+    # huge-but-integral value degrades to DuckDB's shortest-double
+    # VARCHAR instead of erroring the whole oracle on BIGINT overflow
+    go_num = ("CASE WHEN {v} = floor({v}) "
+              "AND abs({v}) < 9.2e18 THEN "
               "CAST(CAST({v} AS BIGINT) AS VARCHAR) "
               "ELSE CAST({v} AS VARCHAR) END")
 

@@ -154,10 +154,10 @@ class ColState:
 
     def display(self) -> Column:
         """Go-%v rendering of the current dynamic value, for messages."""
-        t = fmt_col(self.typed, self.vtype)
+        t = fmt_col(self.typed, self.vtype, self.spark_type)
         if self.untyped is None:
             return t
-        u = fmt_col(self.untyped, self.utype)
+        u = fmt_col(self.untyped, self.utype, self.orig_spark_type)
         return F.when(self.is_typed, t).otherwise(u)
 
 

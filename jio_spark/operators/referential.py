@@ -38,7 +38,8 @@ def referential_check(df: DataFrame, fk: str, dim: DataFrame, pk: str,
     # 12.0 must read '12' here exactly as it does in the rule-chain
     # violations it gets unioned with (fmt_col also supplies the
     # NULL→'<nil>' rendering)
-    shown = fmt_col(F.col(fk), type_tag(df.schema[fk].dataType))
+    shown = fmt_col(F.col(fk), type_tag(df.schema[fk].dataType),
+                    df.schema[fk].dataType)
     return missing.select(
         *ids,
         F.lit(fk).alias("rule_path"),

@@ -502,15 +502,13 @@ class ClipsValidationJob:
                                           fmt=cfg.table_format)
             hive_listed = bool(parts)
         if not parts:
+            from .sources.tables import none_last_sorted
             raw = [r[0] for r in
                    df.select(cfg.partition_col).distinct().collect()]
             # NULL partition values (the very case the hive listing
-            # degrades to this fallback for): they can't sort against
-            # ints/strings and isin() never matches NULL, so None rides
-            # as an explicit last member whose filter is isNull()
-            parts = sorted(v for v in raw if v is not None)
-            if any(v is None for v in raw):
-                parts = parts + [None]
+            # degrades to this fallback for) ride as an explicit last
+            # member whose row filter is isNull()
+            parts = none_last_sorted(raw)
         done = manifest.completed_partitions() if (manifest and resume) \
             else set()
         todo = [p for p in parts if p not in done]

@@ -31,25 +31,91 @@ from typing import Dict, List, Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _fn_token(fn) -> str:
+    """Process-stable identity for a callable rule param. ``repr(fn)``
+    embeds the function's memory address, which changes every process —
+    a resume in a new driver would see a different "fingerprint" for
+    byte-identical code and refuse with a config-mismatch error. The
+    token hashes the compiled bytecode instead (marshal is deterministic
+    for a given interpreter version), so only an actual code edit — the
+    thing the semantic guard exists to catch — moves the digest."""
+    parts = [getattr(fn, "__module__", None) or "?",
+             getattr(fn, "__qualname__", None) or type(fn).__name__]
+    code = getattr(fn, "__code__", None)
+    if code is not None:
+        import marshal
+        try:
+            parts.append(hashlib.sha256(
+                marshal.dumps(code)).hexdigest()[:16])
+        except ValueError:  # unmarshalable code object (exotic)
+            pass
+    # captured constants change behavior exactly like bytecode does
+    # (e.g. `lambda c: c > limit` under two values of `limit`)
+    cells = getattr(fn, "__closure__", None)
+    if cells:
+        parts.append(",".join(_encode_str(c.cell_contents)
+                              for c in cells))
+    defaults = getattr(fn, "__defaults__", None)
+    if defaults:
+        parts.append(",".join(_encode_str(d) for d in defaults))
+    return "fn:" + ":".join(parts)
+
+
+def _encode_str(v) -> str:
+    """Flat string form of _encode (for closure-cell / default values)."""
+    return json.dumps(_encode(v), sort_keys=True)
+
+
+def _encode(v):
+    """JSON-able canonical form of one rule param value. Recurses through
+    schemas, dicts (the ``children`` of every ``K.object({...})`` —
+    previously these fell to ``repr``, whose BaseSchema form prints rule
+    NAMES only, so changing a nested threshold/pattern left the
+    fingerprint unchanged and the resume guard blind), lists/tuples, and
+    callables (via :func:`_fn_token`)."""
+    if hasattr(v, "rules"):
+        return _schema_node(v)
+    if isinstance(v, dict):
+        # insertion order is SEMANTIC for object children (it breaks
+        # priority ties in the keys walk — dsl.ObjectSchema.keys), so
+        # encode as an ordered pair list, never sorted
+        return {"__dict__": [[str(k), _encode(x)] for k, x in v.items()]}
+    if isinstance(v, (list, tuple)):
+        return [_encode(x) for x in v]
+    if callable(v):
+        return _fn_token(v)
+    if isinstance(v, float):
+        return f"float:{v!r}"  # 1.0 must not collide with int 1
+    if v is None or isinstance(v, (bool, int, str)):
+        return v
+    return repr(v)
+
+
+def _schema_node(s):
+    # _ordered_rules (when present) folds in the implicit Optional, so a
+    # schema that never called optional() hashes equal to one that did —
+    # they compile identically
+    rules = (s._ordered_rules() if hasattr(s, "_ordered_rules")
+             else s.rules)
+    return {
+        "type": type(s).__name__,
+        "priority": getattr(s, "priority", 0),
+        "rules": [
+            {"name": r.name,
+             "params": {k: _encode(v)
+                        for k, v in sorted(r.params.items())}}
+            for r in rules],
+    }
+
+
 def ruleset_fingerprint(schema) -> str:
     """Stable hash of a rule tree — lineage metadata tying outputs to the
-    exact rule set (the analog of citing the schema in jio's error text)."""
-
-    def node(s):
-        return {
-            "type": type(s).__name__,
-            "priority": getattr(s, "priority", 0),
-            "rules": [
-                {"name": r.name,
-                 "params": {k: (node(v) if hasattr(v, "rules") else
-                                ([node(x) for x in v]
-                                 if isinstance(v, list) and v and
-                                 hasattr(v[0], "rules") else repr(v)))
-                            for k, v in sorted(r.params.items())}}
-                for r in s.rules],
-        }
-
-    blob = json.dumps(node(schema), sort_keys=True).encode()
+    exact rule set (the analog of citing the schema in jio's error text).
+    Two properties the resume guard (runner.py) depends on: any change to
+    any rule parameter at ANY depth moves the digest, and re-running the
+    identical code in a new process does NOT (callables hash by bytecode,
+    not by ``repr``'s memory address)."""
+    blob = json.dumps(_schema_node(schema), sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
@@ -74,6 +140,24 @@ class Manifest:
                 out[rec["group_key"]] = rec
         return out
 
+    @staticmethod
+    def _fname(group_key: str) -> str:
+        """Filesystem-safe, injective file stem for a group key. Group
+        keys embed raw partition VALUES (runner._group_key uses min/max),
+        and _unescape_hive deliberately decodes ``%2F`` back to ``/`` so
+        values stay isin-matchable — a key like ``group_a/b_a/b`` written
+        verbatim would open a path under a nonexistent subdirectory,
+        crashing the mark AFTER the group's work is done (and re-running
+        the group on every resume, forever). Percent-encoding is
+        injective; over-long results keep a prefix plus a full-key hash
+        so two distinct keys can never share a file."""
+        import urllib.parse
+        safe = urllib.parse.quote(group_key, safe="=_.,-")
+        if len(safe) > 180:
+            digest = hashlib.sha256(group_key.encode()).hexdigest()[:16]
+            safe = f"{safe[:150]}...{digest}"
+        return safe
+
     def mark(self, group_key: str, partitions: Sequence,
              metrics: Optional[dict] = None) -> None:
         os.makedirs(self.dir, exist_ok=True)
@@ -83,8 +167,9 @@ class Manifest:
             "completed_at": time.time(),
             "metrics": metrics or {},
         }
-        tmp = os.path.join(self.dir, f".{group_key}.tmp")
-        final = os.path.join(self.dir, f"{group_key}.json")
+        stem = self._fname(group_key)
+        tmp = os.path.join(self.dir, f".{stem}.tmp")
+        final = os.path.join(self.dir, f"{stem}.json")
         with open(tmp, "w") as f:
             json.dump(rec, f)
         os.replace(tmp, final)  # atomic on POSIX

@@ -52,13 +52,8 @@ class TableAdapter:
                df.select(self.partition_col).distinct().collect()]
         # a NULL partition value is exactly the case the hive listing
         # degrades to this fallback for (it returns [] on a
-        # __HIVE_DEFAULT_PARTITION__ dir) — None can't sort against
-        # ints/strings, so it rides as an explicit last member, same
-        # convention as the runner's fallback
-        out = sorted(v for v in raw if v is not None)
-        if any(v is None for v in raw):
-            out.append(None)
-        return out
+        # __HIVE_DEFAULT_PARTITION__ dir)
+        return none_last_sorted(raw)
 
 
 def list_partition_values(spark: SparkSession, location: str,
@@ -111,6 +106,32 @@ def list_partition_values(spark: SparkSession, location: str,
     return sorted(parse_hive_values(raw_vals).values())
 
 
+_HIVE_INT = None  # compiled lazily; see _parse_hive_int
+
+
+def _parse_hive_int(v: str) -> int:
+    """Parse one hive directory value as an int with JAVA semantics, not
+    Python's. ``int()`` accepts underscores, surrounding whitespace and
+    arbitrary magnitude — ``int('1_0') == 10`` — while Spark's partition
+    type inference (``Long.parseLong``) rejects all of those and keeps
+    the column string-typed. A Python-only parse would build an int
+    wanted-set that matches NOTHING in the string column's ``isin``
+    filter: every partition validates zero rows yet is marked complete,
+    the silent skip this module exists to prevent. Accepted: optional
+    sign then ASCII digits, within int64 (beyond ±2^63 Spark falls back
+    to string typing too)."""
+    global _HIVE_INT
+    if _HIVE_INT is None:
+        import re
+        _HIVE_INT = re.compile(r"^[+-]?[0-9]+$", re.ASCII)
+    if not _HIVE_INT.match(v):
+        raise ValueError(v)
+    n = int(v)
+    if not (-(1 << 63) <= n < (1 << 63)):
+        raise ValueError(v)
+    return n
+
+
 def parse_hive_values(vals: List[str]) -> Dict[str, object]:
     """All-or-nothing int parse of hive directory values ({raw: parsed}):
     ints only when EVERY value parses, else all stay strings — a mixed
@@ -120,9 +141,23 @@ def parse_hive_values(vals: List[str]) -> Dict[str, object]:
     wanted-set and the file tags can never drift apart (a drift means a
     partition silently decodes zero files)."""
     try:
-        return {v: int(v) for v in vals}
+        return {v: _parse_hive_int(v) for v in vals}
     except ValueError:
         return {v: v for v in vals}
+
+
+def none_last_sorted(raw: List) -> List:
+    """Distinct partition values sorted with an explicit trailing None.
+    THE one copy of the scan-fallback convention (NULL can't sort against
+    ints/strings, and ``isin`` never matches NULL, so None rides as an
+    explicit last member whose row filter is ``isNull()``): both
+    ``TableAdapter.partitions`` and the runner's in-memory-frame fallback
+    ride this, so the two discovery paths can never order or drop the
+    NULL partition differently."""
+    out = sorted(v for v in raw if v is not None)
+    if any(v is None for v in raw):
+        out.append(None)
+    return out
 
 
 def iceberg_partition_row_counts(spark: SparkSession, location: str,

@@ -870,3 +870,93 @@ def test_resume_refuses_changed_codec_dim(spark, clips_path, tmp_path):
     with pytest.raises(ValueError, match="resume would mix"):
         ClipsValidationJob(spark, cfg, codec_dim=smaller) \
             .run(df, output_root=out, resume=True)
+
+
+def test_ruleset_fingerprint_sees_nested_params_not_addresses():
+    """Two properties the resume guard depends on: a changed NESTED rule
+    parameter must move the digest (the children dict of every
+    K.object({...}) used to fall to repr(), which prints rule names
+    only — a .min(200) → .min(5000) edit fingerprinted identically and
+    the guard silently mixed two rule versions' outputs), and a
+    byte-identical callable must NOT (repr(fn) embeds the memory
+    address, which changes every process, so resume was permanently
+    refused for any custom-fn ruleset)."""
+    from jio_spark.dsl import K
+    from jio_spark.sinks.writers import ruleset_fingerprint
+
+    a = K.object({"dur_ms": K.number().min(200)})
+    b = K.object({"dur_ms": K.number().min(5000)})
+    assert ruleset_fingerprint(a) != ruleset_fingerprint(b)
+    # nested two deep
+    c = K.object({"o": K.object({"s": K.string().max(4)})})
+    d = K.object({"o": K.object({"s": K.string().max(5)})})
+    assert ruleset_fingerprint(c) != ruleset_fingerprint(d)
+    # children insertion order is semantic (priority tie-break)
+    e = K.object({"x": K.number(), "y": K.number()})
+    g = K.object({"y": K.number(), "x": K.number()})
+    assert ruleset_fingerprint(e) != ruleset_fingerprint(g)
+
+    def mk(limit):
+        return K.object({"q": K.number().check(lambda col: col > limit)})
+
+    # same code, two separate construction sites (distinct fn objects,
+    # distinct addresses) → same fingerprint
+    assert ruleset_fingerprint(mk(3)) == ruleset_fingerprint(mk(3))
+    # ... but a changed captured constant changes behavior → different
+    assert ruleset_fingerprint(mk(3)) != ruleset_fingerprint(mk(4))
+    # implicit vs explicit optional compile identically → hash equal
+    assert ruleset_fingerprint(K.object({"q": K.number()})) == \
+        ruleset_fingerprint(K.object({"q": K.number().optional()}))
+
+
+def test_manifest_mark_survives_hostile_group_keys(tmp_path):
+    """Group keys embed raw partition VALUES; _unescape_hive decodes
+    %2F back to '/' so values stay isin-matchable, which means a key
+    like 'group_a/b_a/b' must not be used verbatim as a filename (the
+    open() under a nonexistent subdirectory crashed the mark AFTER the
+    group's work, re-running it on every resume forever)."""
+    m = Manifest(str(tmp_path / "out"))
+    hostile = ["group_a/b_a/b", "group_c:d_c:d", "group_.._..",
+               "group_" + "x" * 400, "group_%2F_literal"]
+    for i, key in enumerate(hostile):
+        m.mark(key, [f"p{i}"], {"n": i})
+    recs = m.completed()
+    assert sorted(recs) == sorted(hostile)
+    for i, key in enumerate(hostile):
+        assert recs[key]["partitions"] == [f"p{i}"]
+    # distinct hostile keys never collide on disk
+    assert len(os.listdir(m.dir)) == len(hostile)
+    m.clear()
+    assert m.completed() == {}
+
+
+def test_hive_int_parse_matches_spark_inference(spark, tmp_path):
+    """parse_hive_values must parse ints with JAVA semantics, not
+    Python's: int('1_0') == 10 while Spark's partition-type inference
+    (Long.parseLong) rejects underscores and keeps the column string —
+    a Python-lenient parse builds an int wanted-set that matches
+    NOTHING in the string column's isin filter, so every partition
+    validates zero rows yet is marked complete (the silent skip)."""
+    from jio_spark.sources.tables import (list_partition_values,
+                                          parse_hive_values)
+
+    assert parse_hive_values(["1_0", "2_0"]) == {"1_0": "1_0",
+                                                 "2_0": "2_0"}
+    assert parse_hive_values(["7", "-3"]) == {"7": 7, "-3": -3}
+    # whitespace and beyond-int64 values stay strings too (Spark types
+    # both as string)
+    assert parse_hive_values([" 5"]) == {" 5": " 5"}
+    assert parse_hive_values(["99999999999999999999"]) == {
+        "99999999999999999999": "99999999999999999999"}
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("1_0", 1), ("1_0", 2), ("2_0", 3)], "bucket_id string, x int")
+    df.write.partitionBy("bucket_id").parquet(p)
+    listed = list_partition_values(spark, p, "bucket_id")
+    back = spark.read.parquet(p)
+    # the listed values must compare equal to the read-back column —
+    # the property the isin pruning filter rides on
+    assert sorted(listed) == ["1_0", "2_0"]
+    got = {r[0] for r in back.select("bucket_id").distinct().collect()}
+    assert set(listed) == got

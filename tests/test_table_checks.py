@@ -488,33 +488,56 @@ def test_certified_even_splits_of_sorted_duplicates_fuzz(spark):
 
 
 def test_gofmt_double_rendering_matches_go(spark):
-    """Go %v prints integral float64 as plain integers at any magnitude
-    (Java switches to E-notation at 1e7), ±Inf as +Inf/-Inf, -0.0 as
-    -0; array rendering strips '.0' only from numeric-looking elements
-    and renders NULL elements '<nil>'."""
+    """Go %v prints integral float64 as plain digits up to 1e21 (Java
+    switches to E-notation at 1e7), non-integral values decimal-style
+    from 1e-4 to 1e16, ±Inf as +Inf/-Inf, -0.0 as -0, e-notation with
+    a sign and two exponent digits elsewhere; array rendering follows
+    the element type when known and renders NULL elements '<nil>'."""
     from jio_spark.gofmt import fmt_col, go_repr
     df = spark.createDataFrame(
         [(12345678.0, ["v1.0", None, "x"], [1.0, None, 2.5])],
         "d double, sa array<string>, da array<double>")
+    # value → exact Go fmt.Sprintf("%v") output
+    go_cases = [
+        (12345678.0, "12345678"), (12345678.5, "12345678.5"),
+        (-123456789.25, "-123456789.25"),
+        (1000000000000000.5, "1000000000000000.5"),
+        (1.5e16, "15000000000000000"), (1e19, "10000000000000000000"),
+        (1.2345678e21, "1.2345678e+21"),
+        (0.0001, "0.0001"), (0.00012345, "0.00012345"),
+        (1e-05, "1e-05"), (1e-12, "1e-12"), (3.1, "3.1"),
+        (float("inf"), "+Inf"), (float("nan"), "NaN"),
+    ]
     row = df.select(
-        fmt_col(F.col("d"), "double").alias("big"),
-        fmt_col(F.lit(0.0001), "double").alias("small"),
-        fmt_col(F.lit(float("inf")), "double").alias("pinf"),
         fmt_col(F.lit(-0.0), "double").alias("nzero"),
-        fmt_col(F.lit(12.0), "double").alias("twelve"),
         fmt_col(F.col("sa"), "array").alias("strs"),
         fmt_col(F.col("da"), "array").alias("nums"),
+        fmt_col(F.col("sa"), "array",
+                df.schema["sa"].dataType).alias("strs_typed"),
+        fmt_col(F.col("da"), "array",
+                df.schema["da"].dataType).alias("nums_typed"),
+        *[fmt_col(F.lit(v), "double").alias(f"v{i}")
+          for i, (v, _) in enumerate(go_cases)],
     ).first()
-    assert row["big"] == "12345678"
-    # documented non-goal (gofmt.py): non-integral |v| < 1e-3 keeps
-    # Java's E-notation; Go would print '0.0001'
-    assert row["small"] == "1.0E-4"
-    assert row["pinf"] == "+Inf"
-    assert row["nzero"] == "-0"
-    assert row["twelve"] == "12"
+    for i, (v, want) in enumerate(go_cases):
+        assert row[f"v{i}"] == want, (v, row[f"v{i}"], want)
+        assert go_repr(v) == want, (v, go_repr(v), want)
+    assert row["nzero"] == "-0" and go_repr(-0.0) == "-0"
+    # untyped arrays keep the string-level heuristic ('.0' strip on
+    # numeric-looking elements only); typed string arrays go verbatim,
+    # typed double arrays ride the scalar Go chain per element
     assert row["strs"] == "[v1.0 <nil> x]"
     assert row["nums"] == "[1 <nil> 2.5]"
-    assert go_repr(-0.0) == "-0" and go_repr(12345678.0) == "12345678"
+    assert row["strs_typed"] == "[v1.0 <nil> x]"
+    assert row["nums_typed"] == "[1 <nil> 2.5]"
+    big = spark.createDataFrame(
+        [([12345678.0, float("inf"), None],)], "a array<double>")
+    assert big.select(fmt_col(F.col("a"), "array",
+                              big.schema["a"].dataType)).first()[0] \
+        == "[12345678 +Inf <nil>]"
+    # literal-side large-integer digits follow Go's shortest-repr form,
+    # not the double's exact integer expansion
+    assert go_repr(float(2 ** 63 - 2048)) == "9223372036854774000"
 
 
 def test_public_vector_functions_null_not_ansi_crash(spark):
