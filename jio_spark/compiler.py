@@ -776,11 +776,18 @@ def _h_regex(cc, st, path, spec, schema):
 
 
 def _h_lowercase(cc, st, path, spec, schema):
-    _gated_transform(cc, st, path, "lowercase", F.lower)
+    # strings.ToLower (string.go:192-194) is the Unicode SIMPLE mapping;
+    # F.lower is the JDK FULL mapping (final sigma, İ→i+U+0307) — they
+    # diverge, so the translate-table in functions/casing.py is used
+    from .functions.casing import go_lower
+    _gated_transform(cc, st, path, "lowercase", go_lower)
 
 
 def _h_uppercase(cc, st, path, spec, schema):
-    _gated_transform(cc, st, path, "uppercase", F.upper)
+    # strings.ToUpper (string.go:198-200), simple mapping: ß/ﬁ/ΐ stay,
+    # ᾀ→ᾈ — F.upper would expand them (SS/FI/Ϊ́/ἈΙ)
+    from .functions.casing import go_upper
+    _gated_transform(cc, st, path, "uppercase", go_upper)
 
 
 def _h_strim(cc, st, path, spec, schema):

@@ -43,6 +43,38 @@ _GO_WHITESPACE = (
     "         "
     "      　")
 
+# Go strings.ToUpper/ToLower apply the UnicodeData SIMPLE (1:1 per-rune)
+# case mappings — never the multi-char SpecialCasing expansions or the
+# Final_Sigma context rule that Python's str.upper()/lower() implement.
+# Per-rune: Python's full mapping IS the simple mapping whenever it is a
+# single char; multi-char results mean "no simple mapping" (rune kept)
+# except the UnicodeData-listed exceptions below. Same Unicode semantics
+# as jio_spark.functions.casing but formulated per-rune here so a table
+# typo on either side surfaces in the differential fuzz; the JVM reflect
+# sweep in test_conformance_string.py arbitrates both.
+_SIMPLE_UPPER_EXC = {0x1FB3: 0x1FBC, 0x1FC3: 0x1FCC, 0x1FF3: 0x1FFC}
+for _b in (0x1F80, 0x1F90, 0x1FA0):     # ypogegrammeni → titlecase forms
+    for _i in range(8):
+        _SIMPLE_UPPER_EXC[_b + _i] = _b + 8 + _i
+_SIMPLE_LOWER_EXC = {0x0130: 0x0069}    # İ → i (full expands to i+U+0307)
+
+
+def _go_rune_case(ch: str, upper: bool) -> str:
+    exc = (_SIMPLE_UPPER_EXC if upper else _SIMPLE_LOWER_EXC).get(ord(ch))
+    if exc is not None:
+        return chr(exc)
+    full = ch.upper() if upper else ch.lower()
+    return full if len(full) == 1 else ch
+
+
+def _go_to_upper(s: str) -> str:
+    return "".join(_go_rune_case(c, True) for c in s)
+
+
+def _go_to_lower(s: str) -> str:
+    return "".join(_go_rune_case(c, False) for c in s)
+
+
 #: an error is (rule_path, rule_name); None = no error
 Err = Optional[Tuple[str, str]]
 
@@ -251,11 +283,11 @@ def _validate(schema: BaseSchema, value: Any, path: str,
         elif name == "lowercase":
             if not isinstance(v, str):
                 return (path, "lowercase"), True, v
-            v = v.lower()
+            v = _go_to_lower(v)
         elif name == "uppercase":
             if not isinstance(v, str):
                 return (path, "uppercase"), True, v
-            v = v.upper()
+            v = _go_to_upper(v)
         elif name == "strim":
             if not isinstance(v, str):
                 return (path, "trim"), True, v

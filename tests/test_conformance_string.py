@@ -138,3 +138,86 @@ def test_trim_is_white_space_not_python_strip(spark):
         == "\x1ca"                         # outer spaces go, \x1c stays
     assert mutated(spark, K.string().trim(), " a　",
                    "string") == "a"        # LS / ideographic space trim
+
+
+def test_case_mapping_is_go_simple_not_jdk_full(spark):
+    """strings.ToUpper/ToLower (string.go:192-200) apply the UnicodeData
+    SIMPLE per-rune mappings. JDK String.toUpperCase/toLowerCase (what
+    F.upper/F.lower call) apply the FULL mappings + context rules —
+    every case below is a real divergence the translate table closes.
+    Expected values are Go behavior stated from the public spec
+    (UnicodeData.txt simple mappings; well-known strings.ToUpper
+    corners)."""
+    up = [
+        ("straße", "STRAßE"),      # no simple uppercase for ß (JDK: SS)
+        ("ﬁle", "ﬁLE"),           # ligature survives (JDK: FILE)
+        ("ΐ", "ΐ"),                # multi-char full upper → unchanged
+        ("ᾀ", "ᾈ"),               # simple maps to TITLECASE form
+        ("ᾈ", "ᾈ"),               # titlecase form itself unchanged
+        ("ᾳ", "ᾼ"),
+        ("\u0149", "\u0149"),         # ʼn single rune (JDK: ʼN)
+        ("𐐨", "𐐀"),              # astral (Deseret) still uppercases
+        ("mixed ß ᾀ x", "MIXED ß ᾈ X"),
+    ]
+    low = [
+        ("İ", "i"),                # JDK full: i + combining dot above
+        ("ΑΣ", "ασ"),              # no Final_Sigma in simple (JDK: ας)
+        ("Σ", "σ"),
+        ("ὈΔΥΣΣΕΎΣ", "ὀδυσσεύσ"),  # every Σ → σ, even word-final
+        ("ᾼ", "ᾳ"),
+        ("𐐀", "𐐨"),
+        ("I", "i"),
+    ]
+    for s, want in up:
+        assert mutated(spark, K.string().uppercase(), s, "string") == want, s
+    for s, want in low:
+        assert mutated(spark, K.string().lowercase(), s, "string") == want, s
+    # and the oracle agrees (differential-fuzz substrate)
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from jio_oracle import jio_validate
+    for s, want in up:
+        assert jio_validate(K.string().uppercase(), s)[1] == want, s
+    for s, want in low:
+        assert jio_validate(K.string().lowercase(), s)[1] == want, s
+
+
+def test_translate_is_codepoint_based(spark):
+    """The casing module rests on StringTranslate operating on code
+    POINTS (astral chars translate as units, mixed-plane from/to strings
+    stay aligned) — pin the probe that justified the design."""
+    from pyspark.sql import functions as F
+    r = spark.createDataFrame([("a𐐨ß!",)], "s string").select(
+        F.translate("s", "𐐨ß", "𐐀B").alias("t")).collect()[0]["t"]
+    assert r == "a𐐀B!"
+
+
+def test_simple_case_table_matches_jvm_reflect(spark):
+    """Differential evidence for the translate table itself: the JVM's
+    Character.toUpperCase/toLowerCase(int) ARE the UnicodeData simple
+    mappings (what Go's unicode.ToUpper/ToLower implement). Sweep every
+    code point through SQL reflect and compare. The JDK's Unicode table
+    (13.0 on JDK 17) trails this Python's (14.0+): on any disagreement
+    the JVM must report IDENTITY (a char its table predates), never a
+    CONTRADICTING mapping — so newer-Unicode additions pass while a real
+    table bug (wrong target rune) fails."""
+    from pyspark.sql import functions as F
+    from jio_spark.functions.casing import simple_case_map
+    rows = [(cp,) for cp in range(0x110000)
+            if not (0xD800 <= cp <= 0xDFFF)]
+    df = spark.createDataFrame(rows, "cp long").repartition(32)
+    got = df.select(
+        "cp",
+        F.expr("reflect('java.lang.Character','toUpperCase',"
+               " cast(cp as int))").cast("long").alias("ju"),
+        F.expr("reflect('java.lang.Character','toLowerCase',"
+               " cast(cp as int))").cast("long").alias("jl")).collect()
+    contradictions = []
+    for r in got:
+        cp = r["cp"]
+        for direction, jvm in (("upper", r["ju"]), ("lower", r["jl"])):
+            ours = simple_case_map(cp, direction)
+            if ours != jvm and jvm != cp:
+                contradictions.append((direction, hex(cp), hex(ours),
+                                       hex(jvm)))
+    assert contradictions == []

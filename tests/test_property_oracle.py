@@ -26,8 +26,11 @@ finite_doubles = st.one_of(
 
 safe_text = st.one_of(
     st.none(),
-    st.text(alphabet="abcXYZ019 _\t.é\xa0\u3000\u2028\x1c",
+    st.text(alphabet="abcXYZ019 _\t.é\xa0\u3000\u2028\x1c"
+                     "\xdf\u03a3\u03c2\u0130\U00010428",
             min_size=0, max_size=12))
+# the second alphabet row: ß Σ ς İ 𐐨 — full-vs-simple case-mapping
+# divergers (and 2-/4-byte UTF-8, so byte-length rules see them too)
 
 
 def run_chain(spark, schema, values, dtype):
@@ -228,7 +231,7 @@ TREE_COLS = ["a", "b", "c", "o", "arr"]
 MKEYS = ["k1", "k2"]
 
 D_POOL = [-2.0, -1.5, -1.0, 0.0, 0.5, 1.0, 2.5, 3.0, 7.0]
-S_POOL = ["", "a", "ab", "ABC", " x ", "Zz", "abc9"]
+S_POOL = ["", "a", "ab", "ABC", " x ", "Zz", "abc9", "\xdf", "A\u03a3"]
 REGEX_POOL = [r"^a", r"[0-9]", r"^[A-Za-z]+$"]
 REF_POOL = ["a", "b", "c", "o.x", "o.y", "o.z.w"]
 
@@ -518,6 +521,133 @@ def test_schema_tree_differential(spark, data):
                 got = row[f"_n_{c}"]
                 if hasattr(got, "asDict"):
                     got = got.asDict(recursive=True)
+                assert _eq_val(got, norm[c]), \
+                    f"doc={d!r} col={c}: spark norm={got!r}, " \
+                    f"oracle norm={norm[c]!r}"
+
+
+# random Items-over-OBJECT-element fuzz (round-4 session-4 addition)
+#
+# The _tree arm's array column is array<double>, so its Items schemas are
+# scalar-only. The reference validates array elements with FULL schemas —
+# each element gets a fresh context and runs the whole chain, including
+# Object().Keys walks (array.go:100-107 → object.go:139-169). This arm
+# draws arrays of STRUCT elements and random element schemas mixing
+# object chains (Keys with priorities, With/Without, Required/Optional
+# children) with scalar schemas in the same Items OR — plus NULL
+# elements, NULL arrays, and length rules — and checks the compiled
+# engine against the oracle on verdict, first violation, and normalized
+# outputs (element mutations are discarded on both sides: array.go never
+# writes back into the slice).
+
+ITEMS_SCHEMA = ("id int, a double, "
+                "arr array<struct<p: double, q: string>>")
+ITEMS_COLS = ["a", "arr"]
+
+
+@st.composite
+def _elem_object(draw):
+    children = {}
+    if draw(st.booleans()):
+        children["p"] = draw(_double_leaf()).set_priority(
+            draw(st.integers(-1, 1)))
+    if draw(st.booleans()):
+        children["q"] = draw(_string_leaf())
+    s = draw(_nullness(K.object(), None))
+    if children:
+        s.keys(children)
+    kind = draw(st.sampled_from(["none", "with", "without"]))
+    if kind == "with":
+        s.with_keys(*draw(st.lists(st.sampled_from(["p", "q"]),
+                                   min_size=1, max_size=2, unique=True)))
+    elif kind == "without":
+        s.without_keys(draw(st.sampled_from(["p", "q"])))
+    return s
+
+
+@st.composite
+def _obj_array_leaf(draw):
+    s = draw(_nullness(K.array(), None))
+    kinds = draw(st.lists(st.sampled_from(["items", "min", "max", "length"]),
+                          min_size=1, max_size=2, unique=True))
+    for r in kinds:
+        if r == "items":
+            n = draw(st.integers(1, 2))
+            schemas = []
+            for _ in range(n):
+                if draw(st.booleans()):
+                    schemas.append(draw(_elem_object()))
+                else:
+                    # a scalar schema against a struct element must fail
+                    # its type gate (number.go/string.go type switch) —
+                    # in an OR with an object schema it only matters for
+                    # elements the object schema rejects
+                    schemas.append(draw(st.sampled_from(
+                        [K.number().min(0.0), K.string().min(1)])))
+            s.items(*schemas)
+        else:
+            getattr(s, r)(draw(st.integers(0, 3)))
+    return s
+
+
+@st.composite
+def _items_tree(draw):
+    return {
+        "a": draw(_double_leaf()).set_priority(draw(st.integers(-1, 1))),
+        "arr": draw(_obj_array_leaf()).set_priority(
+            draw(st.integers(-1, 1))),
+    }
+
+
+@st.composite
+def _items_doc(draw):
+    elem = st.one_of(st.none(), st.fixed_dictionaries(
+        {"p": _maybe(D_POOL), "q": _maybe(S_POOL)}))
+    arr = draw(st.one_of(st.none(), st.lists(elem, max_size=3)))
+    return {"a": draw(_maybe(D_POOL)), "arr": arr}
+
+
+def _items_to_row(i, d):
+    arr = None if d["arr"] is None else [
+        None if e is None else (e["p"], e["q"]) for e in d["arr"]]
+    return (i, d["a"], arr)
+
+
+@settings(max_examples=_FUZZ_EXAMPLES, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture,
+                                 HealthCheck.data_too_large])
+@given(data=st.data())
+def test_items_object_tree_differential(spark, data):
+    tree = data.draw(_items_tree())
+    docs = data.draw(st.lists(_items_doc(), min_size=6, max_size=12))
+    from jio_spark import validate
+    df = spark.createDataFrame(
+        [_items_to_row(i, d) for i, d in enumerate(docs)], ITEMS_SCHEMA)
+    res = validate(df, dict(tree), id_cols=["id"])
+    first = F.try_element_at(res.compiled.violations_array, F.lit(1))
+    sel = [F.col("id"), res.compiled.row_pass.alias("_p"),
+           first["rule_path"].alias("_fp"), first["rule_name"].alias("_fn")]
+    sel += [res.compiled.normalized.get(c, F.col(c)).alias(f"_n_{c}")
+            for c in ITEMS_COLS]
+    rows = res.prepared.select(*sel).orderBy("id").collect()
+
+    for d, row in zip(docs, rows):
+        err, norm = jio_validate_tree(dict(tree), d)
+        assert row["_p"] == (err is None), \
+            f"doc={d!r}: spark pass={row['_p']}, oracle err={err}"
+        if err is not None:
+            assert (row["_fp"], row["_fn"]) == err, \
+                f"doc={d!r}: spark first=({row['_fp']},{row['_fn']}), " \
+                f"oracle first={err}"
+        else:
+            for c in ITEMS_COLS:
+                got = row[f"_n_{c}"]
+                if hasattr(got, "asDict"):
+                    got = got.asDict(recursive=True)
+                if isinstance(got, list):
+                    got = [e.asDict(recursive=True)
+                           if hasattr(e, "asDict") else e for e in got]
                 assert _eq_val(got, norm[c]), \
                     f"doc={d!r} col={c}: spark norm={got!r}, " \
                     f"oracle norm={norm[c]!r}"
