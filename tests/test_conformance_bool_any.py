@@ -111,3 +111,36 @@ def test_any_when(spark):
     res = validate(df, schema, id_cols=["id"])
     got = {r["id"]: r["_pass"] for r in res.annotated.collect()}
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_null_handling_prepend_order(spark):
+    """Required/Optional/Default all PREPEND (any.go:45-74), so the LAST
+    call in the chain runs FIRST on validate — the combinations are
+    asymmetric in call order. run_leaf/oracle agreement for each corner:
+
+      .required().default(5)  → rules [default, required]: a nil value is
+                                substituted BEFORE required looks, passes
+      .default(5).required()  → [required, default]: required aborts first
+      .optional().required()  → [required, optional]: aborts
+      .required().optional()  → [optional, required]: skip wins, passes
+    """
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from jio_oracle import jio_validate
+    cases = [
+        (K.number().required().default(5.0), True, 5.0),
+        (K.number().default(5.0).required(), False, None),
+        (K.number().optional().required(), False, None),
+        (K.number().required().optional(), True, None),
+        # the substituted default still runs the REST of the chain
+        (K.number().required().default(5.0).min(10.0), False, None),
+        (K.number().required().default(15.0).min(10.0), True, 15.0),
+    ]
+    for sch, want_pass, want_val in cases:
+        assert passes(spark, sch.clone(), None, "double") == want_pass
+        if want_pass:
+            assert mutated(spark, sch.clone(), None, "double") == want_val
+        err, val = jio_validate(sch, None)
+        assert (err is None) == want_pass
+        if want_pass:
+            assert val == want_val

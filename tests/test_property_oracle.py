@@ -242,15 +242,21 @@ def _maybe(pool):
 
 @st.composite
 def _nullness(draw, schema, allow_default=None):
-    kind = draw(st.sampled_from(
-        ["none", "req", "opt"] + (["def"] if allow_default is not None
-                                  else [])))
-    if kind == "req":
-        schema.required()
-    elif kind == "opt":
-        schema.optional()
-    elif kind == "def":
-        schema.default(draw(allow_default))
+    # Required/Optional/Default PREPEND (any.go:45-74), so multiple calls
+    # stack in REVERSE order and the combinations are call-order
+    # asymmetric (.required().default(v) passes a nil, .default(v)
+    # .required() aborts — pinned in test_conformance_bool_any).
+    # Drawing 0-2 ops in random order fuzzes those stackings everywhere
+    # a leaf appears, including inside Keys walks and Items elements.
+    ops = ["req", "opt"] + (["def"] if allow_default is not None else [])
+    for kind in draw(st.lists(st.sampled_from(ops), min_size=0,
+                              max_size=2)):
+        if kind == "req":
+            schema.required()
+        elif kind == "opt":
+            schema.optional()
+        else:
+            schema.default(draw(allow_default))
     return schema
 
 
