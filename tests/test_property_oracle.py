@@ -233,7 +233,11 @@ MKEYS = ["k1", "k2"]
 D_POOL = [-2.0, -1.5, -1.0, 0.0, 0.5, 1.0, 2.5, 3.0, 7.0]
 S_POOL = ["", "a", "ab", "ABC", " x ", "Zz", "abc9", "\xdf", "A\u03a3"]
 REGEX_POOL = [r"^a", r"[0-9]", r"^[A-Za-z]+$"]
-REF_POOL = ["a", "b", "c", "o.x", "o.y", "o.z.w"]
+# "o" / "o.z" are STRUCT-typed refs: a VALUE condition against them is
+# Go interface inequality (map vs scalar → plain false), a SCHEMA
+# condition validates the struct — incl. the nil-ref corner where an
+# optional condition schema SKIPS (Err nil) and the then still fires
+REF_POOL = ["a", "b", "c", "o.x", "o.y", "o.z.w", "o", "o.z"]
 
 
 def _maybe(pool):
@@ -328,7 +332,9 @@ def _cond(draw, want_schema):
         K.number().min(0.0), K.number().integer(),
         K.number().valid(0.0, 1.0, 2.5),
         K.string().min(1), K.string().regex("^a"),
-        K.bool().equal(True)]))
+        K.bool().equal(True),
+        K.object().with_keys("x"), K.object().without_keys("y"),
+        K.object({"w": K.number().min(0.0)})]))
 
 
 @st.composite
