@@ -553,7 +553,8 @@ def test_schema_tree_differential(spark, data):
 # writes back into the slice).
 
 ITEMS_SCHEMA = ("id int, a double, "
-                "arr array<struct<p: double, q: string>>")
+                "arr array<struct<p: double, q: string, "
+                "r: array<double>>>")
 ITEMS_COLS = ["a", "arr"]
 
 
@@ -565,6 +566,10 @@ def _elem_object(draw):
             draw(st.integers(-1, 1)))
     if draw(st.booleans()):
         children["q"] = draw(_string_leaf())
+    if draw(st.booleans()):
+        # array chain INSIDE the Items element's Keys walk: the
+        # array→object→array nesting (array.go:100-107 recursion)
+        children["r"] = draw(_array_leaf())
     s = draw(_nullness(K.object(), None))
     if children:
         s.keys(children)
@@ -613,15 +618,16 @@ def _items_tree(draw):
 
 @st.composite
 def _items_doc(draw):
+    inner = st.one_of(st.none(), st.lists(_maybe(D_POOL), max_size=3))
     elem = st.one_of(st.none(), st.fixed_dictionaries(
-        {"p": _maybe(D_POOL), "q": _maybe(S_POOL)}))
+        {"p": _maybe(D_POOL), "q": _maybe(S_POOL), "r": inner}))
     arr = draw(st.one_of(st.none(), st.lists(elem, max_size=3)))
     return {"a": draw(_maybe(D_POOL)), "arr": arr}
 
 
 def _items_to_row(i, d):
     arr = None if d["arr"] is None else [
-        None if e is None else (e["p"], e["q"]) for e in d["arr"]]
+        None if e is None else (e["p"], e["q"], e["r"]) for e in d["arr"]]
     return (i, d["a"], arr)
 
 
