@@ -980,8 +980,23 @@ def _h_keys(cc, st, path, spec, schema):
     fallback_fields: Dict[str, Column] = {}
     for key, child_schema in _sorted_children(children):
         if key not in st.spark_type.fieldNames():
-            raise KeyError(f"keys(): column {key!r} missing under "
-                           f"{path or '<root>'}")
+            if not cc.pure:
+                # top-level document schema: the column is the validation
+                # TARGET — schema-on-write config error, fail loudly
+                raise KeyError(f"keys(): column {key!r} missing under "
+                               f"{path or '<root>'}")
+            # condition/Items predicate: Go reads the key dynamically and
+            # a missing key is nil (object.go:156 `value, _ :=
+            # ctxValue[obj.key]`) — the struct's static shape plays the
+            # document's role here, so the child validates an always-nil
+            # value (optional/default/required decide, like any nil).
+            # No write-back entry: the rebuilt struct must keep its shape.
+            sub = compile_chain(child_schema, F.lit(None), None,
+                                f"{path}.{key}" if path else key, cc,
+                                init_ev=walk_ok)
+            walk_ok = cc.emit("walkok", walk_ok & ~sub.err)
+            walk_err = cc.emit("walkerr", walk_err | sub.err)
+            continue
         child_dt = st.spark_type[key].dataType
         child_col = st.typed.getField(key)
         child_path = f"{path}.{key}" if path else key

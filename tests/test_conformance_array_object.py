@@ -195,3 +195,62 @@ def test_priority_order(spark):
     res = validate(df, schema, id_cols=["id"])
     fv = res.first_violations.collect()[0]
     assert fv["rule_path"] == "b"
+
+
+def test_missing_key_in_condition_or_items_schema_is_nil(spark):
+    """Go reads object keys dynamically: a Keys child the object lacks
+    validates NIL (object.go:156 `value, _ := ctxValue[obj.key]`). For
+    the compiler, a top-level document schema still fails loudly on a
+    missing COLUMN (schema-on-write config error, pinned elsewhere), but
+    inside a When condition schema or an Items element schema — compiled
+    as pure predicates over the ref/element value — a struct field the
+    type lacks behaves as an always-nil child: Optional (implicit)
+    skips, Required fails, exactly like a nil value."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from jio_oracle import jio_validate_tree
+
+    df = spark.createDataFrame(
+        [(1, 5.0, (1.0,)), (2, 5.0, None)],
+        "id int, a double, o struct<x: double>")
+
+    def run(tree):
+        res = validate(df, dict(tree), id_cols=["id"])
+        got = {r["id"]: r["_pass"] for r in res.annotated.collect()}
+        docs = [{"a": 5.0, "o": {"x": 1.0}}, {"a": 5.0, "o": None}]
+        want = {}
+        for i, d in enumerate(docs, 1):
+            err, _ = jio_validate_tree(dict(tree), d)
+            want[i] = err is None
+        return got, want
+
+    # optional missing key -> condition schema SKIPS clean -> then fires
+    got, want = run({
+        "a": K.number().when("o", K.object({"w": K.number()}),
+                             K.number().min(10.0)),
+        "o": K.object({"x": K.number()})})
+    assert got == want == {1: False, 2: False}
+
+    # required missing key -> condition fails -> then never fires
+    got, want = run({
+        "a": K.number().when("o", K.object({"w": K.number().required()}),
+                             K.number().min(10.0)),
+        "o": K.object({"x": K.number()})})
+    assert got == want == {1: True, 2: False}
+    # (row 2: ref o is nil -> condition K.object auto-optional SKIPS on
+    #  nil with Err nil -> then applies -> min fails; Go gives the same)
+
+    # Items element object schema with a missing required key: every
+    # element fails; optional missing key: every element passes
+    df2 = spark.createDataFrame(
+        [(1, [(1.0,)]), (2, [])],
+        "id int, arr array<struct<p: double>>")
+    for child, want_row1 in ((K.number().required(), False),
+                             (K.number(), True)):
+        tree = {"arr": K.array().items(K.object({"w": child.clone()}))}
+        res = validate(df2, dict(tree), id_cols=["id"])
+        got = {r["id"]: r["_pass"] for r in res.annotated.collect()}
+        assert got == {1: want_row1, 2: True}
+        for i, d in enumerate([{"arr": [{"p": 1.0}]}, {"arr": []}], 1):
+            err, _ = jio_validate_tree(dict(tree), d)
+            assert (err is None) == got[i]
