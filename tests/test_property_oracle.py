@@ -497,7 +497,13 @@ def _eq_val(got, want):
 
 # Default 25 examples keeps the suite fast (~2.4 s/example, compile-bound);
 # round-4 evidence runs: JIO_FUZZ_EXAMPLES=200 green, then a 500-example
-# soak green (30 min, all arms incl. the map-backed trees).
+# soak green (30 min, all arms incl. the map-backed trees). Session-4
+# soaks: 120-example green (both tree arms, casing chars in pools), then
+# after widening (struct refs + object condition schemas, stacked
+# null-handling, Items-over-object with nested arrays) a 150-example
+# soak CAUGHT the missing-struct-field KeyError in condition schemas
+# (fixed in compiler._h_keys, pinned in test_conformance_array_object),
+# and the 150-example re-soak after the fix is green.
 _FUZZ_EXAMPLES = int(os.environ.get("JIO_FUZZ_EXAMPLES", "25"))
 
 
