@@ -254,3 +254,23 @@ def test_missing_key_in_condition_or_items_schema_is_nil(spark):
         for i, d in enumerate([{"arr": [{"p": 1.0}]}, {"arr": []}], 1):
             err, _ = jio_validate_tree(dict(tree), d)
             assert (err is None) == got[i]
+
+
+def test_items_over_map_elements(spark):
+    """Items element schemas over MAP-typed elements (free-form docs in
+    an array): With uses REAL key presence (present-with-null passes,
+    object.go:101-104 `_, ok := ctxValue[key]`), the Keys walk validates
+    the nil value of a present key (optional → skip), and a missing key
+    fails With before Keys runs."""
+    tree = {"arr": K.array().items(
+        K.object({"k": K.string().min(1)}).with_keys("k"))}
+    df = spark.createDataFrame(
+        [(1, [{"k": "ab"}]),     # present, min ok        → pass
+         (2, [{"k": ""}]),       # min(1) on byte length  → fail
+         (3, [{"other": "x"}]),  # With: k absent         → fail
+         (4, [{"k": None}]),     # present-with-null: With ok, chain skips
+         (5, [])],               # empty array: vacuous   → pass
+        "id int, arr array<map<string,string>>")
+    res = validate(df, dict(tree), id_cols=["id"])
+    got = {r["id"]: r["_pass"] for r in res.annotated.collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True, 5: True}
