@@ -503,7 +503,8 @@ def _eq_val(got, want):
 # null-handling, Items-over-object with nested arrays) a 150-example
 # soak CAUGHT the missing-struct-field KeyError in condition schemas
 # (fixed in compiler._h_keys, pinned in test_conformance_array_object),
-# and the 150-example re-soak after the fix is green.
+# and after the fix both a 150-example re-soak and a
+# 300-example mega-soak are green.
 _FUZZ_EXAMPLES = int(os.environ.get("JIO_FUZZ_EXAMPLES", "25"))
 
 
