@@ -349,6 +349,26 @@ def _with_when(draw, schema, then_strategy):
 
 
 @st.composite
+def _any_leaf(draw, pool):
+    """K.any() over a TYPED column: no final type assertion, Equal/Valid
+    under Go interface equality, Set/Default writing into the typed
+    carrier (any.go:77-121). Values stay in the column's own pool — the
+    cross-type Set corner is a documented deviation pinned in
+    test_conformance_review4, not fuzzed here."""
+    s = draw(_nullness(K.any(), st.sampled_from(pool)))
+    for _ in range(draw(st.integers(0, 2))):
+        r = draw(st.sampled_from(["equal", "valid", "set"]))
+        if r == "equal":
+            s.equal(draw(st.sampled_from(pool)))
+        elif r == "valid":
+            s.valid(*draw(st.lists(st.sampled_from(pool), min_size=1,
+                                   max_size=3)))
+        else:
+            s.set(draw(st.sampled_from(pool)))
+    return s
+
+
+@st.composite
 def _object_z(draw):
     children = {}
     if draw(st.booleans()):
@@ -438,10 +458,14 @@ def _array_leaf(draw):
 def _tree(draw):
     tree = {
         "a": draw(_with_when(
-            draw(_double_leaf()).set_priority(draw(st.integers(-1, 1))),
+            draw(_any_leaf(D_POOL) if draw(st.booleans())
+                 else _double_leaf()).set_priority(
+                draw(st.integers(-1, 1))),
             _double_leaf(rules=(1, 2)))),
         "b": draw(_with_when(
-            draw(_string_leaf()).set_priority(draw(st.integers(-1, 1))),
+            draw(_any_leaf(S_POOL) if draw(st.booleans())
+                 else _string_leaf()).set_priority(
+                draw(st.integers(-1, 1))),
             _string_leaf(rules=(1, 2)))),
         "c": draw(_bool_leaf()),
         "o": draw(_object_o()).set_priority(draw(st.integers(-1, 1))),
