@@ -248,6 +248,17 @@ class ClipsJobConfig:
     #: structured rows under metrics['schema_violations'] and continue
     #: (the per-row rule compiler still types every value, jio-style)
     schema_contract_mode: str = "fail"
+    #: 'full' persists every violation row; 'exemplars' bounds the
+    #: persisted stream for 10^12-row scale — the k smallest-clip_id
+    #: rows per (partition, rule_path, rule_name), each carrying the
+    #: group's EXACT pre-cap total in ``group_violations`` (one window
+    #: pass over the violation rows, no second source scan — the decode
+    #: never runs twice; see sinks.writers.exemplar_cap). Output-root
+    #: runs only: without a sink the violations are never materialized,
+    #: so there is nothing to cap.
+    violations_sink: str = "full"
+    #: exemplar rows kept per (partition, rule_path, rule_name) group
+    violations_exemplars: int = 20
     #: compare each group's observed scan row count against the parquet
     #: footer totals (metadata-only, same dir pruning as the decode) —
     #: catches `ignoreCorruptFiles` silently dropping files and
@@ -412,6 +423,13 @@ class ClipsValidationJob:
                 "uniqueness_on_unclustered must be 'warn', 'error', "
                 "'trust' or 'fallback', got "
                 f"{cfg.uniqueness_on_unclustered!r}")
+        if cfg.violations_sink not in ("full", "exemplars"):
+            raise ValueError("violations_sink must be 'full' or "
+                             f"'exemplars', got {cfg.violations_sink!r}")
+        if cfg.violations_sink == "exemplars" \
+                and cfg.violations_exemplars < 1:
+            raise ValueError("violations_exemplars must be >= 1, got "
+                             f"{cfg.violations_exemplars!r}")
         if cfg.observe_rule_counts and not cfg.observe_stats:
             raise ValueError(
                 "observe_rule_counts requires observe_stats: the "
@@ -468,6 +486,13 @@ class ClipsValidationJob:
             "decode_source": cfg.decode_source,
             "uniqueness_layout": cfg.uniqueness_layout,
             "uniqueness_on_unclustered": cfg.uniqueness_on_unclustered,
+            # the sink shape changes WHICH rows a completed group wrote:
+            # resuming a full-mode root in exemplars mode (or under a
+            # different cap) would mix bounded and unbounded groups in
+            # one violations dir
+            "violations_sink": cfg.violations_sink,
+            **({"violations_exemplars": cfg.violations_exemplars}
+               if cfg.violations_sink == "exemplars" else {}),
         }
         resumed_from = None
         if sink:
@@ -575,8 +600,13 @@ class ClipsValidationJob:
                                           table_root=table_root,
                                           observation=obs)
             if sink:
+                out_v = viols
+                if cfg.violations_sink == "exemplars":
+                    from .sinks.writers import exemplar_cap
+                    out_v = exemplar_cap(viols, cfg.violations_exemplars,
+                                         cfg.partition_col)
                 with sink_lock:
-                    sink.overwrite_partitions(viols, "violations",
+                    sink.overwrite_partitions(out_v, "violations",
                                               cfg.partition_col)
                 g_viols = None  # counted lazily from written data if needed
             else:

@@ -119,6 +119,55 @@ def ruleset_fingerprint(schema) -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
+def exemplar_cap(viols: DataFrame, k: int,
+                 partition_col: str = "bucket_id",
+                 id_cols: Sequence[str] = ("clip_id",)) -> DataFrame:
+    """Bound a violations stream for persistence at 10^12-row scale:
+    keep only the ``k`` smallest-``id_cols`` exemplar rows per
+    (partition, rule_path, rule_name) group, each carrying the group's
+    EXACT total in ``group_violations``. ``id_cols`` defaults to the
+    clips table's key; library-surface violations frames (engine
+    ``validate`` with arbitrary ``id_cols``) pass their own.
+
+    Why: a 1% violation rate over 10^12 clips writes 10^10 rows — the
+    violations output becomes its own big-data problem, while the
+    question a reader actually asks is "which rule failed, how often,
+    show me a few concrete rows" (jio's error text answers the same
+    question one document at a time, jio.go DefaultErrorHandler).
+
+    Scale shape: ONE hash exchange of the violation rows only (a small
+    fraction of the table; `bytes` is never in this frame), with both
+    window functions — the rank and the exact count — riding the same
+    partitioning, so no second exchange and NO second pass over the
+    source (re-deriving the stream would re-run the audio decode).
+    Output size is bounded by k × |rules| × |partitions|, independent
+    of row count. Determinism: ordered by (*id_cols, message), so
+    crash-resume's dynamic partition overwrite rewrites byte-identical
+    exemplars; ties beyond that key are identical rows, which are
+    interchangeable."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    if k < 1:
+        raise ValueError(f"exemplar cap must be >= 1, got {k}")
+    missing = [c for c in (*id_cols, partition_col, "rule_path",
+                           "rule_name", "message")
+               if c not in viols.columns]
+    if missing:
+        # fail at plan-build time with the contract named, not with an
+        # unresolved-column analysis error mid-job
+        raise KeyError(f"exemplar_cap: violations frame is missing "
+                       f"{missing}; have {viols.columns}")
+    keys = [partition_col, "rule_path", "rule_name"]
+    wp = Window.partitionBy(*keys)
+    wo = wp.orderBy(*id_cols, "message")
+    return (viols
+            .withColumn("exemplar_rank", F.row_number().over(wo))
+            # no orderBy → frame is the ENTIRE group, so every kept row
+            # carries the group's exact pre-cap total
+            .withColumn("group_violations", F.count(F.lit(1)).over(wp))
+            .where(F.col("exemplar_rank") <= int(k)))
+
+
 @dataclass
 class Manifest:
     """Per-partition-group completion records."""

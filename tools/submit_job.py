@@ -63,6 +63,15 @@ def main(argv=None):
                          "in the run metrics (rides the stats observe — "
                          "no extra scan; measured +9%% full-job wall at "
                          "sf0.1, so opt-in)")
+    ap.add_argument("--violations-sink", default="full",
+                    choices=["full", "exemplars"],
+                    help="'exemplars': bound the persisted violations at "
+                         "10^12-row scale — keep K smallest-clip_id rows "
+                         "per (partition, rule_path, rule_name), each "
+                         "carrying the group's EXACT total (one window "
+                         "pass over the violation rows; no second scan)")
+    ap.add_argument("--violations-exemplars", type=int, default=20,
+                    help="exemplar rows kept per group in exemplars mode")
     ap.add_argument("--uniqueness-layout", default="any",
                     choices=["any", "clustered"],
                     help="'clustered' = shuffle-free boundary-exchange "
@@ -121,6 +130,8 @@ def main(argv=None):
                          uniqueness_layout=args.uniqueness_layout,
                          uniqueness_on_unclustered=args.on_unclustered,
                          observe_rule_counts=args.rule_counts,
+                         violations_sink=args.violations_sink,
+                         violations_exemplars=args.violations_exemplars,
                          drift=baseline is not None)
     job = ClipsValidationJob(spark, cfg,
                              codec_dim=default_codec_dim(spark),
