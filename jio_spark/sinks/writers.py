@@ -121,7 +121,8 @@ def ruleset_fingerprint(schema) -> str:
 
 def exemplar_cap(viols: DataFrame, k: int,
                  partition_col: str = "bucket_id",
-                 id_cols: Sequence[str] = ("clip_id",)) -> DataFrame:
+                 id_cols: Sequence[str] = ("clip_id",),
+                 salt: int = 256) -> DataFrame:
     """Bound a violations stream for persistence at 10^12-row scale:
     keep only the ``k`` smallest-``id_cols`` exemplar rows per
     (partition, rule_path, rule_name) group, each carrying the group's
@@ -135,20 +136,31 @@ def exemplar_cap(viols: DataFrame, k: int,
     show me a few concrete rows" (jio's error text answers the same
     question one document at a time, jio.go DefaultErrorHandler).
 
-    Scale shape: ONE hash exchange of the violation rows only (a small
-    fraction of the table; `bytes` is never in this frame), with both
-    window functions — the rank and the exact count — riding the same
-    partitioning, so no second exchange and NO second pass over the
-    source (re-deriving the stream would re-run the audio decode).
+    Scale shape: two-phase salted top-k over the violation rows only (a
+    small fraction of the table; `bytes` is never in this frame), still
+    ONE pass over the source (re-deriving the stream would re-run the
+    audio decode). A naive single window over the group keys sends
+    EVERY row of a hot group — one rule failing on nearly all rows of a
+    partition — to one task; instead phase 1 windows over
+    (keys, content-salt) so no task ever holds more than ~group/salt
+    rows, keeping each subgroup's local top-k and its exact subcount.
+    Phase 2 re-ranks the survivors (≤ k·salt rows per group) and sums
+    the subcounts — exact totals, zero approximation. The salt is
+    content-derived (xxhash64 of the order key), not
+    spark_partition_id(), so retries and AQE re-splits can't change it.
+
     Output size is bounded by k × |rules| × |partitions|, independent
-    of row count. Determinism: ordered by (*id_cols, message), so
-    crash-resume's dynamic partition overwrite rewrites byte-identical
-    exemplars; ties beyond that key are identical rows, which are
-    interchangeable."""
+    of row count. Determinism: the global top-k by (*id_cols, message)
+    is invariant to the salt split (a global top-k row is top-k within
+    any subset containing it), so crash-resume's dynamic partition
+    overwrite rewrites byte-identical exemplars; ties beyond that key
+    are identical rows, which are interchangeable."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
     if k < 1:
         raise ValueError(f"exemplar cap must be >= 1, got {k}")
+    if salt < 1:
+        raise ValueError(f"exemplar salt must be >= 1, got {salt}")
     missing = [c for c in (*id_cols, partition_col, "rule_path",
                            "rule_name", "message")
                if c not in viols.columns]
@@ -158,14 +170,27 @@ def exemplar_cap(viols: DataFrame, k: int,
         raise KeyError(f"exemplar_cap: violations frame is missing "
                        f"{missing}; have {viols.columns}")
     keys = [partition_col, "rule_path", "rule_name"]
-    wp = Window.partitionBy(*keys)
-    wo = wp.orderBy(*id_cols, "message")
-    return (viols
-            .withColumn("exemplar_rank", F.row_number().over(wo))
-            # no orderBy → frame is the ENTIRE group, so every kept row
-            # carries the group's exact pre-cap total
-            .withColumn("group_violations", F.count(F.lit(1)).over(wp))
-            .where(F.col("exemplar_rank") <= int(k)))
+    order = [*id_cols, "message"]
+    # phase 1: per-(keys, salt) local top-k + exact subcount. Every
+    # nonempty subgroup keeps its rank-1 row (k >= 1), so the rank-1
+    # rows carry a complete partition of the group's count.
+    w1p = Window.partitionBy(*keys, "_x_salt")
+    pre = (viols
+           .withColumn("_x_salt",
+                       F.pmod(F.xxhash64(*order), F.lit(int(salt))))
+           .withColumn("_x_lrank", F.row_number().over(w1p.orderBy(*order)))
+           # no orderBy → frame is the whole subgroup → exact subcount
+           .withColumn("_x_lcnt", F.count(F.lit(1)).over(w1p))
+           .where(F.col("_x_lrank") <= int(k)))
+    # phase 2: ≤ k·salt rows per group — the exchange is tiny
+    w2p = Window.partitionBy(*keys)
+    return (pre
+            .withColumn("exemplar_rank", F.row_number().over(w2p.orderBy(*order)))
+            .withColumn("group_violations",
+                        F.sum(F.when(F.col("_x_lrank") == 1,
+                                     F.col("_x_lcnt"))).over(w2p))
+            .where(F.col("exemplar_rank") <= int(k))
+            .drop("_x_salt", "_x_lrank", "_x_lcnt"))
 
 
 @dataclass

@@ -81,6 +81,39 @@ def test_exemplar_cap_matches_duckdb_oracle(spark):
     assert len(by_group[(1, "c", "required")]) == 1
 
 
+def test_exemplar_cap_salted_phases_match_oracle(spark):
+    """The skew guard: a hot group (one rule failing on every row) is
+    split across content-salt subgroups in phase 1 so no single window
+    task holds the whole group. The two-phase result must be
+    bit-identical to the naive single-window oracle — same exemplars,
+    same ranks, same EXACT totals — for salts below, at, and above the
+    group size (salt=1 degenerates to the single-phase plan)."""
+    k = 4
+    # hot group: 64 rows, one rule, one bucket; plus a small group
+    rows = [(f"h{i:03d}", "hot", "max", "x", "y", f"m{i % 7}", 0)
+            for i in range(64)]
+    rows += [(f"c{i}", "b", "regex", "x", "y", "m", 1) for i in range(3)]
+    df = spark.createDataFrame(rows, COLS).repartition(8)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE v (clip_id text, rule_path text, rule_name text, "
+        "expected text, actual text, message text, bucket_id int)")
+    con.executemany("INSERT INTO v VALUES (?,?,?,?,?,?,?)", rows)
+    want = sorted(tuple(r) for r in con.execute(f"""
+        SELECT *, row_number() OVER w_o AS exemplar_rank,
+               count(*) OVER w_p AS group_violations
+        FROM v
+        WINDOW w_p AS (PARTITION BY bucket_id, rule_path, rule_name),
+               w_o AS (w_p ORDER BY clip_id, message)
+        QUALIFY exemplar_rank <= {k}
+        """).fetchall())
+    for s in (1, 5, 256):
+        got = sorted(tuple(r)
+                     for r in exemplar_cap(df, k, salt=s).collect())
+        assert got == want, f"salt={s}"
+
+
 def test_exemplar_cap_rejects_nonpositive_k(spark):
     df = spark.createDataFrame(_viol_rows(), COLS)
     with pytest.raises(ValueError, match=">= 1"):
