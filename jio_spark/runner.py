@@ -498,6 +498,13 @@ class ClipsValidationJob:
         if sink:
             prev = sink.read_run_metadata()
             if resume and prev:
+                # fingerprint keys added AFTER a root was written are
+                # absent from its run.json; absent means "was at the
+                # old default", NOT "unknown, skip" — otherwise resuming
+                # a pre-upgrade (implicitly full-mode) root in exemplars
+                # mode would silently mix unbounded and capped groups,
+                # the exact thing the violations_sink key refuses
+                prev = {"violations_sink": "full", **prev}
                 diffs = {k: {"completed_groups_used": prev[k], "now": v}
                          for k, v in semantics.items()
                          if k in prev and prev[k] != v}

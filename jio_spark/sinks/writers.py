@@ -150,13 +150,18 @@ def exemplar_cap(viols: DataFrame, k: int,
     spark_partition_id(), so retries and AQE re-splits can't change it.
 
     Output size is bounded by k × |rules| × |partitions|, independent
-    of row count. Determinism: the global top-k by (*id_cols, message)
-    is invariant to the salt split (a global top-k row is top-k within
-    any subset containing it), so crash-resume's dynamic partition
-    overwrite rewrites byte-identical exemplars; ties beyond that key
-    are identical rows, which are interchangeable."""
+    of row count. Determinism: the order key is (*id_cols, message)
+    extended by every remaining atomic column (decode violations can
+    tie on (clip_id, message) while differing in ``actual`` — without
+    the extension row_number would pick arbitrarily at the cap
+    boundary, and a crash-resume rewrite could emit different
+    exemplars than the first attempt). The global top-k under that
+    order is invariant to the salt split (a global top-k row is top-k
+    within any subset containing it); rows still tying on the full key
+    are byte-identical, which are interchangeable."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
     if k < 1:
         raise ValueError(f"exemplar cap must be >= 1, got {k}")
     if salt < 1:
@@ -169,8 +174,24 @@ def exemplar_cap(viols: DataFrame, k: int,
         # unresolved-column analysis error mid-job
         raise KeyError(f"exemplar_cap: violations frame is missing "
                        f"{missing}; have {viols.columns}")
+    reserved = {"exemplar_rank", "group_violations",
+                "_x_salt", "_x_lrank", "_x_lcnt"}
+    clash = sorted(reserved & set(viols.columns))
+    if clash:
+        # e.g. re-capping an already-capped frame at a smaller k would
+        # silently overwrite the original exact totals with totals
+        # recomputed over the capped subset — wrong, so refuse loudly
+        raise KeyError(f"exemplar_cap: frame already has reserved "
+                       f"column(s) {clash}; drop or rename them first")
     keys = [partition_col, "rule_path", "rule_name"]
     order = [*id_cols, "message"]
+    # deterministic tie-break: every remaining atomic column joins the
+    # order key (complex-typed columns aren't orderable and are left
+    # out; rows tying on all atomic columns are interchangeable)
+    order += sorted(
+        f.name for f in viols.schema.fields
+        if f.name not in set(order) | set(keys)
+        and isinstance(f.dataType, T.AtomicType))
     # phase 1: per-(keys, salt) local top-k + exact subcount. Every
     # nonempty subgroup keeps its rank-1 row (k >= 1), so the rank-1
     # rows carry a complete partition of the group's count.

@@ -114,6 +114,62 @@ def test_exemplar_cap_salted_phases_match_oracle(spark):
         assert got == want, f"salt={s}"
 
 
+def test_exemplar_cap_tie_break_is_deterministic(spark):
+    """Decode violations can tie on (clip_id, message) while differing
+    in `actual` (the per-row error string lives there, not in the
+    message). The order key extends to every remaining atomic column,
+    so the row kept at the cap boundary is the minimum under the full
+    key — the same row every run, any salt, any input partitioning —
+    keeping crash-resume rewrites byte-identical."""
+    rows = [("c0", "a", "decode", "x", "err-B", "m", 0),
+            ("c0", "a", "decode", "x", "err-A", "m", 0),
+            ("c0", "a", "decode", "x", "err-C", "m", 0)]
+    want = ("c0", "a", "decode", "x", "err-A", "m", 0, 1, 3)
+    for s in (1, 7, 256):
+        for parts in (1, 3):
+            df = spark.createDataFrame(rows, COLS).repartition(parts)
+            got = exemplar_cap(df, 1, salt=s).collect()
+            assert [tuple(r) for r in got] == [want], (s, parts)
+
+
+def test_exemplar_cap_rejects_reserved_columns(spark):
+    df = spark.createDataFrame(_viol_rows(), COLS)
+    capped = exemplar_cap(df, 2)
+    # re-capping an already-capped frame would silently recompute the
+    # exact totals over the capped subset — refuse at plan-build time
+    with pytest.raises(KeyError, match="reserved"):
+        exemplar_cap(capped, 1)
+    with pytest.raises(KeyError, match="reserved"):
+        exemplar_cap(df.withColumn("_x_salt", F.lit(1)), 2)
+
+
+def test_resume_refuses_pre_upgrade_root_in_exemplars_mode(
+        spark, clips_path, tmp_path):
+    """A run.json written before the exemplars sink existed has no
+    violations_sink key; absent must mean 'was full mode', not 'skip
+    the check' — resuming such a root in exemplars mode would mix
+    unbounded and capped groups in one violations dir."""
+    import json
+    out = str(tmp_path / "preup")
+    df = spark.read.parquet(clips_path)
+    kw = dict(group_size=16, drift=False, audio_check=False)
+    ClipsValidationJob(spark, ClipsJobConfig(**kw)).run(
+        df, output_root=out, table_root=clips_path)
+    run_json = os.path.join(out, "run.json")
+    with open(run_json) as f:
+        meta = json.load(f)
+    meta.pop("violations_sink")  # simulate the pre-upgrade root
+    with open(run_json, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="two different config"):
+        ClipsValidationJob(spark, ClipsJobConfig(
+            violations_sink="exemplars", **kw)).run(
+            df, output_root=out, resume=True, table_root=clips_path)
+    # same-mode resume of the old root still works: absent == 'full'
+    ClipsValidationJob(spark, ClipsJobConfig(**kw)).run(
+        df, output_root=out, resume=True, table_root=clips_path)
+
+
 def test_exemplar_cap_rejects_nonpositive_k(spark):
     df = spark.createDataFrame(_viol_rows(), COLS)
     with pytest.raises(ValueError, match=">= 1"):
