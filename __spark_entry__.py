@@ -1254,12 +1254,17 @@ def oracle_sql() -> dict[str, str]:
     lang_case += "ELSE 'und' END"
 
     # engine parity: gofmt._go_double renders integral doubles as plain
-    # digits (decimal cast). The BIGINT leg is bounds-guarded so a rogue
-    # huge-but-integral value degrades to DuckDB's shortest-double
-    # VARCHAR instead of erroring the whole oracle on BIGINT overflow
-    go_num = ("CASE WHEN {v} = floor({v}) "
-              "AND abs({v}) < 9.2e18 THEN "
-              "CAST(CAST({v} AS BIGINT) AS VARCHAR) "
+    # digits up to 1e21 (Go %v switches to e-notation there). DECIMAL
+    # (38,0), not BIGINT: a BIGINT leg capped at 9.2e18 left integral
+    # values in [9.2e18, 1e21) falling to DuckDB's shortest-double
+    # VARCHAR ('1e+19') while the engine prints plain digits — a
+    # guaranteed false mismatch. DECIMAL(38,0) prints plain digits for
+    # the whole engine range; past 1e21 both sides use e-notation.
+    # (the -0.0 leg: Go %v prints '-0'; the decimal cast drops the sign)
+    go_num = ("CASE WHEN {v} = 0 AND signbit({v}) THEN '-0' "
+              "WHEN {v} = floor({v}) "
+              "AND abs({v}) < 1e21 THEN "
+              "CAST(CAST({v} AS DECIMAL(38,0)) AS VARCHAR) "
               "ELSE CAST({v} AS VARCHAR) END")
 
     return {
@@ -1278,6 +1283,10 @@ def oracle_sql() -> dict[str, str]:
                              {go_num.format(v='l_quantity')} ||
                              ' is not string' END AS msg
             FROM lineitem""",
+        # lower()/upper() here are DuckDB FULL case mapping; the engine
+        # uses Go SIMPLE mapping. Equivalent on this testdata because
+        # the cased columns are ASCII — load-bearing pin:
+        # tests/test_schema_contract.py::test_driver_casing_oracle_columns_are_ascii
         "rule_string_normalize": """
             SELECT o_orderkey,
                    CASE WHEN o_orderpriority IS NULL THEN NULL

@@ -533,6 +533,13 @@ class ClipsValidationJob:
                                           cfg.partition_col,
                                           fmt=cfg.table_format)
             hive_listed = bool(parts)
+            if parts:
+                # the wanted-set must isin-match the column's real type
+                # or every group filter selects zero rows while being
+                # marked complete — refuse at plan time, not silently
+                from .sources.tables import check_partition_value_types
+                check_partition_value_types(
+                    parts, df.schema[cfg.partition_col].dataType)
         if not parts:
             from .sources.tables import none_last_sorted
             raw = [r[0] for r in

@@ -38,7 +38,28 @@ def _fn_token(fn) -> str:
     byte-identical code and refuse with a config-mismatch error. The
     token hashes the compiled bytecode instead (marshal is deterministic
     for a given interpreter version), so only an actual code edit — the
-    thing the semantic guard exists to catch — moves the digest."""
+    thing the semantic guard exists to catch — moves the digest.
+
+    Parameter state OUTSIDE the code object changes behavior exactly
+    like bytecode does, so it joins the token too: closure cells and
+    defaults; ``functools.partial`` bound args/kwargs (a bare partial
+    has no ``__code__`` at all — without this branch every partial of
+    every function collapsed to one token and a resume false-ACCEPTED a
+    changed threshold); a bound method's ``__self__`` instance dict
+    (``RangeCheck(200).chk`` vs ``RangeCheck(5000).chk`` share one code
+    object); and a callable instance's own ``__dict__``. Free variables
+    read through module globals remain invisible by construction —
+    documented boundary: module state is not a rule parameter.
+    Instance attrs that fall to ``repr`` with a memory address make the
+    token process-UNstable, which fails safe (a spurious refusal, never
+    a false accept)."""
+    import functools
+    if isinstance(fn, functools.partial):
+        return ("fn:partial(" + _fn_token(fn.func)
+                + ";args=" + _encode_str(list(fn.args))
+                + ";kw=" + _encode_str(
+                    {k: fn.keywords[k] for k in sorted(fn.keywords)})
+                + ")")
     parts = [getattr(fn, "__module__", None) or "?",
              getattr(fn, "__qualname__", None) or type(fn).__name__]
     code = getattr(fn, "__code__", None)
@@ -58,6 +79,15 @@ def _fn_token(fn) -> str:
     defaults = getattr(fn, "__defaults__", None)
     if defaults:
         parts.append(",".join(_encode_str(d) for d in defaults))
+    # bound method → the instance IS captured state; callable instance
+    # (defines __call__, no __code__ of its own) → same thing
+    inst = getattr(fn, "__self__", None)
+    if inst is None and code is None:
+        inst = fn
+    state = getattr(inst, "__dict__", None) if inst is not None else None
+    if state:
+        parts.append("self=" + _encode_str(
+            {str(k): state[k] for k in sorted(state)}))
     return "fn:" + ":".join(parts)
 
 

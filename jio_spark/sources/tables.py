@@ -6,11 +6,13 @@ pushdown and partition pruning either way."""
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 @dataclass
@@ -106,44 +108,80 @@ def list_partition_values(spark: SparkSession, location: str,
     return sorted(parse_hive_values(raw_vals).values())
 
 
-_HIVE_INT = None  # compiled lazily; see _parse_hive_int
+_HIVE_INT = re.compile(r"[+-]?[0-9]+", re.ASCII)
 
 
-def _parse_hive_int(v: str) -> int:
-    """Parse one hive directory value as an int with JAVA semantics, not
-    Python's. ``int()`` accepts underscores, surrounding whitespace and
-    arbitrary magnitude — ``int('1_0') == 10`` — while Spark's partition
-    type inference (``Long.parseLong``) rejects all of those and keeps
-    the column string-typed. A Python-only parse would build an int
-    wanted-set that matches NOTHING in the string column's ``isin``
-    filter: every partition validates zero rows yet is marked complete,
-    the silent skip this module exists to prevent. Accepted: optional
-    sign then ASCII digits, within int64 (beyond ±2^63 Spark falls back
-    to string typing too)."""
-    global _HIVE_INT
-    if _HIVE_INT is None:
-        import re
-        _HIVE_INT = re.compile(r"^[+-]?[0-9]+$", re.ASCII)
-    if not _HIVE_INT.match(v):
+def _parse_hive_int(v: str):
+    """Parse one hive directory value as an integer with JAVA semantics,
+    not Python's. ``int()`` accepts underscores, surrounding whitespace,
+    trailing newlines and arbitrary magnitude — ``int('1_0') == 10``,
+    ``int('5\\n') == 5`` — while Spark's partition type inference
+    (``Long.parseLong``) rejects all of those and keeps the column
+    string-typed. A Python-only parse would build an int wanted-set that
+    matches NOTHING in the string column's ``isin`` filter: every
+    partition validates zero rows yet is marked complete, the silent
+    skip this module exists to prevent. Accepted: optional sign then
+    ASCII digits (``fullmatch``, so '5\\n' is rejected like Java does);
+    within int64 → int, beyond ±2^63 → ``decimal.Decimal``, mirroring
+    Spark's Long→BigDecimal inference order (such dirs type the column
+    decimal(p,0), and a string in the wanted-set would cross-match
+    distinct >2^63 values through lossy double coercion)."""
+    if not _HIVE_INT.fullmatch(v):
         raise ValueError(v)
     n = int(v)
     if not (-(1 << 63) <= n < (1 << 63)):
-        raise ValueError(v)
+        from decimal import Decimal
+        return Decimal(v)
     return n
 
 
 def parse_hive_values(vals: List[str]) -> Dict[str, object]:
-    """All-or-nothing int parse of hive directory values ({raw: parsed}):
-    ints only when EVERY value parses, else all stay strings — a mixed
-    int/str domain would neither sort nor compare equal to the column.
-    THE one copy of this rule: the manifest's ``list_partition_values``
-    and the decoder's ``audio.files._tagged_files`` both call it, so the
-    wanted-set and the file tags can never drift apart (a drift means a
-    partition silently decodes zero files)."""
+    """All-or-nothing integer parse of hive directory values
+    ({raw: parsed}): ints (Decimal beyond int64, matching Spark's
+    decimal(p,0) inference) only when EVERY value parses, else all stay
+    strings — a mixed numeric/str domain would neither sort nor compare
+    equal to the column. THE one copy of this rule: the manifest's
+    ``list_partition_values`` and the decoder's
+    ``audio.files._tagged_files`` both call it, so the wanted-set and
+    the file tags can never drift apart (a drift means a partition
+    silently decodes zero files)."""
     try:
         return {v: _parse_hive_int(v) for v in vals}
     except ValueError:
         return {v: v for v in vals}
+
+
+def check_partition_value_types(parts: List, dtype) -> None:
+    """Refuse, loudly and at plan time, a wanted-set whose Python types
+    cannot ``isin``-match the partition column's Spark type — the silent
+    failure shape is every partition validating zero rows while being
+    marked complete. Accepts int↔integral/decimal(p,0), Decimal↔decimal,
+    str↔string (None members ride a separate isNull filter). Anything
+    else — a date/double/timestamp-typed partition column (Spark infers
+    those from dir names; this engine's integer parse deliberately does
+    not), or a string column whose dirs all LOOK integral (partition
+    type inference disabled) — raises with both sides named."""
+    vals = [p for p in parts if p is not None]
+    if not vals:
+        return
+    from decimal import Decimal as _Dec
+    ok = False
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                          T.LongType)):
+        ok = all(isinstance(v, int) for v in vals)
+    elif isinstance(dtype, T.DecimalType) and dtype.scale == 0:
+        ok = all(isinstance(v, (int, _Dec)) for v in vals)
+    elif isinstance(dtype, T.StringType):
+        ok = all(isinstance(v, str) for v in vals)
+    if not ok:
+        raise ValueError(
+            f"partition wanted-set types {sorted({type(v).__name__ for v in vals})} "
+            f"cannot isin-match the partition column's Spark type "
+            f"{dtype.simpleString()}: the filter would select zero rows "
+            f"and every group would be marked complete over nothing. "
+            f"Use an integer- or string-typed partition column, or make "
+            f"Spark's partition type inference agree with the directory "
+            f"values.")
 
 
 def none_last_sorted(raw: List) -> List:

@@ -909,6 +909,59 @@ def test_ruleset_fingerprint_sees_nested_params_not_addresses():
         ruleset_fingerprint(K.object({"q": K.number().optional()}))
 
 
+def test_fingerprint_sees_partials_and_bound_instance_state():
+    """Callable params whose behavior lives OUTSIDE the code object:
+    a functools.partial has no __code__ at all (every partial of every
+    function used to collapse to one token — a resumed run
+    false-ACCEPTED a changed threshold), and bound methods of two
+    differently-configured instances share one code object."""
+    import functools
+    from jio_spark.dsl import K
+    from jio_spark.sinks.writers import ruleset_fingerprint
+
+    def gt(col, limit):
+        return col > limit
+
+    def mk_partial(limit):
+        return K.object({"q": K.number().check(
+            functools.partial(gt, limit=limit))})
+
+    assert ruleset_fingerprint(mk_partial(200)) == \
+        ruleset_fingerprint(mk_partial(200))
+    assert ruleset_fingerprint(mk_partial(200)) != \
+        ruleset_fingerprint(mk_partial(5000))
+    # positional partial args count too
+    def mk_pos(limit):
+        return K.object({"q": K.number().check(
+            functools.partial(lambda lim, col: col > lim, limit))})
+    assert ruleset_fingerprint(mk_pos(1)) != ruleset_fingerprint(mk_pos(2))
+
+    class RangeCheck:
+        def __init__(self, limit):
+            self.limit = limit
+
+        def chk(self, col):
+            return col > self.limit
+
+        def __call__(self, col):
+            return col > self.limit
+
+    def mk_bound(limit):
+        return K.object({"q": K.number().check(RangeCheck(limit).chk)})
+
+    def mk_inst(limit):
+        return K.object({"q": K.number().check(RangeCheck(limit))})
+
+    assert ruleset_fingerprint(mk_bound(200)) == \
+        ruleset_fingerprint(mk_bound(200))
+    assert ruleset_fingerprint(mk_bound(200)) != \
+        ruleset_fingerprint(mk_bound(5000))
+    assert ruleset_fingerprint(mk_inst(200)) == \
+        ruleset_fingerprint(mk_inst(200))
+    assert ruleset_fingerprint(mk_inst(200)) != \
+        ruleset_fingerprint(mk_inst(5000))
+
+
 def test_manifest_mark_survives_hostile_group_keys(tmp_path):
     """Group keys embed raw partition VALUES; _unescape_hive decodes
     %2F back to '/' so values stay isin-matchable, which means a key
@@ -943,11 +996,17 @@ def test_hive_int_parse_matches_spark_inference(spark, tmp_path):
     assert parse_hive_values(["1_0", "2_0"]) == {"1_0": "1_0",
                                                  "2_0": "2_0"}
     assert parse_hive_values(["7", "-3"]) == {"7": 7, "-3": -3}
-    # whitespace and beyond-int64 values stay strings too (Spark types
-    # both as string)
+    # whitespace AND trailing newline stay strings (Long.parseLong
+    # rejects both; Python's int() accepts both — '5\n' parsing to 5
+    # would re-create the exact silent skip on a 'bucket_id=5%0A' dir)
     assert parse_hive_values([" 5"]) == {" 5": " 5"}
+    assert parse_hive_values(["5\n"]) == {"5\n": "5\n"}
+    # beyond-int64: Spark infers decimal(20,0) (Long→BigDecimal order),
+    # NOT string — a string here would cross-match distinct >2^63
+    # values through lossy double coercion in the isin filter
+    from decimal import Decimal
     assert parse_hive_values(["99999999999999999999"]) == {
-        "99999999999999999999": "99999999999999999999"}
+        "99999999999999999999": Decimal("99999999999999999999")}
 
     p = str(tmp_path / "t")
     df = spark.createDataFrame(
@@ -960,3 +1019,70 @@ def test_hive_int_parse_matches_spark_inference(spark, tmp_path):
     assert sorted(listed) == ["1_0", "2_0"]
     got = {r[0] for r in back.select("bucket_id").distinct().collect()}
     assert set(listed) == got
+
+
+def test_hive_beyond_int64_and_newline_match_spark(spark, tmp_path):
+    """The two inference corners a lenient parse gets wrong, pinned
+    against a REAL partitioned read: beyond-int64 dirs type the column
+    decimal(20,0) (two >2^63 values must prune to their own rows, not
+    cross-match through double coercion), and a trailing-newline dir
+    keeps the column string-typed."""
+    import pyspark.sql.functions as F
+    from decimal import Decimal
+    from jio_spark.sources.tables import list_partition_values
+
+    big = str(tmp_path / "big")
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    base = 1 << 64
+    df.where("x=1").write.parquet(
+        os.path.join(big, f"bucket_id={base}"))
+    df.where("x=2").write.parquet(
+        os.path.join(big, f"bucket_id={base + 1}"))
+    listed = list_partition_values(spark, big, "bucket_id")
+    assert listed == [Decimal(base), Decimal(base + 1)]
+    back = spark.read.parquet(big)
+    assert dict(back.dtypes)["bucket_id"] == "decimal(20,0)"
+    # each wanted value selects exactly its own partition's rows
+    for v, want_x in ((listed[0], 1), (listed[1], 2)):
+        rows = back.where(F.col("bucket_id").isin([v])).collect()
+        assert [r["x"] for r in rows] == [want_x], v
+
+    nl = str(tmp_path / "nl")
+    df.where("x=1").write.parquet(os.path.join(nl, "bucket_id=5%0A"))
+    df.where("x=2").write.parquet(os.path.join(nl, "bucket_id=7"))
+    listed = list_partition_values(spark, nl, "bucket_id")
+    assert listed == ["5\n", "7"]
+    back = spark.read.parquet(nl)
+    assert dict(back.dtypes)["bucket_id"] == "string"
+    rows = back.where(F.col("bucket_id").isin(["5\n"])).collect()
+    assert [r["x"] for r in rows] == [1]
+
+
+def test_partition_type_guard_refuses_unmatchable_wanted_set(spark):
+    """A date/double-typed partition column (Spark infers those from
+    dir names; the engine's integer parse deliberately does not) must
+    refuse at plan time — the isin filter would select zero rows while
+    every group gets marked complete."""
+    import datetime
+    from jio_spark.sources.tables import check_partition_value_types
+    import pyspark.sql.types as T
+
+    # the supported families pass
+    check_partition_value_types([1, 2, None], T.IntegerType())
+    check_partition_value_types([1, 2], T.LongType())
+    from decimal import Decimal
+    check_partition_value_types(
+        [1, Decimal(1 << 64)], T.DecimalType(20, 0))
+    check_partition_value_types(["a", "b", None], T.StringType())
+    check_partition_value_types([None], T.DateType())  # null-only: ok
+
+    with pytest.raises(ValueError, match="zero rows"):
+        check_partition_value_types(["2026-01-01"], T.DateType())
+    with pytest.raises(ValueError, match="zero rows"):
+        check_partition_value_types(["1.5"], T.DoubleType())
+    with pytest.raises(ValueError, match="zero rows"):
+        # inference disabled: string column, int-parsed wanted-set
+        check_partition_value_types([5, 7], T.StringType())
+    with pytest.raises(ValueError, match="zero rows"):
+        # fractional decimal columns are not isin-safe for an int set
+        check_partition_value_types([1], T.DecimalType(10, 2))

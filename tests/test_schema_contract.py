@@ -114,3 +114,30 @@ def test_contract_satisfied_records_empty_list(spark):
         codec_dim=default_codec_dim(spark))
     m = job.run(df)
     assert m["schema_violations"] == []
+
+
+def test_driver_casing_oracle_columns_are_ascii():
+    """The engine's lowercase/uppercase rules use Go SIMPLE case mapping
+    while the driver oracles (`__spark_entry__.oracle_sql`:
+    rule_string_normalize, rule_when_priority) replay them with DuckDB's
+    FULL-mapping lower()/upper(). The two agree only where full and
+    simple mappings coincide — guaranteed on ASCII, violated by ß/İ/ﬁ.
+    This pin makes that equivalence load-bearing: if the driver testdata
+    ever grows non-ASCII values in the cased columns, this fails loudly
+    and the oracle legs must be revisited (Go-exactness itself is pinned
+    engine-side in test_conformance_string / functions/casing.py)."""
+    import os
+    import duckdb
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        base = f"/root/testdata/{sf}"
+        if not os.path.isdir(base):
+            continue
+        for table, col in (("orders", "o_orderpriority"),
+                           ("events", "event_type")):
+            n = con.execute(
+                f"SELECT count(*) FROM '{base}/{table}.parquet' "
+                f"WHERE {col} IS NOT NULL AND "
+                f"{col} != regexp_replace({col}, '[^\\x00-\\x7F]', '', 'g')"
+            ).fetchone()[0]
+            assert n == 0, (sf, table, col, n)
