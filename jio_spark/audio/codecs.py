@@ -188,6 +188,12 @@ def parse_wav(raw: bytes) -> Tuple[np.ndarray, int, str]:
             raise ValueError("malformed pcm16 payload")
         return np.frombuffer(payload, dtype="<i2"), sr, _FMT_CODEC[fmt]
     if fmt in (_FMT_ULAW, _FMT_ALAW):
+        # G.711 is 8-bit by definition: a fmt chunk declaring 16-bit
+        # A-law/mu-law is malformed and must surface as ONE decode
+        # violation, not be read one-sample-per-byte (doubling
+        # n_samples and misattributing the defect to dur/snr)
+        if bits != 8:
+            raise ValueError("malformed g711 payload")
         return np.frombuffer(payload, dtype=np.uint8), sr, _FMT_CODEC[fmt]
     raise ValueError(f"unsupported format tag {fmt}")
 

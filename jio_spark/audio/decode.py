@@ -19,7 +19,7 @@ skew explicitly").
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -166,15 +166,27 @@ def decode_check(df: DataFrame, check_reference: bool = True,
     Returns one row per clip (DECODE_RESULT_SCHEMA). Columns are pruned to
     exactly what the decode needs before the Arrow exchange, so parquet
     scan pruning still applies (SURVEY.md §4.2)."""
-    extra = [c for c in (passthrough or []) if c in df.columns]
     cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
     if check_reference:
         # only the reference check reads transcripts — a metadata-only
         # table without the column must still be decodable
         cols.append("transcript")
-    slim = df.select(*cols, *extra)
+    # passthrough columns the decode already consumes (codec, sr_hz, …)
+    # must not be SELECTED twice — pdf['codec'] over a duplicate column
+    # returns a 2-column frame and the output schema gains a duplicate
+    # field, failing mid-job in the Arrow exchange — but they still pass
+    # through to the output by name; clip_id is already in the result
+    # schema, so passing it through is a no-op, not a duplicate
+    extra = [c for c in dict.fromkeys(passthrough or [])
+             if c in df.columns and c != "clip_id"]
+    slim = df.select(*cols, *[c for c in extra if c not in cols])
     if salt:
         slim = salted_repartition(slim, num_partitions=num_partitions)
+    elif num_partitions:
+        # the caller's explicit parallelism knob must not silently drop
+        # with the salt — same loud-knob rule as salted_repartition's
+        # mode check
+        slim = slim.repartition(num_partitions)
     schema = DECODE_RESULT_SCHEMA
     for c in extra:
         schema += f", {c} {df.schema[c].dataType.simpleString()}"
@@ -185,10 +197,13 @@ def decode_check(df: DataFrame, check_reference: bool = True,
 
 
 def decode_violations(results: DataFrame,
-                      extra_cols: Optional[Sequence[str]] = None
-                      ) -> DataFrame:
+                      extra_cols: Optional[Sequence[str]] = None,
+                      snr_threshold: float = 30.0) -> DataFrame:
     """Reshape decode-check results into the engine's standard violation
-    rows (one per failed assertion, jio error shape)."""
+    rows (one per failed assertion, jio error shape). ``snr_threshold``
+    must match the decode run's — it only shapes the violation's
+    ``expected`` text, which must not claim '>= 30dB' when a 40 dB
+    threshold is what actually failed the row."""
     checks = [
         ("decode_ok", "bytes", "decode", "decodable payload",
          "payload failed to decode"),
@@ -198,7 +213,8 @@ def decode_violations(results: DataFrame,
          "declared sr_hz != decoded sample rate"),
         ("dur_match", "dur_ms", "dur_consistency", "declared ~= decoded",
          "declared dur_ms != decoded duration"),
-        ("snr_ok", "bytes", "snr", ">= 30dB vs reference",
+        ("snr_ok", "bytes", "snr",
+         f">= {snr_threshold:g}dB vs reference",
          "decoded PCM SNR below threshold vs reference"),
         ("transcript_match", "transcript", "transcript_equality",
          "== reference transcript", "transcript != reference"),

@@ -89,8 +89,22 @@ def _tagged_files(root: str, partition_filter: Optional[Sequence],
     shared listing/pruning step behind the split lister and the footer
     audit — one place for the hive-unescape / NULL-dir / non-hive
     semantics. Purely a directory listing: no footer is touched."""
+    if "://" in root:
+        # glob is local-filesystem only; an object-store URI would list
+        # ZERO files and the decode would "validate" nothing while every
+        # group gets marked complete — the silent skip this module
+        # guards against everywhere else. Refuse loudly; the extension
+        # point is a pyarrow.fs-based lister behind this same function.
+        raise NotImplementedError(
+            f"decode file listing is local-filesystem only; got URI "
+            f"{root!r} (extend _tagged_files with pyarrow.fs to list "
+            f"object stores)")
     paths = sorted(glob.glob(os.path.join(root, "**", "*.parquet"),
                              recursive=True))
+    if not paths:
+        raise FileNotFoundError(
+            f"no *.parquet files under {root!r}: the payload-local "
+            f"decode would silently validate zero rows")
     raw_tags: List = []
     any_hive = False
     for path in paths:
@@ -99,7 +113,7 @@ def _tagged_files(root: str, partition_filter: Optional[Sequence],
         # table stored under another table's partition dir) must not
         # mis-tag every file
         rel = os.path.relpath(path, root)
-        m = re.search(rf"(?:^|/){partition_col}=([^/]+)/", rel)
+        m = re.search(rf"(?:^|/){re.escape(partition_col)}=([^/]+)/", rel)
         raw = None
         if m:
             any_hive = True
@@ -163,7 +177,20 @@ def _partition_dtype(splits: Sequence[Tuple[str, int, Optional[int]]],
     layout: the value lives as a DATA column) peeks at one footer."""
     pvals = {pv for _, _, pv in splits if pv is not None}
     if pvals:
-        return "string" if any(isinstance(v, str) for v in pvals) else "int"
+        # Spark's own Integer→Long→Decimal inference ladder, mirrored:
+        # parse_hive_values produces full int64 ints (and Decimal beyond
+        # ±2^63), so a flat 32-bit 'int' made createDataFrame fail
+        # schema verification for a legitimate bucket_id=2147483648 dir;
+        # a flat 'bigint' would widen the common small-bucket case away
+        # from the table read's int32 column
+        from decimal import Decimal
+        if any(isinstance(v, str) for v in pvals):
+            return "string"
+        if any(isinstance(v, Decimal) for v in pvals):
+            return "decimal(38,0)"
+        if all(-(1 << 31) <= v < (1 << 31) for v in pvals):
+            return "int"
+        return "bigint"
     # peek the first READABLE footer (corrupt-marker splits have rg < 0
     # and an unreadable footer by definition). The peek itself is
     # guarded: in violation mode a file deleted/damaged between the
@@ -182,6 +209,13 @@ def _partition_dtype(splits: Sequence[Tuple[str, int, Optional[int]]],
             t = sch.field(partition_col).type
             if pa.types.is_string(t) or pa.types.is_large_string(t):
                 return "string"
+            if pa.types.is_decimal(t):
+                return f"decimal({t.precision},{t.scale})"
+            if pa.types.is_int64(t) or pa.types.is_uint32(t):
+                # a bigint DATA column peeked from the footer must not
+                # be narrowed to int32 (large values would overflow the
+                # Arrow output cast mid-decode)
+                return "bigint"
         break
     return "int"
 

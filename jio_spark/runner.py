@@ -387,7 +387,8 @@ class ClipsValidationJob:
                     num_partitions=self.cfg.decode_partitions,
                     passthrough=[self.cfg.partition_col])
             viols = viols.unionByName(
-                decode_violations(dec, extra_cols=[self.cfg.partition_col]))
+                decode_violations(dec, extra_cols=[self.cfg.partition_col],
+                                  snr_threshold=self.cfg.snr_threshold))
         return viols
 
     # -- the full job ---------------------------------------------------------

@@ -89,7 +89,12 @@ def test_decode_check_end_to_end(spark):
         assert 0.001 * N <= agg["bad_decode"] <= 0.012 * N
         assert 0.001 * N <= agg["sr_mismatch"] <= 0.012 * N
         assert 0.001 * N <= agg["dur_mismatch"] <= 0.012 * N
-        # clean rows decode at >=30dB: bad_snr only from corrupt/sr cases
+        # clean rows decode at >=30dB: bad_snr comes from sr-mismatch
+        # cases AND duplicate-id rows — a duplicate carries index i's
+        # payload under clip_{i-7}'s id, so the reference check (keyed
+        # off the CLAIMED id, as a real reference-store join would be)
+        # correctly flags its snr + transcript: a row claiming another
+        # clip's id with different audio IS a reference mismatch
         assert agg["bad_snr"] <= 0.02 * N
         assert 0.01 * N <= agg["bad_transcript"] <= 0.04 * N
 
@@ -266,3 +271,102 @@ def test_parse_wav_walks_chunks_per_spec():
     # truncated data chunk still refused
     with pytest.raises(ValueError, match="truncated"):
         parse_wav(raw[:-10])
+
+
+def test_g711_bits_must_be_8():
+    """G.711 is 8-bit by definition: a fmt chunk declaring 16-bit
+    mu-law must raise (ONE decode violation), not be read one sample
+    per byte — which doubles n_samples and misattributes the defect to
+    dur/snr (the one-violation-per-defect rule)."""
+    import struct
+    import pytest as _pytest
+    from jio_spark.audio.codecs import parse_wav
+
+    payload = bytes(range(64))
+    sr = 8000
+    for tag, bits, ok in ((7, 8, True), (7, 16, False), (6, 8, True),
+                          (6, 16, False)):
+        fmt = struct.pack("<HHIIHH", tag, 1, sr, sr, 1, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        raw = b"RIFF" + struct.pack("<I", len(body)) + body
+        if ok:
+            coded, got_sr, _ = parse_wav(raw)
+            assert got_sr == sr and len(coded) == len(payload)
+        else:
+            with _pytest.raises(ValueError, match="g711"):
+                parse_wav(raw)
+
+
+def test_decode_passthrough_overlap_and_unsalted_partitions(spark):
+    """A passthrough naming a base decode column must not select it
+    twice (2-D pdf['codec'] + duplicate schema field = mid-job Arrow
+    failure), and salt=False must still honor the caller's explicit
+    num_partitions knob instead of silently dropping it."""
+    df = clips_frame(spark, 24, clean=True, partitions=2)
+    res = decode_check(df, check_reference=False, passthrough=["codec"])
+    assert res.columns.count("codec") == 1
+    assert res.count() == 24
+    res2 = decode_check(df, check_reference=False, salt=False,
+                        num_partitions=5)
+    assert res2.rdd.getNumPartitions() == 5
+
+
+def test_decode_violations_expected_names_real_threshold(spark):
+    """The snr violation's 'expected' text must state the threshold that
+    actually failed the row, not a hardcoded 30."""
+    from jio_spark.audio.decode import decode_violations
+    df = clips_frame(spark, 8, clean=True, partitions=1)
+    res = decode_check(df, snr_threshold=99.0)  # everything fails snr
+    v = decode_violations(res, snr_threshold=99.0)
+    exp = {r["expected"] for r in
+           v.where(F.col("rule_name") == "snr").collect()}
+    assert exp == {">= 99dB vs reference"}
+    # the default renders byte-identically to the old hardcoded text
+    v30 = decode_violations(res)
+    assert ">= 30dB vs reference" in {
+        r["expected"] for r in
+        v30.where(F.col("rule_name") == "snr").collect()}
+
+
+def test_tagged_files_loud_on_uris_empty_and_metachar_cols(
+        spark, tmp_path):
+    """Three silent-skip shapes made loud/safe: an object-store URI
+    (glob lists nothing), an empty root (zero files, zero violations,
+    group marked complete), and a partition column whose name contains
+    regex metacharacters (un-escaped '.' made 'bucketXid=3/' tag as a
+    hive dir for 'bucket.id')."""
+    import os
+    from jio_spark.audio.files import _tagged_files
+
+    with pytest.raises(NotImplementedError, match="local-filesystem"):
+        _tagged_files("s3://bucket/clips", None, "bucket_id")
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="zero rows"):
+        _tagged_files(str(empty), None, "bucket_id")
+
+    root = str(tmp_path / "meta")
+    clips_frame(spark, 4, clean=True, partitions=1).write.parquet(
+        os.path.join(root, "bucketXid=3"))
+    tagged, hive = _tagged_files(root, None, "bucket.id")
+    assert not hive and all(pv is None for _, pv in tagged)
+
+
+def test_partition_dtype_mirrors_spark_inference_ladder(spark, tmp_path):
+    """_partition_dtype must follow Spark's Integer→Long→Decimal hive
+    inference: small values stay int32 (parity with the table read's
+    column), int64-range values must not fail createDataFrame schema
+    verification, beyond-2^63 values ride Decimal."""
+    from decimal import Decimal
+    from jio_spark.audio.files import _partition_dtype
+
+    assert _partition_dtype([("p", 0, 3), ("p", 1, 15)], "b") == "int"
+    assert _partition_dtype([("p", 0, 2147483648)], "b") == "bigint"
+    assert _partition_dtype(
+        [("p", 0, Decimal(1 << 64))], "b") == "decimal(38,0)"
+    assert _partition_dtype([("p", 0, "east")], "b") == "string"
+    # the schema string actually constructs a frame with the big value
+    df = spark.createDataFrame([("p", 0, 2147483648)],
+                               f"path string, rg int, b bigint")
+    assert df.first()["b"] == 2147483648
