@@ -1600,14 +1600,15 @@ def oracle_sql() -> dict[str, str]:
                      AS punct_ratio,
                    round(n_stop / greatest(n_words, 1)::DOUBLE, 4)
                      AS stopword_ratio,
-                   (CASE WHEN n_chars < 20 THEN 0.0 ELSE 1.0 END
+                   (CASE WHEN text IS NULL THEN NULL
+                    ELSE CASE WHEN n_chars < 20 THEN 0.0 ELSE 1.0 END
                     * CASE WHEN n_punct / greatest(n_chars, 1)::DOUBLE
                            > 0.2 THEN 0.5 ELSE 1.0 END
                     * CASE WHEN n_digit / greatest(n_chars, 1)::DOUBLE
                            > 0.3 THEN 0.5 ELSE 1.0 END
                     * CASE WHEN n_nonws
                            / greatest(n_words, 1)::DOUBLE > 12
-                           THEN 0.5 ELSE 1.0 END) AS quality_score
+                           THEN 0.5 ELSE 1.0 END END) AS quality_score
             FROM t""",
         "text_lang_fp": f"""
             WITH t AS (SELECT doc_id, text, {lang_cols} FROM documents)

@@ -85,7 +85,11 @@ def quality_metrics(col: Column) -> Dict[str, Column]:
     # of spaces, newlines) to the words and mis-trigger the >12 penalty
     non_ws = F.length(F.regexp_replace(col, r"\s", ""))
     mean_word_len = non_ws.cast("double") / safe_words
-    score = (
+    # NULL text → NULL score, explicitly: every penalty condition is
+    # NULL for NULL input and WHEN's otherwise() branch would award it
+    # the BEST score (1.0) while '' correctly scores 0.0 — a quality
+    # filter would then keep every null-text document as top quality
+    score = F.when(col.isNull(), F.lit(None).cast("double")).otherwise(
         F.when(length < 20, 0.0).otherwise(1.0)
         * F.when(punct / safe_len > 0.2, 0.5).otherwise(1.0)
         * F.when(digits / safe_len > 0.3, 0.5).otherwise(1.0)

@@ -40,12 +40,17 @@ MEDIA_META_SCHEMA = ("id string, n_bytes long, crc32 long, magic string, "
 _MAGIC = [
     (b"\xFF\xD8\xFF", "image/jpeg"),
     (b"\x89PNG", "image/png"),
-    (b"RIFF", "audio/wav"),
     (b"\x1A\x45\xDF\xA3", "video/webm"),
     (b"GIF8", "image/gif"),
     (b"BM", "image/bmp"),
     (b"P6", "image/ppm"),
 ]
+
+# RIFF is a CONTAINER: the form type at bytes 9-12 says what's inside
+# (WAVE audio, WEBP images, 'AVI ' video) — sniffing the outer magic
+# alone routed WebP/AVI payloads to the audio decode path
+_RIFF_FORMS = [(b"WAVE", "audio/wav"), (b"WEBP", "image/webp"),
+               (b"AVI ", "video/avi")]
 
 
 def media_metadata(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
@@ -57,6 +62,13 @@ def media_metadata(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
         hexpfx = magic.hex()
         kind = F.when(F.hex(F.substring(b, 1, len(magic)))
                       == F.lit(hexpfx.upper()), F.lit(name)).otherwise(kind)
+    riff_kind = F.lit("application/riff")  # unknown form type
+    for form, name in reversed(_RIFF_FORMS):
+        riff_kind = F.when(F.hex(F.substring(b, 9, 4))
+                           == F.lit(form.hex().upper()),
+                           F.lit(name)).otherwise(riff_kind)
+    kind = F.when(F.hex(F.substring(b, 1, 4))
+                  == F.lit(b"RIFF".hex().upper()), riff_kind).otherwise(kind)
     return df.select(
         F.col(id_col).cast("string").alias("id"),
         F.octet_length(b).alias("n_bytes"),
@@ -186,6 +198,15 @@ def synth_pixels(seed: int, h: int, w: int) -> np.ndarray:
     return ((seed * 7 + y * 5 + x * 3 + c * 11) % 256).astype(np.uint8)
 
 
+def _id_obj(series: pd.Series) -> np.ndarray:
+    """String-or-None id array: pandas astype(str) renders a SQL NULL as
+    the literal 'None', silently conflating every null-id row under one
+    fake id — preserve the null instead (media_metadata's pure-expr path
+    keeps it NULL, and the two frames must agree)."""
+    return np.array([None if pd.isna(v) else str(v) for v in series],
+                    dtype=object)
+
+
 def decode_image(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
     """Arrow-batched REAL decode (BMP/PPM) → per-image stats with actual
     header dimensions. Columns are pruned to (id, bytes) before the
@@ -195,7 +216,7 @@ def decode_image(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
-            out = {"id": pdf["id"].astype(str).values,
+            out = {"id": _id_obj(pdf["id"]),
                    "height": np.zeros(n, dtype=np.int32),
                    "width": np.zeros(n, dtype=np.int32),
                    "channels": np.full(n, 3, dtype=np.int32),
@@ -247,7 +268,7 @@ def decode_image_stub(df: DataFrame, id_col: str, bytes_col: str,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
-            out = {"id": pdf["id"].astype(str).values,
+            out = {"id": _id_obj(pdf["id"]),
                    "height": np.full(n, height, dtype=np.int32),
                    "width": np.full(n, width, dtype=np.int32),
                    "channels": np.full(n, 3, dtype=np.int32),
@@ -293,7 +314,8 @@ def resize_stub(df: DataFrame, id_col: str, bytes_col: str,
                 ys = (np.arange(target_h) * 32 // target_h)
                 xs = (np.arange(target_w) * 32 // target_w)
                 resized = img[np.ix_(ys, xs)]
-                ids.append(str(pdf["id"].iloc[j]))
+                iv = pdf["id"].iloc[j]
+                ids.append(None if pd.isna(iv) else str(iv))
                 payloads.append(resized.tobytes())
             # object dtype explicitly: an all-skipped batch would yield
             # empty float64 columns Arrow can't cast to binary
@@ -324,7 +346,8 @@ def extract_features(df: DataFrame, id_col: str, bytes_col: str,
                     (dim * 4) // 64 + 1)
                 v = (np.frombuffer(digest[: dim * 4], dtype=np.uint32)
                      .astype(np.float32) / np.float32(2**32))
-                ids.append(str(pdf["id"].iloc[j]))
+                iv = pdf["id"].iloc[j]
+                ids.append(None if pd.isna(iv) else str(iv))
                 vecs.append(v.tolist())
             # object dtype explicitly: an all-skipped batch would yield
             # empty float64 columns Arrow can't cast to list<float>
@@ -351,9 +374,14 @@ def frame_sample(df: DataFrame, id_col: str, bytes_col: str,
                 if raw is None:
                     continue  # no frames from a null payload, no crash
                 payload = bytes(raw)
+                if not payload:
+                    continue  # a zero-length payload has no frames —
+                    # the max(1, …) floor is for short-but-nonempty ones
+                iv = pdf["id"].iloc[j]
+                sid = None if pd.isna(iv) else str(iv)
                 for fi in range(min(max_frames,
                                     max(1, len(payload) // every_n_bytes))):
-                    ids.append(str(pdf["id"].iloc[j]))
+                    ids.append(sid)
                     idxs.append(fi)
                     frames.append(
                         payload[fi * every_n_bytes:(fi + 1) * every_n_bytes])

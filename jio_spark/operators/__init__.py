@@ -10,7 +10,7 @@ from .referential import referential_check
 from .drift import drift_check, snapshot
 from .dedup import (dedup_exact, embedding_dup_pairs, exact_duplicates,
                     minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs)
-from .similarity import brute_force_topk, ivf_topk, lsh_topk
+from .similarity import brute_force_topk, ivf_topk, lsh_dup_pairs, lsh_topk
 from .schema import (CLIPS_SCHEMA_CONTRACT, assert_schema_contract,
                      schema_contract_violations)
 
@@ -23,5 +23,5 @@ __all__ = [
     "snapshot", "drift_check",
     "exact_duplicates", "dedup_exact", "ngram_jaccard_pairs",
     "minhash_lsh_pairs", "simhash_pairs", "embedding_dup_pairs",
-    "brute_force_topk", "lsh_topk", "ivf_topk",
+    "brute_force_topk", "lsh_topk", "lsh_dup_pairs", "ivf_topk",
 ]

@@ -60,13 +60,30 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     NULL-text rows are each their own group (kept, never collapsed):
     md5(NULL) is NULL, and grouping on it directly would silently DELETE
     all-but-one of the docs whose content is merely missing. The
-    coalesce to a per-id sentinel keeps the single-pass shape."""
+    coalesce to a per-id sentinel keeps the single-pass shape.
+
+    NULL-id rows are never the survivor of a mixed group (min ignores
+    nulls) but are never silently deleted either: the semi join is
+    null-safe, so a group whose ids are ALL null (keep key = NULL)
+    retains its rows — a plain equi-join on a NULL key matches nothing
+    and would delete the whole group's content."""
     fp = F.coalesce(doc_fingerprint(F.col(text_col)),
                     F.concat(F.lit("__null__:"),
-                             F.col(id_col).cast("string"))).alias("fp")
-    keep = (df.select(F.col(id_col), fp)
-            .groupBy("fp").agg(F.min(id_col).alias(id_col)))
-    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+                             F.col(id_col).cast("string")))
+    keyed = df.withColumn("__fp", fp)
+    keep = (keyed.select(F.col("__fp").alias("__keep_fp"),
+                         F.col(id_col).alias("__keep_id"))
+            .groupBy("__keep_fp")
+            .agg(F.min("__keep_id").alias("__keep_id")))
+    # null-safe on BOTH keys, scoped to the row's own group: on id alone
+    # a null keep-id from ANY group would retain every null-id row
+    # everywhere; fp itself is NULL for (null text, null id) rows
+    return (keyed.join(
+                keep,
+                on=[F.col("__fp").eqNullSafe(F.col("__keep_fp")),
+                    F.col(id_col).eqNullSafe(F.col("__keep_id"))],
+                how="left_semi")
+            .drop("__fp"))
 
 
 # ---------------------------------------------------------------------------
@@ -128,6 +145,16 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
 _MINHASH_SEED_BASE = 0x5EED
 
 
+def _check_hash_mode(hash_mode: str) -> None:
+    """Loud-knob rule (same as uniqueness's on_unclustered check): an
+    unknown mode must not silently fall through to the xxhash64 branch —
+    an oracle replay built on md5 would then mismatch with no hint the
+    knob was ignored."""
+    if hash_mode not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_mode must be 'xxhash64' or 'md5', "
+                         f"got {hash_mode!r}")
+
+
 def minhash_signature(shingles: Column, k: int,
                       hash_mode: str = "xxhash64") -> Column:
     """k-permutation MinHash signature — one hash pass per permutation
@@ -142,6 +169,7 @@ def minhash_signature(shingles: Column, k: int,
     # NB: the per-permutation lambdas MUST stay unary — F.transform
     # inspects the callable's arity, and a second (defaulted) parameter
     # flips it into the (element, index) form
+    _check_hash_mode(hash_mode)
     if hash_mode == "md5":
         return F.array(*[
             F.array_min(F.transform(
@@ -221,6 +249,7 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
     (localCheckpoint) instead of recomputing it for the signature pass
     and both sides of the verify join — 3× less tokenization/hashing
     work; off by default to keep the operator lazy/composable."""
+    _check_hash_mode(hash_mode)
     k = bands * rows_per_band
     sh = _shingle_frame(df, text_col, id_col, n)
     if cache_shingles:
@@ -330,6 +359,7 @@ def simhash_bitsums(shingles: Column,
     earlier form ran 64 separate ``F.aggregate`` folds — 64 re-traversals
     and an unbounded codegen tree). ``hash_mode='md5'`` derives the bits
     from ``md5(shingle)`` hex so a SQL oracle can replicate them."""
+    _check_hash_mode(hash_mode)
     if hash_mode == "md5":
         h = F.transform(shingles, lambda s: F.md5(s))
         bits = _pm_bits_md5
@@ -383,6 +413,7 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, n: int = 3,
     trade: members of a dropped bucket can still pair through their
     other 3 chunks. Default None keeps exact pigeonhole semantics for
     the small-scale oracle checks."""
+    _check_hash_mode(hash_mode)
     sh = _shingle_frame(df, text_col, id_col, n)
     # bit-sum fold materialized in its own projection; the 64-term pack
     # references it as a named column (CollapseProject keeps expensive
@@ -429,14 +460,13 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.95,
     """Exact cosine-similar pairs (block nested-loop self-join). Quadratic:
     the correctness baseline; the scale path is the LSH-bucketed variant
     in similarity.py."""
-    v = F.col(vec_col)
-    # zero-norm/null vectors excluded: cosine is undefined for them and
-    # Spark 4's default ANSI mode turns the division into a job-killing
-    # DIVIDE_BY_ZERO (same convention as similarity._with_norm)
-    a = df.select(F.col(id_col).alias("id_a"), v.alias("v_a"),
-                  l2_norm(v).alias("n_a")).where(F.col("n_a") > 0)
-    b = df.select(F.col(id_col).alias("id_b"), v.alias("v_b"),
-                  l2_norm(v).alias("n_b")).where(F.col("n_b") > 0)
+    # zero-norm/null exclusion and the (id, vec, norm) projection are
+    # similarity._with_norm, REUSED — a norm-convention change must land
+    # in this exact baseline and the LSH scale path together or the two
+    # silently diverge
+    from .similarity import _with_norm
+    a = _with_norm(df, id_col, vec_col, "id_a", "v_a", "n_a")
+    b = _with_norm(df, id_col, vec_col, "id_b", "v_b", "n_b")
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     # norms precomputed per input row (below the join), not per pair;
     # same dot/(sqrt·sqrt) expression shape → scores bit-identical

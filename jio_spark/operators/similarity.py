@@ -106,9 +106,20 @@ def _with_buckets(base: DataFrame, id_alias: str, vec_alias: str,
     sign-bucket — the ONE bucketing projection both lsh_topk and
     lsh_dup_pairs ride (a hashing change lands in both or neither)."""
     v = F.col(vec_alias)
+
+    def bkt(t: int) -> Column:
+        # a vector whose length != dim would dot against the padded
+        # hyperplane as NULL, fall through `when(s > 0)` to bucket 0 in
+        # EVERY table, and silently turn the sub-linear bucket join into
+        # the full quadratic cross product — raise mid-job instead
+        # (nulls/zero-norm rows were already excluded by _with_norm)
+        return (F.when(F.size(v) == dim, _bucket_expr(v, dim, t, bits))
+                .otherwise(F.raise_error(F.format_string(
+                    f"lsh: embedding length %s != dim={dim} — pass the "
+                    f"real dimension", F.size(v))).cast("int")))
+
     b = F.explode(F.array(*[
-        F.struct(F.lit(t).alias("tbl"),
-                 _bucket_expr(v, dim, t, bits).alias("bkt"))
+        F.struct(F.lit(t).alias("tbl"), bkt(t).alias("bkt"))
         for t in range(tables)])).alias("tb")
     return (base.select(id_alias, vec_alias, n_alias, b)
             .select(id_alias, vec_alias, n_alias, "tb.tbl", "tb.bkt"))

@@ -177,14 +177,22 @@ def duplicate_ids(df: DataFrame, key: str,
                          "('fallback' exists one level up, on "
                          "uniqueness_check, which can rerun via groupBy)")
     spark = df.sparkSession
+    # NULL keys are filtered BEFORE the scan, not after: they are
+    # documented non-violations on either path, and a nullable NUMERIC
+    # key would otherwise reach pandas as float64-with-NaN (Arrow's
+    # nulls-in-int64 conversion) — NaN boundary keys crash the
+    # integer-typed scan schema, and the float coercion silently loses
+    # precision on >2^53 keys, merging runs of DISTINCT keys. The filter
+    # is per-partition, so a clustered layout stays clustered.
     scan = (df.select(key)
+              .where(F.col(key).isNotNull())
               .sortWithinPartitions(key)
               .mapInPandas(_adjacent_scan(key), _scan_schema(df, key)))
     # eager localCheckpoint: the (tiny) scan result materializes ONCE and
     # serves both the boundary collect below and the interior branch the
     # caller later consumes — a cache() + finally-unpersist() here would
     # drop the blocks before the caller ran, recomputing the sorted scan
-    scan = scan.where(F.col("key").isNotNull()).localCheckpoint(eager=True)
+    scan = scan.localCheckpoint(eager=True)
     interior = scan.where(F.col("kind") == "dup") \
                    .select(F.col("key"), F.col("cnt"))
 

@@ -553,3 +553,28 @@ def test_public_vector_functions_null_not_ansi_crash(spark):
     assert row["c"] is None
     assert row["nb"] == [None, None]
     assert abs(row["self"] - 1.0) < 1e-12
+
+
+def test_duplicate_ids_nullable_bigint_keys(spark):
+    """A nullable NUMERIC key column: NULLs must be invisible (they are
+    not uniqueness violations), never poison the scan as float64 NaN
+    (which crashed the integer-typed scan schema or minted a phantom
+    -2^63 duplicate), and >2^53 keys sharing a partition with NULLs
+    must not lose precision to the float coercion."""
+    big_a = (1 << 60) + 1
+    big_b = (1 << 60) + 2  # adjacent in float64's gap at 2^60 → equal
+                           # if the scan ever coerces to float
+    rows = [(None,), (None,), (big_a,), (big_b,), (7,), (7,), (None,)]
+    df = (spark.createDataFrame(rows, "k bigint")
+          .repartition(2).sortWithinPartitions("k"))
+    dups = {r["key"]: r["cnt"]
+            for r in duplicate_ids(df, "k", on_unclustered="trust")
+            .collect()}
+    assert dups == {7: 2}
+    # uniqueness_check agrees on both layouts (violation rows carry the
+    # key value as string, jio message shape)
+    v = uniqueness_check(df, "k", layout="any").collect()
+    assert [(r["k"], r["actual"]) for r in v] == [("7", "count=2")]
+    v2 = uniqueness_check(df, "k", layout="clustered",
+                          on_unclustered="trust").collect()
+    assert [(r["k"], r["actual"]) for r in v2] == [("7", "count=2")]

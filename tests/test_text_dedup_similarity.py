@@ -491,3 +491,110 @@ def test_multimodal_null_payload_rows_skipped_not_crash(spark):
             extract_features(df, "id", "payload").collect()} == {"1"}
     assert {r["id"] for r in
             frame_sample(df, "id", "payload").collect()} == {"1"}
+
+
+def test_quality_score_null_text_is_null_not_best(spark):
+    """NULL text must score NULL, not 1.0: every penalty WHEN condition
+    is NULL for NULL input and otherwise() would award it the best
+    score while '' correctly scores 0.0 — a quality filter would then
+    keep every null-text document as top quality."""
+    from jio_spark.functions.text import quality_metrics
+    df = spark.createDataFrame(
+        [("a", None), ("b", ""), ("c", "x" * 30 + " good plain text")],
+        "doc_id string, text string")
+    m = quality_metrics(F.col("text"))
+    rows = {r["doc_id"]: r["q"] for r in
+            df.select("doc_id", m["quality_score"].alias("q")).collect()}
+    assert rows["a"] is None
+    assert rows["b"] == 0.0
+    assert rows["c"] == 1.0
+
+
+def test_dedup_exact_never_deletes_null_id_groups(spark):
+    """A duplicate-content group whose ids are ALL null: min(id) is NULL
+    and a plain equi semi join on NULL matches nothing — the whole
+    group's content silently vanished. The null-safe join keeps those
+    rows; a null-id row in a MIXED group is still deduped away (it has
+    a surviving representative)."""
+    from jio_spark.operators.dedup import dedup_exact
+    df = spark.createDataFrame(
+        [(None, "same text here"), (None, "same text here"),
+         (None, None), (None, None),
+         ("d1", "other text"), (None, "other text"),
+         ("d2", "third text"), ("d3", "third text")],
+        "doc_id string, text string")
+    out = [(r["doc_id"], r["text"]) for r in dedup_exact(df).collect()]
+    # all-null-id duplicate group: rows retained (no identity to pick a
+    # survivor by), never deleted
+    assert out.count((None, "same text here")) == 2
+    # null-TEXT rows with null ids: also retained
+    assert out.count((None, None)) == 2
+    # mixed group: the non-null id survives, the null-id copy deduped
+    assert ("d1", "other text") in out
+    assert (None, "other text") not in out
+    # plain dedup still works
+    assert ("d2", "third text") in out and ("d3", "third text") not in out
+
+
+def test_lsh_dim_mismatch_raises_not_bucket0(spark):
+    """An embedding whose length != dim used to dot against the padded
+    hyperplane as NULL, land every vector in bucket 0 of every table,
+    and silently turn the sub-linear bucket join quadratic. It raises
+    mid-job now."""
+    import pyspark.errors
+    from jio_spark.operators.similarity import lsh_topk
+    df = spark.createDataFrame(
+        [("v1", [1.0, 2.0, 3.0]), ("v2", [2.0, 1.0, 0.5])],
+        "vec_id string, embedding array<double>")
+    with pytest.raises(Exception, match="lsh: embedding length"):
+        lsh_topk(df, df.limit(1), k=1, dim=64).collect()
+    # the matching dim works
+    assert lsh_topk(df, df.limit(1), k=1, dim=3,
+                    exclude_self=False).count() >= 1
+
+
+def test_hash_mode_typo_fails_loudly(spark, docs):
+    from jio_spark.operators.dedup import (minhash_lsh_pairs,
+                                           simhash_pairs)
+    with pytest.raises(ValueError, match="hash_mode"):
+        minhash_lsh_pairs(docs, hash_mode="MD5")
+    with pytest.raises(ValueError, match="hash_mode"):
+        simhash_pairs(docs, hash_mode="md-5")
+
+
+def test_media_kind_riff_form_types(spark):
+    """RIFF is a container: the form type at bytes 9-12 decides the
+    kind — WebP images and AVI videos must not route to the audio
+    decode path as 'audio/wav'."""
+    from jio_spark.multimodal.binary import media_metadata
+    rows = [("wav", b"RIFF\x10\x00\x00\x00WAVEdata"),
+            ("webp", b"RIFF\x10\x00\x00\x00WEBPVP8 "),
+            ("avi", b"RIFF\x10\x00\x00\x00AVI LIST"),
+            ("odd", b"RIFF\x10\x00\x00\x00XXXXdata"),
+            ("bmp", b"BM\x36\x00\x00\x00rest")]
+    df = spark.createDataFrame(rows, "id string, bytes binary")
+    kinds = {r["id"]: r["kind"]
+             for r in media_metadata(df, "id", "bytes").collect()}
+    assert kinds == {"wav": "audio/wav", "webp": "image/webp",
+                     "avi": "video/avi", "odd": "application/riff",
+                     "bmp": "image/bmp"}
+
+
+def test_multimodal_null_id_stays_null_and_empty_payload_no_frames(spark):
+    """pandas astype(str) renders SQL NULL as the literal string 'None',
+    conflating every null-id row under one fake id; and a zero-length
+    payload must sample zero frames, not one empty phantom frame."""
+    from jio_spark.multimodal.binary import (decode_image, frame_sample,
+                                             synth_bmp)
+    df = spark.createDataFrame(
+        [(None, bytearray(synth_bmp(1))), ("i2", bytearray(synth_bmp(2))),
+         ("i3", bytearray(b""))],
+        "img_id string, bytes binary")
+    dec = decode_image(df, "img_id", "bytes").collect()
+    assert {r["id"] for r in dec} == {None, "i2", "i3"}
+    frames = frame_sample(df, "img_id", "bytes", max_frames=3,
+                          every_n_bytes=64).collect()
+    ids = {r["id"] for r in frames}
+    assert None in ids and "i2" in ids
+    assert "i3" not in ids and "None" not in ids
+    assert all(len(r["frame"]) > 0 for r in frames)
