@@ -224,20 +224,22 @@ class CompileCtx:
         self.stages.append(batch)
         self.internal_cols.extend(batch.keys())
 
-    def ref(self, ref_path: str) -> Tuple[Column, str, Column]:
+    def ref(self, ref_path: str) -> Tuple[Column, str, Column, T.DataType]:
         """Resolve a `When` refPath (dotted, from the document root —
         context.go:30-45). Fields already walked resolve to their
         *normalized* expression (mutation visibility under SetPriority,
         string_test.go:92-111).
 
-        Returns ``(col, tag, ok)``: ``ok`` is the vectorized ``ok`` of
+        Returns ``(col, tag, ok, dtype)``: ``ok`` is the vectorized ``ok`` of
         ``ctx.Ref`` — false (⇒ the When is a per-row no-op,
         schema.go:23-25) when an intermediate value on the path is nil
         (not an object, context.go:36-38) or a map key is absent
         (context.go:40-42). A struct field that exists in the schema is
         always "present" (a JSON key with a null value still returns
         ok=true from a Go map lookup); only NULL *intermediates* and
-        absent MAP keys make the ref unresolvable."""
+        absent MAP keys make the ref unresolvable. ``dtype`` is the
+        ref's Spark type — post-coercion when a completed ref changed
+        tag, its declared schema type otherwise."""
         parts = ref_path.split(".")
         dt: T.DataType = self.root_schema
         col = None
@@ -455,6 +457,14 @@ def _h_default(cc, st, path, spec, schema):
     if st.vtype == "any" or vt == st.vtype:
         st.typed = F.when(was_null, lit).otherwise(st.typed)
         st.is_typed = st.is_typed | was_null
+        if isinstance(v, float) and not isinstance(v, bool) \
+                and isinstance(st.spark_type,
+                               (T.ByteType, T.ShortType, T.IntegerType,
+                                T.LongType)):
+            # the when() coerces the carrier to double — a stale
+            # integral spark_type would let _h_integer's shortcut pass
+            # Default(5.5).integer() on null rows (reference aborts)
+            st.spark_type = T.DoubleType()
     else:
         if st.untyped is not None and vt == st.utype:
             st.untyped = F.when(was_null, lit).otherwise(st.untyped)
@@ -488,6 +498,14 @@ def _h_set(cc, st, path, spec, schema):
         st.typed = F.lit(float(v)) if st.vtype == "double" else F.lit(v)
         st.is_typed = F.lit(True)
         st.untyped = None
+        if st.vtype == "double" and isinstance(
+                st.spark_type, (T.ByteType, T.ShortType, T.IntegerType,
+                                T.LongType)):
+            # the carrier now holds a double literal: leaving the stale
+            # integral spark_type would let _h_integer's integral-column
+            # shortcut trivially PASS Set(5.5).integer() (reference
+            # aborts: 5.5 != trunc(5.5))
+            st.spark_type = T.DoubleType()
     elif schema.TYPE == "any":
         # Any chain: the unconditional replace retags the dynamic
         # value for every row — rebuild the state around the literal
@@ -517,9 +535,17 @@ def _h_equal(cc, st, path, spec, schema):
     v = spec.params["value"]
     expected = go_repr(v)
     if isinstance(schema, (NumberSchema, StringSchema)):
-        # routes through Check → type gate first (number.go:83-90)
+        # routes through Check → type gate first (number.go:83-90).
+        # A cross-typed literal (Number().Equal("5")) can NEVER match:
+        # Go interface equality of float64(5) vs string "5" is false,
+        # while Spark's eqNullSafe would implicitly cast '5' → 5.0 and
+        # match — the exact "'5' == 5 must NOT match" invariant the
+        # when-condition path already guards with _lit_tag
+        want = "double" if isinstance(schema, NumberSchema) else "string"
+        cross = _lit_tag(v) != want
         _gated_check(cc, st, path, "equal", expected,
-                     (lambda c: F.lit(False)) if _is_nan_lit(v)
+                     (lambda c: F.lit(False))
+                     if (_is_nan_lit(v) or cross)
                      else (lambda c: c.eqNullSafe(_typed_lit(st, v))),
                      f"is not {expected}")
         return
@@ -534,8 +560,13 @@ def _h_valid(cc, st, path, spec, schema):
     values = spec.params["values"]
     expected = go_repr_list(values)
     if isinstance(schema, (NumberSchema, StringSchema)):
-        # NaN members can never match (Go ==; see _is_nan_lit)
-        lits = [_typed_lit(st, v) for v in values if not _is_nan_lit(v)]
+        # NaN members can never match (Go ==; see _is_nan_lit), and
+        # neither can cross-typed members: isin's implicit string↔double
+        # cast would make Number().Valid("5") match 5.0 where Go
+        # interface equality is false (same guard as _h_equal)
+        want = "double" if isinstance(schema, NumberSchema) else "string"
+        lits = [_typed_lit(st, v) for v in values
+                if not _is_nan_lit(v) and _lit_tag(v) == want]
         _gated_check(cc, st, path, "valid", expected,
                      lambda c: c.isin(*lits) if lits else F.lit(False),
                      f"not in {expected}")
@@ -978,6 +1009,7 @@ def _h_keys(cc, st, path, spec, schema):
     walk_err = F.lit(False)
     norm_fields: Dict[str, Column] = {}
     fallback_fields: Dict[str, Column] = {}
+    norm_types: Dict[str, T.DataType] = {}
     for key, child_schema in _sorted_children(children):
         if key not in st.spark_type.fieldNames():
             if not cc.pure:
@@ -1009,6 +1041,7 @@ def _h_keys(cc, st, path, spec, schema):
         norm = cc.emit("norm", _normalized_value(sub, child_col))
         norm_fields[key] = norm
         fallback_fields[key] = _fallback_value(sub, child_col)
+        norm_types[key] = _normalized_dtype(sub, child_dt)
         cc.completed[child_path] = (norm, sub.vtype)
         cc.normalized[child_path] = norm
 
@@ -1026,9 +1059,52 @@ def _h_keys(cc, st, path, spec, schema):
          else st.typed.getField(f.name)).alias(f.name)
         for f in st.spark_type.fields])
     st.typed = rebuilt
+    # the rebuilt struct's field types can differ from the original's
+    # (a coercing child like ParseString writes back its final type);
+    # spark_type must track the REBUILT type or the PARENT level's
+    # when(completed, rebuilt).otherwise(original) makes Spark insert
+    # the same implicit hard cast this function's per-field fallback
+    # exists to avoid — one nesting level up
+    st.spark_type = T.StructType([
+        T.StructField(f.name, norm_types.get(f.name, f.dataType), True)
+        for f in st.spark_type.fields])
     _abort_step(cc, st, walk_err)
     if path:
         cc.normalized[path] = st.typed
+
+
+def _retagged(sub: ColState) -> bool:
+    """Whether the chain retagged an Any carrier (Set substituted a
+    differently-typed value) — the write-back then rides a try_cast to
+    the ORIGINAL column type (see _normalized_value)."""
+    orig_tag = (type_tag(sub.orig_spark_type)
+                if sub.orig_spark_type is not None else None)
+    return (orig_tag is not None and orig_tag != sub.vtype
+            and not (sub.vtype == "struct" and orig_tag == "map"))
+
+
+def _struct_coerced(sub: ColState) -> bool:
+    """Whether a struct child's keys walk rebuilt it with DIFFERENT field
+    types (a coercing child like ParseString wrote back its final type)
+    — branches mixing the rebuilt and original struct types need an
+    explicit try_cast or Spark inserts a hard-failing implicit cast."""
+    return (sub.vtype == "struct" and not _retagged(sub)
+            and isinstance(sub.spark_type, T.StructType)
+            and isinstance(sub.orig_spark_type, T.StructType)
+            and sub.spark_type != sub.orig_spark_type)
+
+
+def _normalized_dtype(sub: ColState, child_dt: T.DataType) -> T.DataType:
+    """The Spark type of :func:`_normalized_value`'s result for this
+    child — the parent keys walk tracks it so ITS rebuilt struct type
+    stays truthful (see the spark_type update in _h_keys)."""
+    if sub.untyped is None:
+        if _retagged(sub):
+            return sub.orig_spark_type
+        return sub.spark_type if sub.spark_type is not None else child_dt
+    if sub.vtype in ("double", "boolean", "string"):
+        return _null_type(sub.vtype)
+    return child_dt
 
 
 def _fallback_value(sub: ColState, original: Column) -> Column:
@@ -1036,8 +1112,11 @@ def _fallback_value(sub: ColState, original: Column) -> Column:
     :func:`_normalized_value`'s result for this child — so the per-field
     ``when(walk_err, fallback).otherwise(norm)`` branches agree on type
     and no implicit (hard-failing) cast is inserted."""
-    if sub.untyped is None or sub.vtype not in ("double", "boolean",
-                                                "string"):
+    if sub.untyped is None:
+        if _struct_coerced(sub):
+            return original.try_cast(sub.spark_type)
+        return original
+    if sub.vtype not in ("double", "boolean", "string"):
         return original
     return original.try_cast(_null_type(sub.vtype))
 
@@ -1052,10 +1131,7 @@ def _normalized_value(sub: ColState, original: Column) -> Column:
     completed = sub.ev
     if sub.untyped is None:
         out = sub.typed
-        orig_tag = (type_tag(sub.orig_spark_type)
-                    if sub.orig_spark_type is not None else None)
-        if orig_tag is not None and orig_tag != sub.vtype \
-                and not (sub.vtype == "struct" and orig_tag == "map"):
+        if _retagged(sub):
             # retagged Any chain (Set substituted a differently-typed
             # value): the output column can only hold the ORIGINAL type,
             # so the write-back rides a try_cast (typed-table deviation,
@@ -1063,6 +1139,14 @@ def _normalized_value(sub: ColState, original: Column) -> Column:
             # struct-over-map carve-out mirrors _init_state's type
             # equivalence — that pair is NOT a retag.
             out = sub.typed.cast("string").try_cast(sub.orig_spark_type)
+        elif _struct_coerced(sub):
+            # the child's keys walk rebuilt the struct with coerced
+            # field types: a bare otherwise(original) would make Spark
+            # insert an implicit HARD cast of the original struct
+            # (crashing at runtime on any non-conforming row — the same
+            # class the per-field fallback fixes one level down)
+            return F.when(completed, out).otherwise(
+                original.try_cast(sub.spark_type))
         return F.when(completed, out).otherwise(original)
     if sub.vtype not in ("double", "boolean", "string"):
         # array/object schemas have no coercion rules: a mismatched column
@@ -1355,6 +1439,18 @@ def compile_ruleset(df: DataFrame, schema: BaseSchema) -> CompiledRuleSet:
         schema = K.object(schema)
     if not isinstance(schema, ObjectSchema):
         raise TypeError("root schema must be K.object({...}) or a dict")
+    dotted = sorted({k for spec in schema.rules if spec.name == "keys"
+                     for k in spec.params["children"] if "." in k})
+    if dotted:
+        # the engine's paths, refs, and normalized-output keys are all
+        # dot-delimited: a literal-dot column name would silently lose
+        # its normalized output (the top-level filter below reads it as
+        # nested), fail root_col's F.col parse, and collide with a real
+        # nested path — refuse at compile time instead
+        raise ValueError(
+            f"column names containing '.' are not addressable by the "
+            f"dot-delimited rule paths: {dotted}; rename the column(s) "
+            f"(e.g. withColumnRenamed) before validating")
 
     cc = CompileCtx(df.schema, collect=True)
     # the root document is the row itself: a synthetic struct of all columns

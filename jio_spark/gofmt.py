@@ -132,6 +132,13 @@ def fmt_col(col: Column, vtype: str, spark_type=None) -> Column:
     ``<nil>`` (Go prints untyped nil that way).
     """
     if vtype == "double":
+        from pyspark.sql import types as T
+        if isinstance(spark_type, T.DecimalType):
+            # decimal→string preserves the column's full scale
+            # ('12.5000000000' for decimal(20,10)) where Go %v of the
+            # float64 the reference would hold prints '12.5' — model the
+            # float64 semantics the tag claims
+            col = col.cast("double")
         rendered = _go_double(col)
     elif vtype == "boolean":
         rendered = col.cast("string")  # 'true'/'false' like Go
