@@ -585,6 +585,7 @@ def q_uniqueness_clustered(spark, sf):
     sort + per-partition run scan + a ≤2-rows-per-partition boundary
     merge — no full-table shuffle of the key column. The oracle is the
     plain groupBy SQL: both must produce identical duplicate sets."""
+    _ensure_workers(spark)   # _adjacent_scan is mapInPandas: workers
     li = _t(spark, sf, "lineitem").repartitionByRange(16, "l_orderkey")
     # on_unclustered='error': an in-session range repartition is
     # pid-monotone by construction, so the free runtime exactness
@@ -1631,14 +1632,7 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
             FROM t GROUP BY 1 HAVING count(*) > 1""",
         "dedup_ngram_jaccard": f"""
-            WITH w AS (
-              SELECT doc_id, {_WS_WORDS} AS ws FROM documents),
-            sh AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                       generate_series(1, len(ws) - 1),
-                       i -> ws[i] || ' ' || ws[i + 1])) AS s
-              FROM w WHERE len(ws) >= 2)
+            WITH {_SHINGLES_2}
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(len(list_intersect(a.s, b.s))::DOUBLE /
                          (len(a.s) + len(b.s)

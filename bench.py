@@ -34,9 +34,24 @@ N_CLIPS = int(os.environ.get("JIO_BENCH_CLIPS", "100000"))
 # cache keys carry the partition counts (not just N): the layout is part
 # of what the bench measures (CPUS*2 write partitions, CPUS*4 range
 # files), so a run at a different SPARK_GRAFT_CPUS must not silently
-# reuse a stale physical layout behind the _SUCCESS marker
+# reuse a stale physical layout behind the _SUCCESS marker — and the
+# generator source hash, so an edit to audio/synth.py (duplicate rate,
+# SNR distribution, ...) regenerates instead of benchmarking last
+# round's corpus
 CLIPS_PARTS = max(CPUS * 2, 16)
-CLIPS_CACHE = f"/tmp/jio_spark_bench/clips_{N_CLIPS}_p{CLIPS_PARTS}"
+
+
+def _synth_version() -> str:
+    import hashlib
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "jio_spark", "audio", "synth.py")
+    with open(src, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:8]
+
+
+SYNTH_VER = _synth_version()
+CLIPS_CACHE = (f"/tmp/jio_spark_bench/"
+               f"clips_{N_CLIPS}_p{CLIPS_PARTS}_v{SYNTH_VER}")
 
 BENCH_QUERIES = [
     "rule_number_range", "rule_when_cross_field", "violations_shape",
@@ -63,7 +78,8 @@ def build_spark() -> SparkSession:
 
 
 CLIPS_CLUSTERED = (
-    f"/tmp/jio_spark_bench/clips_clustered_{N_CLIPS}_r{CPUS * 4}")
+    f"/tmp/jio_spark_bench/"
+    f"clips_clustered_{N_CLIPS}_r{CPUS * 4}_v{SYNTH_VER}")
 
 
 def ensure_clips(spark: SparkSession):

@@ -84,6 +84,19 @@ def _fn_token(fn) -> str:
     inst = getattr(fn, "__self__", None)
     if inst is None and code is None:
         inst = fn
+        # the instance's BEHAVIOR lives in type(fn).__call__ — without
+        # its bytecode in the token, editing the __call__ body between
+        # runs would false-ACCEPT on resume (the one failure direction
+        # this fingerprint must never take)
+        call_code = getattr(getattr(type(fn), "__call__", None),
+                            "__code__", None)
+        if call_code is not None:
+            import marshal
+            try:
+                parts.append(hashlib.sha256(
+                    marshal.dumps(call_code)).hexdigest()[:16])
+            except ValueError:
+                pass
     state = getattr(inst, "__dict__", None) if inst is not None else None
     if state:
         parts.append("self=" + _encode_str(
@@ -185,10 +198,11 @@ def exemplar_cap(viols: DataFrame, k: int,
     tie on (clip_id, message) while differing in ``actual`` — without
     the extension row_number would pick arbitrarily at the cap
     boundary, and a crash-resume rewrite could emit different
-    exemplars than the first attempt). The global top-k under that
-    order is invariant to the salt split (a global top-k row is top-k
-    within any subset containing it); rows still tying on the full key
-    are byte-identical, which are interchangeable."""
+    exemplars than the first attempt); complex-typed columns join the
+    key as their canonical JSON. The global top-k under that order is
+    invariant to the salt split (a global top-k row is top-k within
+    any subset containing it); rows still tying on the full key are
+    byte-identical, which are interchangeable."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -216,12 +230,21 @@ def exemplar_cap(viols: DataFrame, k: int,
     keys = [partition_col, "rule_path", "rule_name"]
     order = [*id_cols, "message"]
     # deterministic tie-break: every remaining atomic column joins the
-    # order key (complex-typed columns aren't orderable and are left
-    # out; rows tying on all atomic columns are interchangeable)
-    order += sorted(
-        f.name for f in viols.schema.fields
-        if f.name not in set(order) | set(keys)
-        and isinstance(f.dataType, T.AtomicType))
+    # order key; complex-typed columns (not directly orderable in a
+    # window ORDER BY across all types) join via their canonical JSON
+    # — without them, atomic-tied rows differing only in an
+    # array/struct payload would be picked arbitrarily, and a
+    # crash-resume rewrite could persist a different exemplar at the
+    # cap boundary
+    rest = [f for f in viols.schema.fields
+            if f.name not in set(order) | set(keys)]
+    order += sorted(f.name for f in rest
+                    if isinstance(f.dataType, T.AtomicType))
+    order += [F.to_json(F.struct(F.col(f.name)))
+              for f in sorted((f for f in rest
+                               if not isinstance(f.dataType,
+                                                 T.AtomicType)),
+                              key=lambda f: f.name)]
     # phase 1: per-(keys, salt) local top-k + exact subcount. Every
     # nonempty subgroup keeps its rank-1 row (k >= 1), so the rank-1
     # rows carry a complete partition of the group's count.

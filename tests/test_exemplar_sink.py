@@ -273,3 +273,25 @@ def test_bad_sink_mode_fails_loudly(spark, clips_path):
                               audio_check=False, drift=False))
     with pytest.raises(ValueError, match="violations_exemplars"):
         job.run(df)
+
+
+def test_exemplar_cap_tie_break_covers_complex_columns(spark):
+    """Library-surface violations frames can carry complex columns (an
+    array payload next to the id/message columns). Rows tying on every
+    ATOMIC column but differing in the array must still be picked
+    deterministically — the complex columns join the order key as
+    their canonical JSON, so the kept exemplar is the JSON-minimum,
+    the same row every run, any salt, any partitioning."""
+    complex_cols = ["clip_id", "rule_path", "rule_name", "expected",
+                    "actual", "message", "bucket_id", "payload"]
+    rows = [("c0", "a", "min", "x", "y", "m", 0, [9, 9]),
+            ("c0", "a", "min", "x", "y", "m", 0, [1, 2]),
+            ("c0", "a", "min", "x", "y", "m", 0, [5])]
+    want = ("c0", "a", "min", "x", "y", "m", 0, [1, 2], 1, 3)
+    for s in (1, 7):
+        for parts in (1, 3):
+            df = spark.createDataFrame(rows, complex_cols) \
+                      .repartition(parts)
+            got = exemplar_cap(df, 1, salt=s).collect()
+            assert [(*r[:8],) + (r[8], r[9]) for r in got] == [want], \
+                (s, parts)

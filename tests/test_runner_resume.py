@@ -1086,3 +1086,40 @@ def test_partition_type_guard_refuses_unmatchable_wanted_set(spark):
     with pytest.raises(ValueError, match="zero rows"):
         # fractional decimal columns are not isin-safe for an int set
         check_partition_value_types([1], T.DecimalType(10, 2))
+
+
+def test_fingerprint_sees_callable_instance_call_body():
+    """A bare callable instance (defines __call__, no __code__ of its
+    own) must fingerprint its __call__ BYTECODE, not just the instance
+    __dict__: editing the rule body between a crash and a resume with
+    unchanged state used to false-ACCEPT — the one failure direction
+    the fingerprint guard must never take."""
+    from jio_spark.dsl import K
+    from jio_spark.sinks.writers import ruleset_fingerprint
+
+    def mk(op):
+        class Chk:
+            def __init__(self, limit):
+                self.limit = limit
+            if op == "gt":
+                def __call__(self, col):
+                    return col > self.limit
+            else:
+                def __call__(self, col):
+                    return col >= self.limit + 1000
+        return K.object({"q": K.number().check(Chk(5))})
+
+    # same state, different __call__ body -> different fingerprint
+    assert ruleset_fingerprint(mk("gt")) != ruleset_fingerprint(mk("ge"))
+    # byte-identical body and state, two construction sites -> equal
+    assert ruleset_fingerprint(mk("gt")) == ruleset_fingerprint(mk("gt"))
+    # state still matters alongside the bytecode
+    def mk_state(limit):
+        class Chk:
+            def __init__(self, limit):
+                self.limit = limit
+            def __call__(self, col):
+                return col > self.limit
+        return K.object({"q": K.number().check(Chk(limit))})
+    assert ruleset_fingerprint(mk_state(5)) != \
+        ruleset_fingerprint(mk_state(6))

@@ -71,14 +71,20 @@ def main():
     n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    # bench.py keys the cache by partition count too (clips_{n}_p{parts});
-    # accept any complete layout for this N — the scaling pair reads ONE
-    # table at both levels, so which layout was cached doesn't matter
+    # bench.py keys the cache by partition count and synth-source hash
+    # (clips_{n}_p{parts}_v{hash}); accept any complete layout for this
+    # N — the scaling pair reads ONE table at both levels, so which
+    # layout was cached doesn't matter — but prefer the most recently
+    # generated so a corpus from an edited generator wins over a stale
+    # sibling version
     import glob
-    candidates = [f"/tmp/jio_spark_bench/clips_{n_clips}"] + sorted(
-        glob.glob(f"/tmp/jio_spark_bench/clips_{n_clips}_p*"))
-    cache = next((c for c in candidates
-                  if os.path.exists(os.path.join(c, "_SUCCESS"))), None)
+    candidates = [
+        c for c in [f"/tmp/jio_spark_bench/clips_{n_clips}"]
+        + glob.glob(f"/tmp/jio_spark_bench/clips_{n_clips}_p*")
+        if os.path.exists(os.path.join(c, "_SUCCESS"))]
+    cache = max(candidates, default=None,
+                key=lambda c: os.path.getmtime(
+                    os.path.join(c, "_SUCCESS")))
     assert cache is not None, \
         (f"no /tmp/jio_spark_bench/clips_{n_clips}[_p*] with _SUCCESS — "
          f"generate first (JIO_BENCH_CLIPS={n_clips} python bench.py)")
