@@ -1614,11 +1614,11 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_fp": f"""
             WITH t AS (SELECT doc_id, text, {lang_cols} FROM documents)
             SELECT doc_id, {lang_case} AS lang_pred,
-                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                      AS fp
             FROM t""",
         "dedup_exact": """
-            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                      AS fp,
                    count(*)::BIGINT AS n_docs
             FROM documents WHERE text IS NOT NULL
@@ -1656,8 +1656,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             f AS (
               SELECT doc_id, lang, text, n_words,
-                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
-                         'g')) AS fp
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                         'g'))) AS fp
               FROM q
               WHERE (CASE WHEN n_chars < 20 THEN 0.0 ELSE 1.0 END
                      * CASE WHEN n_punct / greatest(n_chars, 1)::DOUBLE

@@ -70,7 +70,20 @@ class ValidationResult:
     def annotated(self) -> DataFrame:
         """Input + `_pass` (bool), `_violations` (array, walk order — the
         first element is what jio's single ``ctx.Err`` would carry), and
-        `_first_violation`."""
+        `_first_violation`.
+
+        Refuses loudly when the input already carries one of the three
+        output names (e.g. a prior run's annotated frame fed back in):
+        ``withColumn`` would silently REPLACE the user's column with this
+        run's verdicts — same reserved-name contract as
+        ``sinks.writers.exemplar_cap``."""
+        clash = [c for c in ("_pass", "_violations", "_first_violation")
+                 if c in self.df.columns]
+        if clash:
+            raise ValueError(
+                f"input already has annotation column(s) {clash}: rename "
+                "or drop them before validate(...).annotated (they would "
+                "be silently overwritten)")
         out = (self._prepared
                .withColumn("_violations", self.compiled.violations_array)
                .withColumn("_pass", self.compiled.row_pass)

@@ -134,8 +134,15 @@ def language_id(col: Column) -> Column:
 def doc_fingerprint(col: Column) -> Column:
     """Content fingerprint: md5 of case/whitespace-normalized text.
     (md5 exists in both Spark and DuckDB, making the oracle exact; the
-    scale path would swap in xxhash64 for speed.)"""
-    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+    scale path would swap in xxhash64 for speed.)
+
+    Trim AFTER the \\s+ collapse, not before: ``F.trim`` strips only
+    ASCII spaces, so trim-first left leading/trailing tabs/newlines
+    alive as a leading/trailing space after the collapse — documents
+    differing only by a trailing newline got distinct fingerprints and
+    dedup_exact never pooled them. Post-collapse the edges are at most
+    one ASCII space, which trim removes exactly."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
 
 
 def rolling_fingerprints(col: Column, n: int = 5) -> Column:

@@ -162,6 +162,40 @@ def ruleset_fingerprint(schema) -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
+def exemplar_order_key(viols: DataFrame,
+                       id_cols: Sequence[str] = ("clip_id",),
+                       partition_col: str = "bucket_id") -> list:
+    """The exemplar-cap's deterministic order key for a violations
+    frame: (*id_cols, message) extended by every remaining atomic
+    column (name-sorted), then complex-typed columns via their
+    canonical JSON — without the extension, rows tying on
+    (id, message) but differing in ``actual``/``expected`` would be
+    picked arbitrarily at the cap boundary, and a crash-resume rewrite
+    could persist different exemplars. Complex types join as
+    ``to_json`` because a window ORDER BY can't sort all of them
+    directly.
+
+    ONE derivation, shared by :func:`exemplar_cap` (both its salt hash
+    and both window orderings) and tools/exemplar_skew_bench.py (the
+    max-subgroup-rows bound it records) — the bench measures the
+    guard's ACTUAL phase-1 groups, not an approximation that drifts
+    when this key changes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    keys = [partition_col, "rule_path", "rule_name"]
+    order: list = [*id_cols, "message"]
+    rest = [f for f in viols.schema.fields
+            if f.name not in set(order) | set(keys)]
+    order += sorted(f.name for f in rest
+                    if isinstance(f.dataType, T.AtomicType))
+    order += [F.to_json(F.struct(F.col(f.name)))
+              for f in sorted((f for f in rest
+                               if not isinstance(f.dataType,
+                                                 T.AtomicType)),
+                              key=lambda f: f.name)]
+    return order
+
+
 def exemplar_cap(viols: DataFrame, k: int,
                  partition_col: str = "bucket_id",
                  id_cols: Sequence[str] = ("clip_id",),
@@ -205,7 +239,6 @@ def exemplar_cap(viols: DataFrame, k: int,
     byte-identical, which are interchangeable."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
     if k < 1:
         raise ValueError(f"exemplar cap must be >= 1, got {k}")
     if salt < 1:
@@ -228,23 +261,7 @@ def exemplar_cap(viols: DataFrame, k: int,
         raise KeyError(f"exemplar_cap: frame already has reserved "
                        f"column(s) {clash}; drop or rename them first")
     keys = [partition_col, "rule_path", "rule_name"]
-    order = [*id_cols, "message"]
-    # deterministic tie-break: every remaining atomic column joins the
-    # order key; complex-typed columns (not directly orderable in a
-    # window ORDER BY across all types) join via their canonical JSON
-    # — without them, atomic-tied rows differing only in an
-    # array/struct payload would be picked arbitrarily, and a
-    # crash-resume rewrite could persist a different exemplar at the
-    # cap boundary
-    rest = [f for f in viols.schema.fields
-            if f.name not in set(order) | set(keys)]
-    order += sorted(f.name for f in rest
-                    if isinstance(f.dataType, T.AtomicType))
-    order += [F.to_json(F.struct(F.col(f.name)))
-              for f in sorted((f for f in rest
-                               if not isinstance(f.dataType,
-                                                 T.AtomicType)),
-                              key=lambda f: f.name)]
+    order = exemplar_order_key(viols, id_cols, partition_col)
     # phase 1: per-(keys, salt) local top-k + exact subcount. Every
     # nonempty subgroup keeps its rank-1 row (k >= 1), so the rank-1
     # rows carry a complete partition of the group's count.

@@ -300,3 +300,23 @@ def test_when_ref_unresolvable_is_noop(spark):
     gotm = {r["id"]: r["v"] for r in resm.normalized.collect()}
     # absent key (1) → no-op; present-nil (2) and present (3) → then runs
     assert gotm == {1: "keep", 2: "GATED", 3: "GATED"}
+
+
+def test_annotated_refuses_reserved_column_clash(spark):
+    """Feeding a prior run's annotated frame (or any input carrying
+    _pass/_violations/_first_violation) back into validate(...).annotated
+    must refuse loudly: withColumn would silently REPLACE the user's
+    column with this run's verdicts. Same reserved-name contract as
+    sinks.writers.exemplar_cap. The other faces (violations, normalized,
+    verdicts) don't add these columns and still work."""
+    df = spark.createDataFrame([(1, 5)], "id int, q int")
+    first = validate(df, {"q": K.number().min(1)}, id_cols=["id"])
+    ann = first.annotated            # ok: no clash on the raw input
+    assert ann.collect()[0]["_pass"]
+
+    again = validate(ann, {"q": K.number().min(99)}, id_cols=["id"])
+    with pytest.raises(ValueError, match="_pass"):
+        _ = again.annotated
+    # non-clobbering faces still usable on the same input
+    assert again.violations.count() == 1
+    assert again.normalized.columns == ann.columns

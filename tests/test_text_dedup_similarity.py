@@ -598,3 +598,25 @@ def test_multimodal_null_id_stays_null_and_empty_payload_no_frames(spark):
     assert None in ids and "i2" in ids
     assert "i3" not in ids and "None" not in ids
     assert all(len(r["frame"]) > 0 for r in frames)
+
+
+def test_fingerprint_edge_tabs_newlines_normalize(spark):
+    """doc_fingerprint must give ONE fingerprint for content identical up
+    to edge whitespace: F.trim strips only ASCII spaces, so the original
+    trim-BEFORE-collapse order left '\\thello world' and 'hello world\\n'
+    with a leading/trailing space after the \\s+ collapse — three
+    fingerprints for one document, and dedup_exact never pooled them.
+    Trim-after-collapse (both engine and oracle) closes it."""
+    import hashlib
+    rows = [(1, "hello world"), (2, "\thello world"), (3, "hello world\n"),
+            (4, "  Hello\t\nWORLD  "), (5, "different")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["fp"] for r in
+           df.select("doc_id",
+                     doc_fingerprint(F.col("text")).alias("fp")).collect()}
+    want = hashlib.md5(b"hello world").hexdigest()
+    assert got[1] == got[2] == got[3] == got[4] == want
+    assert got[5] != want
+    # and the exact-dup operator now pools the edge-whitespace variants
+    groups = exact_duplicates(df).collect()
+    assert len(groups) == 1 and groups[0]["doc_ids"] == [1, 2, 3, 4]

@@ -38,6 +38,14 @@ def frame_key(rows, cols):
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    qs, oracles = E.queries(), E.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name in the only-filter must not skip every query and
+        # still print the green line — a gate that verified nothing
+        # (checked before the Spark session: fail in milliseconds)
+        raise SystemExit(f"unknown query name(s) {sorted(unknown)}; "
+                         f"known: {sorted(qs)}")
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.ui.enabled", "false").getOrCreate())
@@ -46,7 +54,6 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
-    qs, oracles = E.queries(), E.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -46,19 +46,40 @@ spark.stop()
 
 
 def _proc_rss_kb() -> int:
-    """Total RSS (kB) of this process tree's java + python members —
-    driver, JVM, pyspark.daemon workers. /proc walk; best-effort."""
-    total = 0
-    me = str(os.getpid())
+    """Total RSS (kB) of THIS process tree — driver python, its JVM
+    child, the JVM's pyspark.daemon workers. Membership is by PPID
+    ancestry (a /proc walk), NOT by cmdline substring: on this shared
+    bench host a foreign JVM or a concurrently running pyspark session
+    would otherwise be summed into the recorded peak with no indication
+    in the output. Best-effort (processes may exit mid-walk)."""
+    ppid = {}
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
             continue
         try:
-            with open(f"/proc/{pid}/cmdline", "rb") as f:
-                cmd = f.read().decode("utf-8", "replace")
-            if ("java" not in cmd and "pyspark" not in cmd
-                    and pid != me):
-                continue
+            with open(f"/proc/{pid}/stat") as f:
+                # "pid (comm) state ppid ..." — comm may itself contain
+                # spaces/parens, so split on the LAST ')'
+                rest = f.read().rsplit(")", 1)[1].split()
+            ppid[int(pid)] = int(rest[1])
+        except (OSError, IndexError, ValueError):
+            continue
+    me = os.getpid()
+
+    def in_tree(p: int) -> bool:
+        seen = set()
+        while p > 0 and p not in seen:
+            if p == me:
+                return True
+            seen.add(p)
+            p = ppid.get(p, 0)
+        return False
+
+    total = 0
+    for pid in ppid:
+        if not in_tree(pid):
+            continue
+        try:
             with open(f"/proc/{pid}/status") as f:
                 for line in f:
                     if line.startswith("VmRSS:"):
@@ -80,6 +101,15 @@ class PeakSampler:
         while not self._stop.is_set():
             self.peak_kb = max(self.peak_kb, _proc_rss_kb())
             self._stop.wait(interval)
+
+    def take(self) -> int:
+        """Current peak (kB), then reset — gives each timed run ITS OWN
+        peak instead of the cumulative max since run 0 (which made
+        'did RSS grow across repeats?' unanswerable from the output).
+        Best-effort vs the 2 s sampling thread: a sample spanning the
+        reset instant lands in the next run's window, fine for a bench."""
+        p, self.peak_kb = self.peak_kb, 0
+        return p
 
     def __enter__(self):
         self._t.start()
@@ -133,19 +163,23 @@ def main():
         codec_dim=default_codec_dim(spark))
 
     runs = []
+    overall_peak_kb = 0
     with PeakSampler() as sampler:
         for i in range(repeats):
+            sampler.take()  # drop anything sampled between runs
             t0 = time.time()
             m = job.run(clips, table_root=cache)
             wall = time.time() - t0
             runs.append(wall)
+            run_peak_kb = sampler.take()
+            overall_peak_kb = max(overall_peak_kb, run_peak_kb)
             print(json.dumps({
                 "run": i, "wall_sec": round(wall, 1),
                 "clips_per_sec": round(n_clips / wall, 1),
                 "rows": m["rows"],
                 "violations": m["violations"],
                 "uniqueness_violations": m["uniqueness_violations"],
-                "peak_rss_gb": round(sampler.peak_kb / 1048576, 1),
+                "peak_rss_gb": round(run_peak_kb / 1048576, 1),
             }), flush=True)
 
     med = statistics.median(runs)
@@ -153,7 +187,7 @@ def main():
         "n_clips": n_clips, "cpus": cpus,
         "median_wall_sec": round(med, 1),
         "median_clips_per_sec": round(n_clips / med, 1),
-        "peak_rss_gb": round(sampler.peak_kb / 1048576, 1),
+        "peak_rss_gb": round(overall_peak_kb / 1048576, 1),
         "expected_linear_rule_viols_per_100k": 7475,
         "expected_linear_uniq_viols_per_100k": 95,
     }), flush=True)

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from jio_spark.sinks.writers import exemplar_cap
+from jio_spark.sinks.writers import exemplar_cap, exemplar_order_key
 
 
 def naive_cap(viols, k):
@@ -72,15 +72,23 @@ def main():
             ts[name].append(time.monotonic() - t0)
     salted_s, n1 = statistics.median(ts["salted"]), counts["salted"]
     naive_s, n2 = statistics.median(ts["naive"]), counts["naive"]
-    assert n1 == n2, (n1, n2)
+    if n1 != n2:
+        # explicit raise, not assert: the salted/naive exactness gate
+        # must survive `python -O` (bench.py convention)
+        raise AssertionError(f"salted/naive row counts diverge: {n1} vs {n2}")
     # equivalence on this input (order-insensitive full-row compare)
     same = (exemplar_cap(viols, 20).exceptAll(naive_cap(viols, 20)).count() == 0
             and naive_cap(viols, 20).exceptAll(exemplar_cap(viols, 20)).count() == 0)
 
-    # the guard's bound: max rows any phase-1 window group holds
+    # the guard's bound: max rows any phase-1 window group holds —
+    # salted by xxhash64 over the guard's ACTUAL order key (shared
+    # derivation, writers.exemplar_order_key: here it extends
+    # (clip_id, message) with the remaining atomics actual/expected),
+    # so this records the bound on the groups production code forms
     keys = ["bucket_id", "rule_path", "rule_name"]
+    order = exemplar_order_key(viols)
     hot = (viols.withColumn(
-        "_s", F.pmod(F.xxhash64("clip_id", "message"), F.lit(256)))
+        "_s", F.pmod(F.xxhash64(*order), F.lit(256)))
         .groupBy(*keys, "_s").count().agg(F.max("count")).first()[0])
     naive_hot = viols.groupBy(*keys).count().agg(F.max("count")).first()[0]
 

@@ -85,9 +85,11 @@ def main():
     cache = max(candidates, default=None,
                 key=lambda c: os.path.getmtime(
                     os.path.join(c, "_SUCCESS")))
-    assert cache is not None, \
-        (f"no /tmp/jio_spark_bench/clips_{n_clips}[_p*] with _SUCCESS — "
-         f"generate first (JIO_BENCH_CLIPS={n_clips} python bench.py)")
+    if cache is None:
+        # explicit raise, not assert: the no-data gate must survive -O
+        raise SystemExit(
+            f"no /tmp/jio_spark_bench/clips_{n_clips}[_p*] with _SUCCESS "
+            f"— generate first (JIO_BENCH_CLIPS={n_clips} python bench.py)")
     results = {}
     levels = (n_small, n_small * 4)
     for cpus in levels:

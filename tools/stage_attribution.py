@@ -126,9 +126,22 @@ def run_level(cpus, cache, repeats, stages, shuffle_parts=None,
 def main():
     n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    cache = f"/tmp/jio_spark_bench/clips_{n_clips}"
-    assert os.path.exists(os.path.join(cache, "_SUCCESS")), \
-        f"generate {cache} first (bench.py does)"
+    # bench.py keys its cache clips_{n}_p{parts}_v{hash} (partition count
+    # + synth-source hash); accept any complete layout for this N, newest
+    # first — same resolution as tools/scaling_bench.py. Explicit raise,
+    # not assert: the no-data gate must survive `python -O`.
+    import glob
+    candidates = [
+        c for c in [f"/tmp/jio_spark_bench/clips_{n_clips}"]
+        + glob.glob(f"/tmp/jio_spark_bench/clips_{n_clips}_p*")
+        if os.path.exists(os.path.join(c, "_SUCCESS"))]
+    cache = max(candidates, default=None,
+                key=lambda c: os.path.getmtime(
+                    os.path.join(c, "_SUCCESS")))
+    if cache is None:
+        raise SystemExit(
+            f"no /tmp/jio_spark_bench/clips_{n_clips}[_p*] with _SUCCESS "
+            f"— generate first (JIO_BENCH_CLIPS={n_clips} python bench.py)")
 
     stages = ["scan", "rules", "decode", "uniq", "drift", "full"]
     r8 = run_level(8, cache, repeats, stages)
