@@ -204,34 +204,58 @@ def decode_violations(results: DataFrame,
     must match the decode run's — it only shapes the violation's
     ``expected`` text, which must not claim '>= 30dB' when a 40 dB
     threshold is what actually failed the row."""
+    # per-check `actual` (the engine's Go-%v "actual is the value"
+    # contract, same as referential.py's fmt_col):
+    # * decode — the parser's error string IS the decode failure detail.
+    # * snr — the MEASURED snr_db when one exists (NaN = never measured:
+    #   the reference itself was unlocatable, e.g. unparseable clip_id —
+    #   then the error string carries why). A blanket
+    #   coalesce(error, static) here misattributed parse/clip_id errors
+    #   to every co-failing check and never surfaced the measured dB.
+    # * transcript — the error string when the reference was
+    #   unlocatable, else the static mismatch text (the transcript value
+    #   itself is not in the results frame — decode_check prunes it
+    #   before the Arrow exchange).
+    # * codec/sr/dur — static text: `error` is never about these (it is
+    #   set only on parse failure, which un-asserts them, or on
+    #   reference-lookup failure, which is snr/transcript's).
+    snr_actual = F.when(
+        ~F.isnan(F.col("snr_db")),
+        F.format_string("%.2fdB", F.col("snr_db")))
     checks = [
         ("decode_ok", "bytes", "decode", "decodable payload",
-         "payload failed to decode"),
+         "payload failed to decode",
+         F.coalesce(F.col("error"), F.lit("payload failed to decode"))),
         ("codec_match", "codec", "codec_consistency",
-         "container format == codec", "declared codec != container format"),
+         "container format == codec", "declared codec != container format",
+         F.lit("declared codec != container format")),
         ("sr_match", "sr_hz", "sr_consistency", "declared == decoded",
-         "declared sr_hz != decoded sample rate"),
+         "declared sr_hz != decoded sample rate",
+         F.lit("declared sr_hz != decoded sample rate")),
         ("dur_match", "dur_ms", "dur_consistency", "declared ~= decoded",
-         "declared dur_ms != decoded duration"),
+         "declared dur_ms != decoded duration",
+         F.lit("declared dur_ms != decoded duration")),
         ("snr_ok", "bytes", "snr",
          f">= {snr_threshold:g}dB vs reference",
-         "decoded PCM SNR below threshold vs reference"),
+         "decoded PCM SNR below threshold vs reference",
+         F.coalesce(snr_actual, F.col("error"),
+                    F.lit("decoded PCM SNR below threshold vs reference"))),
         ("transcript_match", "transcript", "transcript_equality",
-         "== reference transcript", "transcript != reference"),
+         "== reference transcript", "transcript != reference",
+         F.coalesce(F.col("error"), F.lit("transcript != reference"))),
     ]
     structs = [
         F.when(~F.col(flag), F.struct(
             F.lit(path).alias("rule_path"),
             F.lit(name).alias("rule_name"),
             F.lit(expected).alias("expected"),
-            F.coalesce(F.col("error"),
-                       F.lit(msg)).alias("actual"),
+            actual.alias("actual"),
             F.concat(F.lit(f"field `{path}` "), F.lit(msg),
                      F.lit(" (clip "),
                      F.coalesce(F.col("clip_id"), F.lit("<null>")),
                      F.lit(")"))
              .alias("message"))).otherwise(F.lit(None))
-        for flag, path, name, expected, msg in checks]
+        for flag, path, name, expected, msg, actual in checks]
     arr = F.array_compact(F.array(*structs))
     extra = list(extra_cols or [])
     return (results

@@ -41,10 +41,32 @@ _COLUMNS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _footer_meta(path: str, cache: Optional[dict]):
+    """(num_row_groups, num_rows) from one parquet footer, or the string
+    ``'unreadable'`` — never raises. ``cache`` (path → result) lets the
+    split listing and the row-integrity audit share ONE footer read per
+    file: without it, every surviving file's footer was read twice per
+    partition group in two sequential driver loops (on object storage,
+    each a remote round-trip)."""
+    if cache is not None and path in cache:
+        return cache[path]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    try:
+        md = pq.ParquetFile(path).metadata
+        res = (md.num_row_groups, md.num_rows)
+    except (OSError, ValueError, pa.ArrowException):
+        res = "unreadable"
+    if cache is not None:
+        cache[path] = res
+    return res
+
+
 def list_row_group_splits(root: str,
                           partition_filter: Optional[Sequence] = None,
                           partition_col: str = "bucket_id",
-                          on_corrupt: str = "fail"
+                          on_corrupt: str = "fail",
+                          footer_cache: Optional[dict] = None
                           ) -> List[Tuple[str, int, Optional[int]]]:
     """(path, row_group, partition_value) splits for a parquet table dir.
     Metadata-only: reads footers, not data. ``partition_filter`` prunes
@@ -66,19 +88,16 @@ def list_row_group_splits(root: str,
         # a typo ('violations') must not silently degrade to strict-fail
         raise ValueError("on_corrupt must be 'fail' or 'violation', "
                          f"got {on_corrupt!r}")
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     tagged, _ = _tagged_files(root, partition_filter, partition_col)
     out = []
     for path, pval in tagged:
-        try:
-            n_rg = pq.ParquetFile(path).metadata.num_row_groups
-        except (OSError, ValueError, pa.ArrowException):
+        meta = _footer_meta(path, footer_cache)
+        if meta == "unreadable":
             if on_corrupt != "violation":
-                raise
+                raise OSError(f"unreadable parquet footer: {path!r}")
             out.append((path, -1, pval))
             continue
-        out.extend((path, rg, pval) for rg in range(n_rg))
+        out.extend((path, rg, pval) for rg in range(meta[0]))
     return out
 
 
@@ -136,13 +155,29 @@ def _tagged_files(root: str, partition_filter: Optional[Sequence],
     wanted = set(partition_filter) \
         if partition_filter is not None and any_hive else None
     if wanted is not None:
-        tagged = [(p, pv) for p, pv in tagged if pv in wanted]
+        # match the PARSED dir value first, then the raw string form:
+        # a wanted-set built from the DataFrame column (the runner's
+        # distinct() fallback — e.g. a __HIVE_DEFAULT_PARTITION__ dir
+        # degraded the listing — with partition type inference disabled,
+        # so the column is string-typed) carries '10' while the dirs
+        # parse integral; parsed-only matching silently decoded zero
+        # files for every non-NULL partition while the runner marked the
+        # groups complete. The MATCHED form is carried as pval so the
+        # decode output's partition column equals the real column values.
+        out = []
+        for (p, pv), (_, raw) in zip(tagged, raw_tags):
+            if pv in wanted:
+                out.append((p, pv))
+            elif raw is not None and raw in wanted:
+                out.append((p, raw))
+        tagged = out
     return tagged, any_hive
 
 
 def footer_row_counts(root: str,
                       partition_filter: Optional[Sequence] = None,
-                      partition_col: str = "bucket_id"
+                      partition_col: str = "bucket_id",
+                      footer_cache: Optional[dict] = None
                       ) -> Tuple[int, int]:
     """(readable_rows, unreadable_files) from parquet footers —
     metadata-only, same directory pruning as ``list_row_group_splits``,
@@ -157,16 +192,20 @@ def footer_row_counts(root: str,
     listing and this read by concurrent compaction/retention — can't be
     counted; they are reported in the second element (never raised: this
     is the damage AUDIT, it must survive what it audits) so the caller
-    knows the expected total is a lower bound."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    knows the expected total is a lower bound.
+
+    ``footer_cache``: share the per-file footer reads with a preceding
+    ``list_row_group_splits`` call over the same listing (the runner
+    passes one dict per partition group) — one footer read per file
+    instead of two."""
     tagged, _ = _tagged_files(root, partition_filter, partition_col)
     total, unreadable = 0, 0
     for path, _pv in tagged:
-        try:
-            total += pq.ParquetFile(path).metadata.num_rows
-        except (OSError, ValueError, pa.ArrowException):
+        meta = _footer_meta(path, footer_cache)
+        if meta == "unreadable":
             unreadable += 1
+        else:
+            total += meta[1]
     return total, unreadable
 
 
@@ -248,7 +287,8 @@ def decode_check_files(spark: SparkSession, root: str,
                        tasks_per_cpu: int = 8,
                        partition_filter: Optional[Sequence] = None,
                        partition_col: str = "bucket_id",
-                       on_corrupt: str = "fail") -> DataFrame:
+                       on_corrupt: str = "fail",
+                       footer_cache: Optional[dict] = None) -> DataFrame:
     """Decode-and-check over a parquet clips table, payload-local.
 
     Splits are deterministically shuffled (hash order) before round-robin
@@ -265,7 +305,8 @@ def decode_check_files(spark: SparkSession, root: str,
     check, which turns that setting's silent row loss into an explicit
     metric. Default ``'fail'`` keeps strict semantics."""
     splits = list_row_group_splits(root, partition_filter, partition_col,
-                                   on_corrupt=on_corrupt)
+                                   on_corrupt=on_corrupt,
+                                   footer_cache=footer_cache)
     # crc32, NOT builtin hash(): str hashing is PYTHONHASHSEED-random
     # per driver process, which would scramble the split→task packing
     # across runs and break bench comparability ("deterministically

@@ -36,8 +36,13 @@ CLIPS_SCHEMA_CONTRACT: Dict[str, str] = {
 
 #: Spark SQL type-name aliases: the parser accepts either form, and
 #: ``simpleString()`` picks one ("bigint" for LongType) — a contract
-#: written with the other must still match. Top-level scalars only;
-#: nested types (array<...>, struct<...>) compare by simpleString.
+#: written with the other must still match. Fallback table for when no
+#: session is active; with one, ``_norm`` canonicalizes through Spark's
+#: own DDL parser, which also equates cosmetic whitespace and nested
+#: aliases ("decimal(10, 0)" ≡ "decimal(10,0)", "array<long>" ≡
+#: "array<bigint>") — string comparison alone false-flagged those as
+#: contract breaks and, in the default 'fail' mode, refused a table
+#: that satisfies the contract.
 _TYPE_ALIASES = {"integer": "int", "long": "bigint", "short": "smallint",
                  "byte": "tinyint", "bool": "boolean",
                  "character varying": "string"}
@@ -45,7 +50,16 @@ _TYPE_ALIASES = {"integer": "int", "long": "bigint", "short": "smallint",
 
 def _norm(t: str) -> str:
     t = t.strip().lower()
-    return _TYPE_ALIASES.get(t, t)
+    t = _TYPE_ALIASES.get(t, t)
+    try:
+        from pyspark.sql.types import _parse_datatype_string
+        return _parse_datatype_string(t).simpleString()
+    except Exception:
+        # no active session, or a type string Spark cannot parse: fall
+        # back to the alias-table form — an unparseable contract type
+        # then surfaces as a loud schema_type violation naming both
+        # sides, never a silent pass
+        return t
 
 
 def schema_contract_violations(df: DataFrame,

@@ -156,32 +156,42 @@ def column_stats_bounds(df: DataFrame,
       ``rsd_margin``·rsd·exact + 2 (HLL++ default rsd = 0.05; four
       standard deviations plus integer slack).
     * ``quantiles_ok`` — every ``percentile_approx`` output lies between
-      the exact interpolated percentiles at p ± (1/accuracy + 3/n): the
-      sketch guarantees rank error ≤ n/accuracy but returns an ACTUAL
-      data value, so its rank can additionally sit a couple of order
-      statistics away from the interpolated exact percentile — the 3-row
-      absolute slack absorbs that at any n. Non-numeric columns have no
-      sketch — vacuously true.
+      the exact interpolated percentiles at p ± (1/accuracy + 3/nn),
+      where ``nn`` is the column's NON-NULL count (both percentile
+      functions operate over non-null values only — slack derived from
+      the total row count understates the rank width of one order
+      statistic on a high-null column and false-flags a healthy sketch):
+      the sketch guarantees rank error ≤ nn/accuracy but returns an
+      ACTUAL data value, so its rank can additionally sit a couple of
+      order statistics away from the interpolated exact percentile — the
+      3-row absolute slack absorbs that at any nn. Non-numeric columns
+      have no sketch — vacuously true.
 
     The exact sides (count distinct, exact percentile) are full-shuffle /
     full-sort operations — affordable for a verification query, never the
-    10^12-row production path (that is :func:`column_stats`). Because the
-    booleans hold at ANY scale factor, the frame is fully oracle-checkable
-    as literal TRUE rows."""
+    10^12-row production path (that is :func:`column_stats`). The
+    non-null counts add one cheap first pass (this is already a
+    multi-aggregation verification query). Because the booleans hold at
+    ANY scale factor, the frame is fully oracle-checkable as literal
+    TRUE rows."""
     cols = list(columns) if columns is not None else df.columns
     rsd = 0.05
     qs = list(quantiles)
-    n_rows = df.count()
-    eps = 1.0 / accuracy + (3.0 / n_rows if n_rows else 0.0)
-    lo_ps = [max(0.0, p - eps) for p in qs]
-    hi_ps = [min(1.0, p + eps) for p in qs]
-    aggs: List[Column] = []
     numeric = {c: isinstance(df.schema[c].dataType, _NUMERIC) for c in cols}
+    nn_exprs = [F.count(F.col(c)).alias(c) for c in cols if numeric[c]]
+    # agg() requires ≥1 expr — a strings-only frame has no sketch to
+    # bound, so it needs no non-null counts either
+    nn = df.agg(*nn_exprs).collect()[0].asDict() if nn_exprs else {}
+    aggs: List[Column] = []
     for c in cols:
         col = F.col(c)
         aggs += [F.approx_count_distinct(col).alias(f"{c}__acd"),
                  F.count_distinct(col).alias(f"{c}__cd")]
         if numeric[c]:
+            nn_c = int(nn.get(c) or 0)
+            eps = 1.0 / accuracy + (3.0 / nn_c if nn_c else 0.0)
+            lo_ps = [max(0.0, p - eps) for p in qs]
+            hi_ps = [min(1.0, p + eps) for p in qs]
             d = col.cast("double")
             aggs += [
                 F.percentile_approx(d, qs, accuracy).alias(f"{c}__pa"),
@@ -219,11 +229,12 @@ def column_stats(df: DataFrame, columns: Optional[Sequence[str]] = None,
                  quantiles: Sequence[float] = DEFAULT_QUANTILES,
                  accuracy: int = 10000) -> DataFrame:
     """One row per column: (col_name, count, nulls, null_rate, distinct,
-    min, max, mean, quantiles, total_bytes, avg_bytes) — computed in a
-    single aggregation and reshaped driver-side (the agg result is one
-    tiny row). ``total_bytes``/``avg_bytes`` are the binary columns'
-    payload-size stats (null elsewhere) — binary columns have no
-    min/max/mean, and an aggregate the scan paid for must reach the
+    min, max, mean, quantiles, total_bytes, avg_bytes, min_len, max_len,
+    mean_len) — computed in a single aggregation and reshaped driver-side
+    (the agg result is one tiny row). ``total_bytes``/``avg_bytes`` are
+    the binary columns' payload-size stats, ``*_len`` the string columns'
+    character-length stats (null elsewhere) — binary/string columns have
+    no min/max/mean, and an aggregate the scan paid for must reach the
     output, not be silently dropped."""
     cols = list(columns) if columns is not None else df.columns
     row = df.agg(*stats_exprs(df, cols, quantiles, accuracy)).collect()[0]
@@ -246,9 +257,16 @@ def column_stats(df: DataFrame, columns: Optional[Sequence[str]] = None,
             else None,
             float(d[f"{c}__avg_bytes"])
             if d.get(f"{c}__avg_bytes") is not None else None,
+            int(d[f"{c}__min_len"]) if d.get(f"{c}__min_len") is not None
+            else None,
+            int(d[f"{c}__max_len"]) if d.get(f"{c}__max_len") is not None
+            else None,
+            float(d[f"{c}__mean_len"])
+            if d.get(f"{c}__mean_len") is not None else None,
         ))
     return df.sparkSession.createDataFrame(
         out,
         "col_name string, count long, nulls long, null_rate double, "
         "approx_distinct long, min double, max double, mean double, "
-        "quantiles array<double>, total_bytes long, avg_bytes double")
+        "quantiles array<double>, total_bytes long, avg_bytes double, "
+        "min_len long, max_len long, mean_len double")

@@ -309,7 +309,8 @@ class ClipsValidationJob:
 
     def group_violations(self, df: DataFrame, group=None,
                          table_root: Optional[str] = None,
-                         observation=None) -> DataFrame:
+                         observation=None,
+                         footer_cache: Optional[dict] = None) -> DataFrame:
         """All per-row violations for a slice of the table, in the standard
         shape + partition column.
 
@@ -378,7 +379,8 @@ class ClipsValidationJob:
                     snr_threshold=self.cfg.snr_threshold,
                     partition_filter=group,
                     partition_col=self.cfg.partition_col,
-                    on_corrupt=self.cfg.decode_on_corrupt)
+                    on_corrupt=self.cfg.decode_on_corrupt,
+                    footer_cache=footer_cache)
             else:
                 dec = decode_check(
                     df, check_reference=self.cfg.check_reference,
@@ -611,9 +613,13 @@ class ClipsValidationJob:
             if cfg.observe_stats:
                 from pyspark.sql import Observation
                 obs = Observation(f"stats_{_group_key(group)}")
+            # one footer read per file per group: the decode's split
+            # listing and the row-integrity audit below share it
+            fcache: Dict = {}
             viols = self.group_violations(gdf, group=group,
                                           table_root=table_root,
-                                          observation=obs)
+                                          observation=obs,
+                                          footer_cache=fcache)
             if sink:
                 out_v = viols
                 if cfg.violations_sink == "exemplars":
@@ -642,7 +648,8 @@ class ClipsValidationJob:
                 # holds is flagged, not trusted.
                 from .audio.files import footer_row_counts
                 exp, unreadable = footer_row_counts(
-                    table_root, group, cfg.partition_col)
+                    table_root, group, cfg.partition_col,
+                    footer_cache=fcache)
                 g_integrity = {
                     "rows_expected": exp,
                     "unreadable_files": unreadable,
@@ -701,6 +708,16 @@ class ClipsValidationJob:
             d_t0 = time.time()
             if not cfg.drift:
                 return [], time.time() - d_t0
+            drift_key = "_global_drift"
+            if manifest and resume and drift_key in manifest.completed():
+                # same contract as uniqueness: the step is skipped on
+                # resume (its snapshot/drift outputs already landed —
+                # marked LAST, below) but its RESULT rows must survive
+                # into this run's metrics. Without this record a resumed
+                # run repeated BOTH whole-table snapshot scans — the
+                # exact cost the checkpoint machinery exists to avoid.
+                rec = manifest.completed()[drift_key].get("metrics", {})
+                return list(rec.get("drift") or []), time.time() - d_t0
             snap = snapshot(df, DRIFT_SPECS)
             if sink:
                 # same single-committer rule as the group/uniqueness
@@ -709,6 +726,10 @@ class ClipsValidationJob:
                     snap.write.mode("overwrite").parquet(
                         sink.path("snapshot"))
             if self.baseline is None:
+                if manifest:
+                    # baseline-less runs still pay the snapshot scan —
+                    # record the (empty) result so resume skips it too
+                    manifest.mark(drift_key, [], {"drift": []})
                 return [], time.time() - d_t0
             dc = drift_check(snap, self.baseline,
                              ks_threshold=cfg.ks_threshold,
@@ -717,6 +738,8 @@ class ClipsValidationJob:
             if sink:
                 with sink_lock:
                     dc.write.mode("overwrite").parquet(sink.path("drift"))
+            if manifest:  # marked LAST, after the drift write → resume-safe
+                manifest.mark(drift_key, [], {"drift": rows})
             return rows, time.time() - d_t0
 
         if cfg.group_concurrency > 1:

@@ -284,6 +284,24 @@ def exemplar_cap(viols: DataFrame, k: int,
             .drop("_x_salt", "_x_lrank", "_x_lcnt"))
 
 
+def _json_default(v):
+    """Serializer for manifest/run.json values the stdlib encoder
+    rejects. Partition values parsed beyond ±2^63 are ``decimal.Decimal``
+    (sources/tables._parse_hive_int mirrors Spark's decimal(p,0)
+    inference); without this, ``json.dump`` raises ``TypeError`` AFTER
+    the group's scans and writes completed — the crash-after-work,
+    re-run-forever failure ``_fname``'s docstring exists to prevent.
+    Integral Decimals round-trip as ints (a resumed run's ``p not in
+    done`` set-membership matches: ``Decimal(n) == int(n)`` and they
+    hash equal); anything else raises as before — silently stringifying
+    an unexpected type would corrupt resume matching instead."""
+    from decimal import Decimal
+    if isinstance(v, Decimal) and v == v.to_integral_value():
+        return int(v)
+    raise TypeError(f"Object of type {type(v).__name__} "
+                    f"is not JSON serializable")
+
+
 @dataclass
 class Manifest:
     """Per-partition-group completion records."""
@@ -336,7 +354,7 @@ class Manifest:
         tmp = os.path.join(self.dir, f".{stem}.tmp")
         final = os.path.join(self.dir, f"{stem}.json")
         with open(tmp, "w") as f:
-            json.dump(rec, f)
+            json.dump(rec, f, default=_json_default)
         os.replace(tmp, final)  # atomic on POSIX
 
     def completed_partitions(self) -> set:
@@ -408,7 +426,7 @@ class RunSink:
         # JSON that bricks every later run into this root
         tmp = os.path.join(self.root, ".run.json.tmp")
         with open(tmp, "w") as f:
-            json.dump(meta, f, indent=2)
+            json.dump(meta, f, indent=2, default=_json_default)
         os.replace(tmp, os.path.join(self.root, "run.json"))
 
     def read_run_metadata(self) -> Optional[dict]:
