@@ -25,13 +25,12 @@ bytes and pin exact pixel statistics. Audio is NOT stubbed — see
 from __future__ import annotations
 
 import hashlib
-import zlib
-from typing import Iterator, List, Optional
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_META_SCHEMA = ("id string, n_bytes long, crc32 long, magic string, "
@@ -57,7 +56,7 @@ def media_metadata(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
     """Cheap payload metadata as pure Column expressions: size, crc32,
     magic-byte sniffing → media kind. No Python in the loop."""
     b = F.col(bytes_col)
-    kind = F.lit("unknown")
+    kind = F.lit("unknown")                 # real bytes, unrecognized format
     for magic, name in reversed(_MAGIC):
         hexpfx = magic.hex()
         kind = F.when(F.hex(F.substring(b, 1, len(magic)))
@@ -74,7 +73,10 @@ def media_metadata(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
         F.octet_length(b).alias("n_bytes"),
         F.crc32(b).alias("crc32"),
         F.hex(F.substring(b, 1, 4)).alias("magic"),
-        kind.alias("kind"))
+        # a NULL payload has no kind — 'unknown' would conflate missing
+        # payloads with real-but-unrecognized formats in any GROUP BY
+        # kind breakdown, and the sibling columns already stay NULL
+        F.when(b.isNotNull(), kind).alias("kind"))
 
 
 # -- real stdlib-only decoders ----------------------------------------------
@@ -139,7 +141,17 @@ def parse_ppm(payload: bytes) -> np.ndarray:
         raise ValueError("degenerate PPM maxval")
     if maxval > 255:
         raise NotImplementedError("16-bit PPM not supported")
-    pos += 1                                # single whitespace after maxval
+    # exactly ONE whitespace byte separates maxval from the raster (PPM
+    # spec) — but it must actually BE whitespace, and a text-mode writer
+    # turns it into CRLF; skipping one byte blindly would decode every
+    # pixel shifted by one, ok=true with corrupt data (every other
+    # malformation in this decoder raises)
+    sep = payload[pos:pos + 1]
+    if not sep.isspace():
+        raise ValueError("PPM header: maxval not followed by whitespace")
+    pos += 1
+    if sep == b"\r" and payload[pos:pos + 1] == b"\n":
+        pos += 1
     need = w * h * 3
     if len(payload) < pos + need:
         raise ValueError("truncated PPM pixel block")
@@ -301,6 +313,10 @@ def resize_stub(df: DataFrame, id_col: str, bytes_col: str,
     byte payload. Demonstrates binary-in/binary-out batch shape."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # the resample index arrays depend only on the fixed target
+        # dims — built once per task, not once per image
+        ys = np.arange(target_h) * 32 // target_h
+        xs = np.arange(target_w) * 32 // target_w
         for pdf in batches:
             ids, payloads = [], []
             for j in range(len(pdf)):
@@ -311,8 +327,6 @@ def resize_stub(df: DataFrame, id_col: str, bytes_col: str,
                     img = _decode_rgb(bytes(payload), 32, 32)
                 except NotImplementedError:
                     continue
-                ys = (np.arange(target_h) * 32 // target_h)
-                xs = (np.arange(target_w) * 32 // target_w)
                 resized = img[np.ix_(ys, xs)]
                 iv = pdf["id"].iloc[j]
                 ids.append(None if pd.isna(iv) else str(iv))

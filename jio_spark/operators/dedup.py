@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, ngrams_of_words, words
-from ..functions.vectors import dot, l2_norm
+from ..functions.vectors import dot
 
 
 # ---------------------------------------------------------------------------
@@ -42,7 +42,13 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     doc_ids). One row per duplicated group. NULL text is ABSENT content,
     not identical content — md5(NULL) is NULL and groupBy would pool
     every null-text doc into one phantom "duplicate" group, so those
-    rows are excluded."""
+    rows are excluded.
+
+    ``n_docs`` counts EVERY row in the group; ``doc_ids`` lists only the
+    non-null ids (``collect_list`` drops nulls — a NULL id has no name
+    to list). The difference ``n_docs - size(doc_ids)`` is therefore the
+    group's null-id member count, not a bug: reconciling group
+    membership must use ``n_docs``, never ``len(doc_ids)``."""
     return (df.select(F.col(id_col),
                       doc_fingerprint(F.col(text_col)).alias("fp"))
             .where(F.col("fp").isNotNull())

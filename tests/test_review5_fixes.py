@@ -262,3 +262,61 @@ def test_footer_cache_shares_one_read_per_file(spark, tmp_path,
     n_files = len({p for p, _, _ in splits})
     assert len(calls) == n_files                 # once per file, not twice
     assert len(set(calls)) == n_files
+
+
+# ----------------------------------------------------------------
+# second review sweep (synth/codecs/vectors/engine/multimodal/dedup)
+# ----------------------------------------------------------------
+
+def test_parse_ppm_crlf_separator_and_garbage_header():
+    """A P6 header whose maxval separator came out as CRLF (text-mode
+    writer) must decode the raster unshifted, and a non-whitespace byte
+    after maxval must raise — blind single-byte skipping decoded every
+    pixel shifted by one with ok=true."""
+    import numpy as np
+    from jio_spark.multimodal.binary import parse_ppm, synth_pixels
+
+    img = synth_pixels(3, 4, 5)
+    good = b"P6\n5 4\n255\n" + img.tobytes()
+    crlf = b"P6\n5 4\n255\r\n" + img.tobytes()
+    assert np.array_equal(parse_ppm(good), img)
+    assert np.array_equal(parse_ppm(crlf), img)
+    # lone \r separator (old-Mac text mode) still decodes unshifted
+    assert np.array_equal(parse_ppm(b"P6\n5 4\n255\r" + img.tobytes()),
+                          img)
+    # payload ending right after maxval: the "separator" is empty, not
+    # whitespace — must raise, not read a raster from nothing
+    with pytest.raises(ValueError, match="whitespace"):
+        parse_ppm(b"P6\n5 4\n255")
+    # garbage glued to maxval is absorbed into the int token and raises
+    # there — either way, never a silent shifted decode
+    with pytest.raises(ValueError):
+        parse_ppm(b"P6\n5 4\n255x" + img.tobytes())
+
+
+def test_media_metadata_null_payload_kind_is_null(spark):
+    """A NULL payload has no kind: 'unknown' conflated missing payloads
+    with real-but-unrecognized formats; the sibling columns already
+    stay NULL."""
+    from jio_spark.multimodal import media_metadata
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x01\x02junk")), (2, None)],
+        "id int, p binary")
+    rows = {r["id"]: r for r in media_metadata(df, "id", "p").collect()}
+    assert rows["1"]["kind"] == "unknown"       # real bytes, no known magic
+    assert rows["2"]["kind"] is None
+    assert rows["2"]["n_bytes"] is None and rows["2"]["crc32"] is None
+
+
+def test_exact_duplicates_null_id_invariant(spark):
+    """n_docs counts every row of the group; doc_ids lists only the
+    non-null ids — the documented reconciliation rule is n_docs, never
+    len(doc_ids)."""
+    from jio_spark.operators import exact_duplicates
+    df = spark.createDataFrame(
+        [("a", "same text"), ("b", "same text"), (None, "same text")],
+        "doc_id string, text string")
+    rows = exact_duplicates(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 3
+    assert rows[0]["doc_ids"] == ["a", "b"]
