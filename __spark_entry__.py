@@ -1108,10 +1108,16 @@ def _ann_lsh_oracle(k: int, dim: int, tables: int, bits: int) -> str:
     """Replays lsh_topk over the shared literal-hyperplane bands."""
     table_rows = _lsh_bands_sql(dim, tables, bits)
     return f"""
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                       FROM embeddings
-                       WHERE list_dot_product(embedding::DOUBLE[],
-                                              embedding::DOUBLE[]) > 0),
+            WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                        FROM embeddings
+                        -- NULL vectors must be dropped BEFORE any
+                        -- list_dot_product call: DuckDB 1.0 errors on a
+                        -- NULL list from a scan (the engine's _with_norm
+                        -- excludes them) — two-level so the null filter
+                        -- cannot be reordered after the dot product
+                        WHERE embedding IS NOT NULL),
+            e AS (SELECT vec_id, v FROM e0
+                  WHERE list_dot_product(v, v) > 0),
             b AS ({table_rows}),
             q AS (SELECT vec_id AS query_id, tbl, bkt FROM b
                   WHERE vec_id < 10),
@@ -1146,10 +1152,16 @@ def _embed_lsh_pairs_oracle(threshold: float, dim: int, tables: int,
     rounded-cosine threshold."""
     table_rows = _lsh_bands_sql(dim, tables, bits)
     return f"""
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                       FROM embeddings
-                       WHERE list_dot_product(embedding::DOUBLE[],
-                                              embedding::DOUBLE[]) > 0),
+            WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                        FROM embeddings
+                        -- NULL vectors must be dropped BEFORE any
+                        -- list_dot_product call: DuckDB 1.0 errors on a
+                        -- NULL list from a scan (the engine's _with_norm
+                        -- excludes them) — two-level so the null filter
+                        -- cannot be reordered after the dot product
+                        WHERE embedding IS NOT NULL),
+            e AS (SELECT vec_id, v FROM e0
+                  WHERE list_dot_product(v, v) > 0),
             b AS ({table_rows}),
             cand AS (SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
                      FROM b a JOIN b bb
@@ -1177,10 +1189,16 @@ def _ann_ivf_oracle(k: int, dim: int, n_centroids: int,
                 f"* sqrt(list_dot_product({ce}, {ce})))")
 
     return f"""
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                       FROM embeddings
-                       WHERE list_dot_product(embedding::DOUBLE[],
-                                              embedding::DOUBLE[]) > 0),
+            WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                        FROM embeddings
+                        -- NULL vectors must be dropped BEFORE any
+                        -- list_dot_product call: DuckDB 1.0 errors on a
+                        -- NULL list from a scan (the engine's _with_norm
+                        -- excludes them) — two-level so the null filter
+                        -- cannot be reordered after the dot product
+                        WHERE embedding IS NOT NULL),
+            e AS (SELECT vec_id, v FROM e0
+                  WHERE list_dot_product(v, v) > 0),
             seeds AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid,
                              v AS c
                       FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v
@@ -1317,7 +1335,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events""",
         "rule_nested_json": """
             SELECT event_id,
-                   (CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+                   -- NULL props: from_json yields a NULL struct and the
+                   -- un-required outer object SKIPS (any.go:57-64), so
+                   -- the row passes — distinct from non-null props with
+                   -- a missing/unparsable k, where the inner required
+                   -- fails
+                   (CASE WHEN props IS NULL THEN TRUE
+                         WHEN TRY_CAST(json_extract_string(props, '$.k')
                               AS INT) IS NULL THEN FALSE
                          ELSE TRY_CAST(json_extract_string(props, '$.k')
                               AS INT) BETWEEN 10 AND 90 END) AS props_pass
@@ -1353,36 +1377,58 @@ def oracle_sql() -> dict[str, str]:
                                       THEN 1 ELSE 0 END) AS v_round
             FROM t""",
         "rule_default": """
+            -- the default fires on ANY nil — the query's synthesized
+            -- event_id%7 nulls AND organically-NULL value rows alike
+            -- (any.go:67-74); keying on %7 alone diverges under NULL
+            -- injection (tests/test_oracle_null_injection.py)
             SELECT event_id,
-                   CASE WHEN event_id % 7 = 0 THEN 0.0
+                   CASE WHEN value IS NULL OR event_id % 7 = 0 THEN 0.0
                         ELSE value END AS va_norm,
-                   CASE WHEN event_id % 7 = 0 THEN NULL
+                   CASE WHEN value IS NULL OR event_id % 7 = 0 THEN NULL
                         ELSE value END AS vb_norm,
-                   (event_id % 7) <> 0 AS row_pass
+                   NOT (value IS NULL OR event_id % 7 = 0) AS row_pass
             FROM events""",
         "rule_array_items": f"""
             WITH t AS (SELECT doc_id, {_WS_WORDS} AS ws FROM documents)
             SELECT doc_id, len(ws)::BIGINT AS n_items,
-                   (len(ws) >= 3 AND
+                   -- NULL text → NULL ws → required() fails: engine
+                   -- emits FALSE, so guard against SQL NULL comparisons
+                   (ws IS NOT NULL AND len(ws) >= 3 AND
                     len(list_filter(ws, x -> strlen(x) > 5)) = 0)
                      AS arr_pass,
-                   len(ws) >= 3 AS check_pass,
+                   (ws IS NOT NULL AND len(ws) >= 3) AS check_pass,
                    FALSE AS text_is_array
             FROM t""",
         "rule_items_or": f"""
             WITH t AS (SELECT doc_id, text, {_WS_WORDS} AS ws
                        FROM documents)
             SELECT doc_id,
-                   len(list_filter(ws, x -> NOT (strlen(x) <= 4
-                       OR regexp_matches(x, '^s')))) = 0 AS items_pass,
+                   -- NULL text → NULL ws → required() fails → FALSE
+                   (ws IS NOT NULL AND
+                    len(list_filter(ws, x -> NOT (strlen(x) <= 4
+                        OR regexp_matches(x, '^s')))) = 0) AS items_pass,
                    substring(text, 1, 8) AS s8,
-                   regexp_matches(substring(text, 1, 8),
-                                  '^[a-zA-Z0-9]+$') AS alnum_pass,
-                   regexp_matches(substring(text, 1, 8),
-                                  '^\\w+$') AS token_pass
+                   (text IS NOT NULL AND
+                    regexp_matches(substring(text, 1, 8),
+                                   '^[a-zA-Z0-9]+$')) AS alnum_pass,
+                   -- `st` is the SECOND sibling: the walk aborts on sa's
+                   -- first error (required on NULL, else alphanum), so
+                   -- token is evaluated only when alphanum PASSED — and
+                   -- every alphanum match is a token match ([a-zA-Z0-9]
+                   -- ⊂ \\w), so the masked verdict collapses to
+                   -- alnum_pass (probed: 'hello_wo' ⇒ token_pass FALSE
+                   -- despite matching ^\\w+$; pinned in
+                   -- tests/test_oracle_null_injection.py)
+                   (text IS NOT NULL AND
+                    regexp_matches(substring(text, 1, 8),
+                                   '^[a-zA-Z0-9]+$')) AS token_pass
             FROM t""",
         "rule_with_without": """
-            SELECT event_id, (event_id % 3) <> 0 AS m_pass
+            -- NULL props → NULL map → the un-required object SKIPS
+            -- with_keys (any.go:57-64): pass, regardless of the % 3
+            -- key-drop synthesis (which only applies to parsed maps)
+            SELECT event_id,
+                   (props IS NULL OR (event_id % 3) <> 0) AS m_pass
             FROM events""",
         "drift_psi": """
             WITH b AS (
@@ -1427,13 +1473,29 @@ def oracle_sql() -> dict[str, str]:
                    {go_num.format(v='l_quantity')} ||
                    ' exceeded 30' AS message
             FROM lineitem
-            WHERE l_quantity IS NOT NULL AND l_quantity > 30""",
+            WHERE l_quantity IS NOT NULL AND l_quantity > 30
+            UNION ALL
+            -- NULL quantity fails required() FIRST (walk order), so the
+            -- single reported violation is the required one, with the
+            -- engine's Go-%v nil rendering in `actual`
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS rule_path,
+                   'required' AS rule_name,
+                   'required' AS expected,
+                   '<nil>' AS actual,
+                   'field `l_quantity` is required' AS message
+            FROM lineitem WHERE l_quantity IS NULL""",
         "rule_custom_transform": """
             SELECT c_custkey,
                    CASE WHEN strlen(c_mktsegment || '!') <= 10
                         THEN c_mktsegment || '!'
                         ELSE c_mktsegment END AS seg_norm,
-                   strlen(c_mktsegment || '!') <= 10 AS seg_pass
+                   -- required() fails a NULL segment: the engine emits
+                   -- FALSE, so the oracle must not let strlen(NULL||'!')
+                   -- bubble up as SQL NULL (the sibling
+                   -- rule_prepend_transform oracle has the same guard)
+                   (c_mktsegment IS NOT NULL
+                    AND strlen(c_mktsegment || '!') <= 10) AS seg_pass
             FROM customer""",
         "rule_prepend_transform": """
             SELECT c_custkey,
@@ -1478,19 +1540,45 @@ def oracle_sql() -> dict[str, str]:
                        AS qfail FROM lineitem)
             WHERE qfail OR l_returnflag NOT IN ('A', 'N')""",
         "rule_equal_set_integer": """
+            -- NULL walk semantics (probed against the engine, pinned in
+            -- tests/test_oracle_null_injection.py): a NULL field SKIPS
+            -- its chain WITHOUT error (auto-Optional, any.go:123-125),
+            -- so the sibling walk CONTINUES — only a non-null failing
+            -- value aborts it (object.go:160-162). Hence:
+            --   eq_pass: skipped (NULL) rows are not-evaluated → FALSE;
+            --   int_pass: evaluated unless a NON-NULL l_linestatus <> 'F'
+            --     aborted the walk first; its own NULL skips → FALSE;
+            --   tag_norm: Set('checked') is reached when neither earlier
+            --     sibling ERRORED (pass OR skip both continue).
             SELECT l_orderkey, l_linenumber,
-                   l_linestatus = 'F' AS eq_pass,
-                   (l_linestatus = 'F' AND
-                    (l_quantity / 2.0) = floor(l_quantity / 2.0))
-                     AS int_pass,
-                   CASE WHEN l_linestatus = 'F' AND
-                             (l_quantity / 2.0) = floor(l_quantity / 2.0)
-                        THEN 'checked' ELSE l_returnflag END AS tag_norm
+                   (l_linestatus IS NOT NULL AND l_linestatus = 'F')
+                     AS eq_pass,
+                   CASE WHEN l_linestatus IS NOT NULL
+                             AND l_linestatus <> 'F' THEN FALSE
+                        ELSE (l_quantity IS NOT NULL AND
+                              (l_quantity / 2.0) = floor(l_quantity / 2.0))
+                        END AS int_pass,
+                   CASE WHEN (l_linestatus IS NULL OR l_linestatus = 'F')
+                             AND (l_quantity IS NULL OR
+                                  (l_quantity / 2.0)
+                                  = floor(l_quantity / 2.0))
+                        -- a reached-but-NULL tag skips its whole chain
+                        -- (auto-Optional) so Set never runs: stays NULL
+                        THEN CASE WHEN l_returnflag IS NULL THEN NULL
+                                  ELSE 'checked' END
+                        ELSE l_returnflag END AS tag_norm
             FROM lineitem""",
         "rule_when_priority": """
             SELECT event_id, upper(event_type) AS etype_norm,
-                   CASE WHEN upper(event_type) = 'ERROR'
-                        THEN strlen(props) >= 10
+                   -- len_pass is the whole row's verdict: NULL
+                   -- event_type fails its required() (FALSE leg), and a
+                   -- NULL props under the ERROR condition SKIPS the
+                   -- then-schema's min (optional nil, any.go:57-64) —
+                   -- bare strlen(NULL) >= 10 would emit SQL NULL where
+                   -- the engine says TRUE
+                   CASE WHEN event_type IS NULL THEN FALSE
+                        WHEN upper(event_type) = 'ERROR'
+                        THEN (props IS NULL OR strlen(props) >= 10)
                         ELSE TRUE END AS len_pass
             FROM events""",
         "summary_counts": """
@@ -1673,10 +1761,10 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.md
             GROUP BY 1""",
         "embed_cosine_pairs": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] v
-                       FROM embeddings
-                       WHERE list_dot_product(embedding::DOUBLE[],
-                                              embedding::DOUBLE[]) > 0)
+            WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v
+                        FROM embeddings WHERE embedding IS NOT NULL),
+            e AS (SELECT vec_id, v FROM e0
+                  WHERE list_dot_product(v, v) > 0)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM e a, e b
             WHERE a.vec_id < b.vec_id
@@ -1684,10 +1772,10 @@ def oracle_sql() -> dict[str, str]:
                   (sqrt(list_dot_product(a.v, a.v))
                    * sqrt(list_dot_product(b.v, b.v))) >= 0.4""",
         "ann_bruteforce": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] v
-                       FROM embeddings
-                       WHERE list_dot_product(embedding::DOUBLE[],
-                                              embedding::DOUBLE[]) > 0),
+            WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v
+                        FROM embeddings WHERE embedding IS NOT NULL),
+            e AS (SELECT vec_id, v FROM e0
+                  WHERE list_dot_product(v, v) > 0),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e
                   WHERE vec_id < 10),
             scored AS (
