@@ -1322,29 +1322,54 @@ def oracle_sql() -> dict[str, str]:
                                OR o_totalprice <= 300000)
                          ELSE TRUE END) AS order_pass
             FROM orders""",
+        # replication contract (probed shape-by-shape, pinned in
+        # tests/test_oracle_content_injection.py): Spark get_json_object
+        # ≡ json_valid-guarded json_extract_string on every corpus
+        # shape (NULL for malformed JSON and non-object roots, raw text
+        # for scalars); Go ParseFloat ≡ TRY_CAST(DOUBLE) EXCEPT
+        # whitespace padding (SQL casts trim, Go errors — the trim
+        # guard) and Go NaN range semantics (NaN fails no bound —
+        # explicit isnan branch; DuckDB orders NaN above everything)
         "rule_parse_string": """
+            WITH t AS (SELECT event_id,
+                   CASE WHEN props IS NOT NULL AND json_valid(props)
+                        THEN json_extract_string(props, '$.k') END AS ks
+                   FROM events)
             SELECT event_id,
-                   TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
-                     AS k_val,
-                   CASE WHEN json_extract_string(props, '$.k') IS NULL
-                        THEN TRUE
-                        WHEN TRY_CAST(json_extract_string(props, '$.k')
-                             AS DOUBLE) IS NULL THEN FALSE
-                        ELSE TRY_CAST(json_extract_string(props, '$.k')
-                             AS DOUBLE) BETWEEN 0 AND 100 END AS k_pass
-            FROM events""",
+                   -- k_val replays the engine's WRITE-BACK, not the
+                   -- parse: a failed chain (Go-unparseable OR range
+                   -- fail) falls back to try_cast(original), the
+                   -- documented typed-table deviation — so ' 55 '
+                   -- lands as 55 even though k_pass is FALSE, exactly
+                   -- like '-3' lands as -3.0 with k_pass FALSE
+                   TRY_CAST(ks AS DOUBLE) AS k_val,
+                   CASE WHEN ks IS NULL THEN TRUE
+                        WHEN ks <> trim(ks, ' \t\n\r\f\v')
+                             OR TRY_CAST(ks AS DOUBLE) IS NULL THEN FALSE
+                        WHEN isnan(TRY_CAST(ks AS DOUBLE)) THEN TRUE
+                        ELSE TRY_CAST(ks AS DOUBLE) BETWEEN 0 AND 100
+                        END AS k_pass
+            FROM t""",
         "rule_nested_json": """
             SELECT event_id,
-                   -- NULL props: from_json yields a NULL struct and the
-                   -- un-required outer object SKIPS (any.go:57-64), so
-                   -- the row passes — distinct from non-null props with
-                   -- a missing/unparsable k, where the inner required
-                   -- fails
-                   (CASE WHEN props IS NULL THEN TRUE
-                         WHEN TRY_CAST(json_extract_string(props, '$.k')
-                              AS INT) IS NULL THEN FALSE
-                         ELSE TRY_CAST(json_extract_string(props, '$.k')
-                              AS INT) BETWEEN 10 AND 90 END) AS props_pass
+                   -- NULL/empty props: from_json yields a NULL struct
+                   -- and the un-required outer object SKIPS
+                   -- (any.go:57-64) → pass. Any other props parses to a
+                   -- NON-null struct (permissive mode, even 'not json'),
+                   -- so a missing/unparsable/non-integral k fails the
+                   -- inner required. from_json 'k int' accepts ONLY
+                   -- integral JSON tokens that fit int32 — never quoted
+                   -- strings, doubles, bools, or overflow (probed, see
+                   -- tests/test_oracle_content_injection.py); json_type
+                   -- gates to integer tokens and the 10..90 range
+                   -- subsumes the int32 bound
+                   (CASE WHEN props IS NULL OR props = '' THEN TRUE
+                         WHEN NOT json_valid(props) THEN FALSE
+                         WHEN json_type(json(props), '$.k')
+                              IN ('UBIGINT', 'BIGINT')
+                         THEN TRY_CAST(json_extract_string(props, '$.k')
+                              AS HUGEINT) BETWEEN 10 AND 90
+                         ELSE FALSE END) AS props_pass
             FROM events""",
         "rule_all_strings": """
             SELECT l_orderkey, l_linenumber,
@@ -1424,11 +1449,24 @@ def oracle_sql() -> dict[str, str]:
                                    '^[a-zA-Z0-9]+$')) AS token_pass
             FROM t""",
         "rule_with_without": """
-            -- NULL props → NULL map → the un-required object SKIPS
-            -- with_keys (any.go:57-64): pass, regardless of the % 3
-            -- key-drop synthesis (which only applies to parsed maps)
+            -- a NULL map — NULL/empty/malformed props or a non-object
+            -- JSON root, all of which from_json(map<string,string>)
+            -- maps to NULL — makes the un-required object SKIP
+            -- with_keys (any.go:57-64): pass. Only a parsed object is
+            -- subject to the % 3 key-drop synthesis and the key-
+            -- presence check ('k' present counts even when its value
+            -- is JSON null)
             SELECT event_id,
-                   (props IS NULL OR (event_id % 3) <> 0) AS m_pass
+                   (CASE WHEN props IS NULL OR props = '' THEN TRUE
+                         WHEN NOT json_valid(props) THEN TRUE
+                         -- IS DISTINCT FROM: a JSON null root makes
+                         -- json_type return SQL NULL, and it too is a
+                         -- NULL map (skip), not an object
+                         WHEN json_type(json(props))
+                              IS DISTINCT FROM 'OBJECT' THEN TRUE
+                         WHEN (event_id % 3) = 0 THEN FALSE
+                         ELSE json_type(json(props), '$.k') IS NOT NULL
+                         END) AS m_pass
             FROM events""",
         "drift_psi": """
             WITH b AS (
