@@ -1740,11 +1740,11 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_fp": f"""
             WITH t AS (SELECT doc_id, text, {lang_cols} FROM documents)
             SELECT doc_id, {lang_case} AS lang_pred,
-                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '))
                      AS fp
             FROM t""",
         "dedup_exact": """
-            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '))
                      AS fp,
                    count(*)::BIGINT AS n_docs
             FROM documents WHERE text IS NOT NULL
@@ -1752,7 +1752,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_prefix_groups": f"""
             WITH t AS (
               SELECT doc_id,
-                     md5(array_to_string(({_WS_WORDS})[1:5], ' ')) AS gk
+                     md5(coalesce(array_to_string(({_WS_WORDS})[1:5], ' '), '')) AS gk
               FROM documents)
             SELECT gk, count(*)::BIGINT AS n_docs,
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
@@ -1783,7 +1783,7 @@ def oracle_sql() -> dict[str, str]:
             f AS (
               SELECT doc_id, lang, text, n_words,
                      md5(trim(regexp_replace(lower(text), '\\s+', ' ',
-                         'g'))) AS fp
+                         'g'), ' ')) AS fp
               FROM q
               WHERE (CASE WHEN n_chars < 20 THEN 0.0 ELSE 1.0 END
                      * CASE WHEN n_punct / greatest(n_chars, 1)::DOUBLE

@@ -136,13 +136,24 @@ def doc_fingerprint(col: Column) -> Column:
     (md5 exists in both Spark and DuckDB, making the oracle exact; the
     scale path would swap in xxhash64 for speed.)
 
+    Case-folds with the repo's Go SIMPLE per-rune mapping (go_lower),
+    not ``F.lower``: the JDK's FULL mapping expands 'İ' to two code
+    points (i + U+0307), which no SQL replay engine reproduces —
+    simple mapping keeps the fingerprint contract one-rune-to-one-rune
+    and matches DuckDB's lower() on the pinned Unicode corpus
+    (tests/test_oracle_unicode_injection.py). Contextual full-mapping
+    corners (final sigma) are out of the replication contract.
+
     Trim AFTER the \\s+ collapse, not before: ``F.trim`` strips only
     ASCII spaces, so trim-first left leading/trailing tabs/newlines
     alive as a leading/trailing space after the collapse — documents
     differing only by a trailing newline got distinct fingerprints and
     dedup_exact never pooled them. Post-collapse the edges are at most
-    one ASCII space, which trim removes exactly."""
-    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+    one ASCII space, which trim removes exactly (the oracle must pass
+    trim an explicit ' ' charset: DuckDB's one-arg trim also strips
+    Unicode spaces such as NBSP, Spark's never does)."""
+    from ..functions.casing import go_lower
+    return F.md5(F.trim(F.regexp_replace(go_lower(col), r"\s+", " ")))
 
 
 def rolling_fingerprints(col: Column, n: int = 5) -> Column:
