@@ -1751,8 +1751,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 HAVING count(*) > 1""",
         "dedup_prefix_groups": f"""
             WITH t AS (
+              -- the coalesce repairs ONLY the empty-list corner (duck
+              -- array_to_string([]) is NULL, Spark array_join([]) is
+              -- '') — NULL text stays a NULL key, matching the
+              -- engine's NULL-key group, so the two NULL-ish shapes
+              -- (no text at all vs text with no words) stay distinct
               SELECT doc_id,
-                     md5(coalesce(array_to_string(({_WS_WORDS})[1:5], ' '), '')) AS gk
+                     CASE WHEN text IS NULL THEN NULL
+                          ELSE md5(coalesce(
+                                 array_to_string(({_WS_WORDS})[1:5], ' '),
+                                 '')) END AS gk
               FROM documents)
             SELECT gk, count(*)::BIGINT AS n_docs,
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc

@@ -78,6 +78,9 @@ QUERIES = [
     "dedup_minhash_lsh", "dedup_simhash", "stats_profile",
     "embed_cosine_pairs", "ann_bruteforce", "ann_lsh", "dedup_embed_lsh",
     "ann_ivf",
+    # streaming: the injected NULL values must surface as required-rule
+    # violations through the AvailableNow ledger, same as batch
+    "stream_validate",
 ]
 
 
