@@ -51,7 +51,13 @@ INJECTIONS = {
                  ("l_quantity", None, 7, 1),
                  ("l_returnflag", None, 9, 2),
                  ("l_discount", None, 11, 3),
-                 ("l_extendedprice", None, 13, 4)],
+                 ("l_extendedprice", None, 13, 4),
+                 # NULL id/uniqueness KEY: excluded from duplicate
+                 # groups in both layouts (NULL ≠ NULL), carried
+                 # verbatim through violation-frame id columns, and
+                 # survives the clustered repartitionByRange (Spark
+                 # sorts NULLs first)
+                 ("l_orderkey", None, 17, 5)],
 }
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
