@@ -528,7 +528,9 @@ def _eq_val(got, want):
 # soak CAUGHT the missing-struct-field KeyError in condition schemas
 # (fixed in compiler._h_keys, pinned in test_conformance_array_object),
 # and after the fix both a 150-example re-soak and a
-# 300-example mega-soak are green.
+# 300-example mega-soak are green. Session-8 (final round-4 compiler,
+# post oracle-injection session): 400-example soak green, 41 min,
+# 11 arms.
 _FUZZ_EXAMPLES = int(os.environ.get("JIO_FUZZ_EXAMPLES", "25"))
 
 
