@@ -4,14 +4,25 @@ has no audio at all; formats follow the public RIFF/WAVE and ITU-T G.711
 specifications.
 
 Supported WAVE format tags:
-* 1  — PCM signed 16-bit little-endian (``pcm_s16le``)
-* 6  — ITU-T G.711 A-law
-* 7  — ITU-T G.711 μ-law
+* 1    — PCM signed 16-bit little-endian (``pcm_s16le``)
+* 6    — ITU-T G.711 A-law
+* 7    — ITU-T G.711 μ-law
+* 0x11 — IMA/DVI ADPCM (``adpcm_ima``), mono 4-bit
 
 G.711 companding is implemented as vectorized numpy over int16 arrays
 (standard bias-133/segment encoding for μ-law, 13-bit segment encoding for
 A-law) — decode is exact table lookup, encode matches the canonical
 reference tables.
+
+IMA ADPCM follows the public IMA Digital Audio Pack algorithm (the step /
+index tables every implementation shares). Unlike G.711 it is STATEFUL —
+a per-sample (predictor, step-index) recurrence — so it cannot be a pure
+LUT gather. Blocks are independent, so both codecs run the recurrence
+once per sample position while staying vectorized ACROSS blocks; the
+batched entrypoint (:func:`adpcm_ima_decode_stacked`) stacks every block
+of every clip in an Arrow batch into one matrix so the Python-level loop
+cost (samples-per-block iterations) amortizes over the whole batch rather
+than being paid per clip.
 """
 
 from __future__ import annotations
@@ -104,13 +115,174 @@ def alaw_decode(a: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAVE format tag 0x11), mono
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+# The recurrence's per-step work is a pure function of (step index 0..88,
+# nibble 0..15), so precompute it as flat 89×16 gather tables: one fancy
+# index per step instead of re-deriving step>>k arithmetic per iteration.
+_NIB = np.arange(16, dtype=np.int32)
+_IMA_DIFF = ((_IMA_STEPS[:, None] >> 3)
+             + np.where(_NIB & 1, _IMA_STEPS[:, None] >> 2, 0)
+             + np.where(_NIB & 2, _IMA_STEPS[:, None] >> 1, 0)
+             + np.where(_NIB & 4, _IMA_STEPS[:, None], 0)).reshape(-1)
+_IMA_SIGN = np.where(_NIB & 8, np.int32(-1), np.int32(1))
+_IMA_NEXT = np.clip(np.arange(89, dtype=np.int32)[:, None]
+                    + _IMA_INDEX_ADJ[_NIB & 7], 0, 88).reshape(-1)
+
+
+def adpcm_ima_samples_per_block(block_align: int) -> int:
+    """Mono IMA WAVE block: 4-byte header (predictor int16, step index,
+    reserved) + 2 samples per payload byte + the header's own sample."""
+    return (block_align - 4) * 2 + 1
+
+
+def _adpcm_decode_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n_blocks, block_align) uint8 → (n_blocks, samples_per_block) int16.
+
+    The (predictor, index) recurrence is inherently sequential per sample,
+    so the loop runs samples_per_block-1 times — but every op inside is
+    vectorized across ALL rows, so cost amortizes with the number of
+    blocks (see adpcm_ima_decode_stacked for the batch-stacking caller)."""
+    nb, ba = blocks.shape
+    spb = adpcm_ima_samples_per_block(ba)
+    pred = (blocks[:, 0].astype(np.int32)
+            | (blocks[:, 1].astype(np.int32) << 8))
+    pred = (pred ^ 0x8000) - 0x8000            # sign-extend int16
+    index = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+    data = blocks[:, 4:]
+    out = np.empty((nb, spb), dtype=np.int16)
+    out[:, 0] = pred
+    for k in range(spb - 1):
+        byte = data[:, k >> 1]
+        nib = (byte & 0xF) if (k & 1) == 0 else (byte >> 4)
+        flat = index * 16 + nib
+        pred = np.clip(pred + _IMA_SIGN[nib] * _IMA_DIFF[flat],
+                       -32768, 32767)
+        index = _IMA_NEXT[flat]
+        out[:, k + 1] = pred
+    return out
+
+
+def adpcm_ima_decode_stacked(payloads, block_align: int):
+    """Decode MANY clips' payloads in one pass: every block of every clip
+    is stacked into a single (total_blocks, block_align) matrix so the
+    sequential-per-sample loop in :func:`_adpcm_decode_blocks` runs once
+    per BATCH, not once per clip. Returns one int16 array per payload
+    (full samples-per-block length; callers trim to the clip's true
+    sample count). This is what keeps ADPCM viable in the Arrow decode
+    UDF — per-clip decode pays ~500 numpy-dispatch round-trips on
+    ~30-element vectors, the stacked form pays the same 500 on
+    thousands-of-elements vectors."""
+    counts = [p.nbytes // block_align for p in payloads]
+    if not counts or sum(counts) == 0:
+        return [np.empty(0, dtype=np.int16) for _ in payloads]
+    blocks = np.concatenate(
+        [np.ascontiguousarray(p).reshape(-1) for p in payloads]
+    ).reshape(-1, block_align)
+    dec = _adpcm_decode_blocks(blocks)
+    out, off = [], 0
+    for c in counts:
+        out.append(dec[off:off + c].reshape(-1))
+        off += c
+    return out
+
+
+def adpcm_ima_encode(pcm: np.ndarray, block_align: int = 256) -> bytes:
+    """int16 PCM → IMA ADPCM payload (whole blocks; the tail block is
+    padded by repeating the final sample, trimmed on decode via the fact
+    chunk's sample count). Encoder-side predictor/index updates replay
+    the decoder tables exactly, so encode∘decode drift is just the
+    quantizer's — the property the SNR check measures.
+
+    Vectorized across blocks like the decoder: each block's initial
+    predictor is its first sample (stored verbatim in the header) and the
+    initial step index is chosen per block from the first delta."""
+    spb = adpcm_ima_samples_per_block(block_align)
+    n = len(pcm)
+    nb = max(1, -(-n // spb))
+    pad = nb * spb - n
+    if pad:
+        tail = pcm[-1] if n else np.int16(0)
+        pcm = np.concatenate([pcm, np.full(pad, tail, dtype=np.int16)])
+    s = pcm.astype(np.int32).reshape(nb, spb)
+    pred = s[:, 0].copy()
+    d0 = np.abs(s[:, 1] - pred) if spb > 1 else np.zeros(nb, dtype=np.int32)
+    index = np.clip(np.searchsorted(_IMA_STEPS, d0), 0, 88).astype(np.int32)
+    header = np.zeros((nb, 4), dtype=np.uint8)
+    header[:, 0] = pred & 0xFF
+    header[:, 1] = (pred >> 8) & 0xFF
+    header[:, 2] = index
+    nibbles = np.empty((nb, spb - 1), dtype=np.uint8)
+    for k in range(spb - 1):
+        step = _IMA_STEPS[index]
+        diff = s[:, k + 1] - pred
+        sign = diff < 0
+        ad = np.abs(diff)
+        b4 = ad >= step
+        ad = ad - np.where(b4, step, 0)
+        b2 = ad >= step >> 1
+        ad = ad - np.where(b2, step >> 1, 0)
+        b1 = ad >= step >> 2
+        nib = (np.where(sign, 8, 0) | np.where(b4, 4, 0)
+               | np.where(b2, 2, 0) | np.where(b1, 1, 0)).astype(np.int32)
+        flat = index * 16 + nib
+        pred = np.clip(pred + _IMA_SIGN[nib] * _IMA_DIFF[flat],
+                       -32768, 32767)
+        index = _IMA_NEXT[flat]
+        nibbles[:, k] = nib
+    packed = (nibbles[:, 0::2] | (nibbles[:, 1::2] << 4)).astype(np.uint8)
+    return np.concatenate([header, packed], axis=1).tobytes()
+
+
+class AdpcmCoded:
+    """Zero-copy view of an IMA ADPCM data chunk plus the block geometry
+    needed to decode it. ``len()`` is the DECODED sample count, keeping
+    parse_wav's one-len()-per-decoded-sample invariant that the dur/
+    n_samples checks rely on; ``nbytes`` is the raw payload size, keeping
+    the fuzz contract's no-amplification bound."""
+
+    __slots__ = ("payload", "block_align", "n_samples")
+
+    def __init__(self, payload: np.ndarray, block_align: int,
+                 n_samples: int):
+        self.payload = payload
+        self.block_align = block_align
+        self.n_samples = n_samples
+
+    def __len__(self) -> int:
+        return self.n_samples
+
+    @property
+    def nbytes(self) -> int:
+        return self.payload.nbytes
+
+    def decode(self) -> np.ndarray:
+        """Per-clip decode (tests / snr_db_vs_period fallback); the hot
+        Arrow path batches clips through adpcm_ima_decode_stacked."""
+        (pcm,) = adpcm_ima_decode_stacked([self.payload], self.block_align)
+        return pcm[:self.n_samples]
+
+
+# ---------------------------------------------------------------------------
 # RIFF/WAVE container
 
 _FMT_PCM16 = 1
 _FMT_ALAW = 6
 _FMT_ULAW = 7
+_FMT_ADPCM_IMA = 0x11
 
-_CODEC_FMT = {"pcm_s16le": _FMT_PCM16, "alaw": _FMT_ALAW, "ulaw": _FMT_ULAW}
+_CODEC_FMT = {"pcm_s16le": _FMT_PCM16, "alaw": _FMT_ALAW, "ulaw": _FMT_ULAW,
+              "adpcm_ima": _FMT_ADPCM_IMA}
 _FMT_CODEC = {v: k for k, v in _CODEC_FMT.items()}
 
 
@@ -139,11 +311,32 @@ def encode_alaw_wav(pcm: np.ndarray, sr: int) -> bytes:
     return _wav_bytes(alaw_encode(pcm).tobytes(), _FMT_ALAW, sr, 8)
 
 
-def parse_wav(raw: bytes) -> Tuple[np.ndarray, int, str]:
+def encode_adpcm_wav(pcm: np.ndarray, sr: int,
+                     block_align: int = 256) -> bytes:
+    """int16 samples → IMA ADPCM WAV (format tag 0x11). Compressed WAVE
+    needs the full WAVEFORMATEX fmt chunk (cbSize=2 + wSamplesPerBlock)
+    and a fact chunk carrying the true sample count — the payload is
+    whole blocks, so without the fact chunk a decoder cannot distinguish
+    real samples from the final block's padding."""
+    spb = adpcm_ima_samples_per_block(block_align)
+    payload = adpcm_ima_encode(pcm, block_align)
+    byte_rate = (sr * block_align + spb - 1) // spb
+    header = struct.pack(
+        "<4sI4s4sIHHIIHHHH4sII4sI",
+        b"RIFF", 52 + len(payload), b"WAVE",
+        b"fmt ", 20, _FMT_ADPCM_IMA, 1, sr, byte_rate, block_align, 4,
+        2, spb,
+        b"fact", 4, len(pcm),
+        b"data", len(payload))
+    return header + payload
+
+
+def parse_wav(raw: bytes) -> Tuple[object, int, str]:
     """WAV bytes → (coded samples as a ZERO-COPY view, sample rate, codec
     name) without decoding: int16 view for pcm_s16le, uint8 view of the
-    companded bytes for G.711. One sample per element either way, so
-    ``len()`` is the decoded sample count.
+    companded bytes for G.711, an :class:`AdpcmCoded` block view for IMA
+    ADPCM. ``len()`` is the decoded sample count in every case (for
+    ADPCM via the fact chunk, since blocks are padded).
 
     Raises ValueError on malformed/truncated input (drives the corrupt-
     payload violations in FIXTURES.md §1).
@@ -156,7 +349,7 @@ def parse_wav(raw: bytes) -> Tuple[np.ndarray, int, str]:
     from a fixed offset."""
     if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    fmt = channels = sr = bits = None
+    fmt = channels = sr = bits = block_align = fact_samples = None
     payload = None
     pos = 12
     while pos + 8 <= len(raw):
@@ -166,8 +359,13 @@ def parse_wav(raw: bytes) -> Tuple[np.ndarray, int, str]:
         if cid == b"fmt ":
             if clen < 16 or len(body) < 16:
                 raise ValueError("malformed fmt chunk")
-            (fmt, channels, sr, _, _, bits) = struct.unpack(
+            (fmt, channels, sr, _, block_align, bits) = struct.unpack(
                 "<HHIIHH", body[:16])
+        elif cid == b"fact" and clen >= 4 and len(body) >= 4:
+            # dwSampleLength — required for compressed formats; for the
+            # block-padded ADPCM payload it is the only record of where
+            # real samples end and final-block padding begins
+            (fact_samples,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             if fmt is None:
                 raise ValueError("data chunk before fmt chunk")
@@ -195,15 +393,35 @@ def parse_wav(raw: bytes) -> Tuple[np.ndarray, int, str]:
         if bits != 8:
             raise ValueError("malformed g711 payload")
         return np.frombuffer(payload, dtype=np.uint8), sr, _FMT_CODEC[fmt]
+    if fmt == _FMT_ADPCM_IMA:
+        # mono IMA: 4-bit samples, ≥5-byte blocks (4-byte header + data),
+        # payload must be whole blocks — a mid-block truncation cannot be
+        # decoded and must surface as ONE decode violation
+        if bits != 4 or block_align is None or block_align < 5:
+            raise ValueError("malformed adpcm payload")
+        if dlen == 0 or dlen % block_align:
+            raise ValueError("truncated adpcm payload")
+        spb = adpcm_ima_samples_per_block(block_align)
+        capacity = (dlen // block_align) * spb
+        n_samples = capacity
+        if fact_samples is not None:
+            if fact_samples > capacity:
+                raise ValueError("fact chunk exceeds adpcm capacity")
+            n_samples = fact_samples
+        coded = AdpcmCoded(np.frombuffer(payload, dtype=np.uint8),
+                           block_align, n_samples)
+        return coded, sr, _FMT_CODEC[fmt]
     raise ValueError(f"unsupported format tag {fmt}")
 
 
-def decode_coded(samples: np.ndarray, codec: str) -> np.ndarray:
+def decode_coded(samples, codec: str) -> np.ndarray:
     """Coded-sample view from :func:`parse_wav` → int16 PCM."""
     if codec == "ulaw":
         return ulaw_decode(samples)
     if codec == "alaw":
         return alaw_decode(samples)
+    if codec == "adpcm_ima":
+        return samples.decode()
     return samples
 
 
@@ -217,7 +435,7 @@ def decode_wav(raw: bytes) -> Tuple[np.ndarray, int, str]:
 
 
 ENCODERS = {"pcm_s16le": encode_pcm16_wav, "ulaw": encode_ulaw_wav,
-            "alaw": encode_alaw_wav}
+            "alaw": encode_alaw_wav, "adpcm_ima": encode_adpcm_wav}
 
 
 _PERIOD_CACHE: dict = {}
@@ -299,6 +517,13 @@ def snr_db_vs_period(coded: np.ndarray, codec: str,
     n = min(n_ref, len(coded))
     if n == 0:
         return float("-inf")
+    if isinstance(coded, AdpcmCoded):
+        # ADPCM has no per-sample LUT — its recurrence needs whole blocks.
+        # Per-clip this materializes the PCM (clips are ~KBs; the 1/4-size
+        # coded payload already fit in memory); the Arrow decode UDF never
+        # takes this path — it stacks all ADPCM clips of a batch through
+        # adpcm_ima_decode_stacked (decode.py) and computes SNR there.
+        coded = coded.decode()
     lut = {"ulaw": _ULAW_LUT, "alaw": _ALAW_LUT}.get(codec)
     plen = len(period)
     blk = min(_SNR_BLOCK, n)

@@ -27,7 +27,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .codecs import parse_wav, snr_db_vs_period
+from .codecs import (AdpcmCoded, adpcm_ima_decode_stacked, parse_wav,
+                     snr_db, snr_db_vs_period)
 from .synth import expected_period, expected_transcript
 
 DECODE_RESULT_SCHEMA = (
@@ -72,6 +73,30 @@ def salted_repartition(df: DataFrame, codec_col: str = "codec",
     return df.repartition(key)
 
 
+def _fill_adpcm_snr(pending, out, snr_threshold: float) -> None:
+    """Stacked-decode every deferred ADPCM row of a batch and write its
+    snr_db/snr_ok verdicts. Grouped by block_align (blocks of different
+    geometry cannot share a matrix); within a group ONE call runs the
+    sequential recurrence for all clips at once."""
+    by_ba: dict = {}
+    for item in pending:
+        by_ba.setdefault(item[1].block_align, []).append(item)
+    for ba, items in by_ba.items():
+        decoded = adpcm_ima_decode_stacked([c.payload for _, c, _, _ in
+                                            items], ba)
+        for (j, coded, period, n_ref), pcm in zip(items, decoded):
+            pcm = pcm[:len(coded)]
+            m = min(n_ref, len(pcm))
+            if m == 0:
+                s = float("-inf")
+            else:
+                reps = m // len(period) + 1
+                ref = np.tile(period, reps)[:m]
+                s = snr_db(ref, pcm[:m])
+            out["snr_db"][j] = s
+            out["snr_ok"][j] = bool(s >= snr_threshold)
+
+
 def _decode_batches(check_reference: bool, snr_threshold: float,
                     dur_tolerance_ms: int,
                     passthrough: Sequence[str] = ()):
@@ -109,6 +134,11 @@ def _decode_batches(check_reference: bool, snr_threshold: float,
             }
             for c in passthrough:
                 out[c] = pdf[c].values
+            # ADPCM rows defer their SNR to one stacked decode after the
+            # row loop: the codec's per-sample recurrence is paid once per
+            # BATCH (vectorized across every block of every ADPCM clip),
+            # not once per clip (codecs.adpcm_ima_decode_stacked)
+            adpcm_pending: list = []
             for j in range(n):
                 try:
                     # zero-copy parse; decode is fused into the blocked
@@ -142,12 +172,18 @@ def _decode_batches(check_reference: bool, snr_threshold: float,
                         out["transcript_match"][j] = False
                         continue
                     period, n_ref = expected_period(i)
-                    s = snr_db_vs_period(coded, fmt_codec, period, n_ref)
-                    out["snr_db"][j] = s
-                    out["snr_ok"][j] = bool(s >= snr_threshold)
+                    if isinstance(coded, AdpcmCoded):
+                        adpcm_pending.append((j, coded, period, n_ref))
+                    else:
+                        s = snr_db_vs_period(coded, fmt_codec, period,
+                                             n_ref)
+                        out["snr_db"][j] = s
+                        out["snr_ok"][j] = bool(s >= snr_threshold)
                     t = transcripts[j]
                     out["transcript_match"][j] = (
                         t is not None and t == expected_transcript(i))
+            if adpcm_pending:
+                _fill_adpcm_snr(adpcm_pending, out, snr_threshold)
             yield pd.DataFrame(out)
 
     return run

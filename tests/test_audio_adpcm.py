@@ -1,0 +1,273 @@
+"""IMA/DVI ADPCM (WAVE tag 0x11) conformance.
+
+The in-test scalar transliteration below is the INDEPENDENT oracle: a
+per-sample, obviously-correct rendering of the public IMA Digital Audio
+Pack algorithm (the same step/index tables every implementation ships).
+The engine's block-vectorized encoder/decoder (jio_spark/audio/codecs.py)
+must match it bit-for-bit; everything else — container walk, fact-chunk
+trim, SNR physics, the Arrow batch path — builds on that equivalence.
+
+Reference parity note: faceair/jio has no audio at all (SURVEY.md §2) —
+ADPCM extends the engine's codec-aware decode rule (north_star: "decode
+bytes per codec in pandas/Arrow UDF batches"), alongside G.711/PCM.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jio_spark.audio.codecs import (AdpcmCoded, adpcm_ima_decode_stacked,
+                                    adpcm_ima_encode,
+                                    adpcm_ima_samples_per_block,
+                                    decode_wav, encode_adpcm_wav, parse_wav,
+                                    snr_db, snr_db_vs_period, synth_wave)
+from jio_spark.audio.decode import decode_check, decode_violations
+from jio_spark.audio.synth import (_row_params, expected_signal,
+                                   expected_transcript)
+
+# ---------------------------------------------------------------------------
+# independent scalar oracle (IMA ADPCM reference algorithm, per sample)
+
+_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]
+_IDX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _oracle_step(nib, pred, index):
+    step = _STEPS[index]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IDX_ADJ[nib & 7]))
+    return pred, index
+
+
+def _oracle_decode_block(block, block_align):
+    spb = adpcm_ima_samples_per_block(block_align)
+    pred = int.from_bytes(block[0:2], "little", signed=True)
+    index = min(88, max(0, block[2]))
+    out = [pred]
+    for b in block[4:block_align]:
+        for nib in (b & 0xF, b >> 4):
+            pred, index = _oracle_step(nib, pred, index)
+            out.append(pred)
+    return np.array(out[:spb], dtype=np.int16)
+
+
+def _oracle_encode_block(pcm, block_align):
+    spb = adpcm_ima_samples_per_block(block_align)
+    assert len(pcm) == spb
+    pred = int(pcm[0])
+    d0 = abs(int(pcm[1]) - pred) if spb > 1 else 0
+    index = 0
+    while index < 88 and _STEPS[index] < d0:
+        index += 1
+    out = bytearray(int(pred & 0xFFFF).to_bytes(2, "little"))
+    out.append(index)
+    out.append(0)
+    nibs = []
+    for s in pcm[1:]:
+        s = int(s)
+        step = _STEPS[index]
+        diff = s - pred
+        nib = 0
+        if diff < 0:
+            nib = 8
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        pred, index = _oracle_step(nib, pred, index)
+        nibs.append(nib)
+    for k in range(0, len(nibs), 2):
+        hi = nibs[k + 1] if k + 1 < len(nibs) else 0
+        out.append(nibs[k] | (hi << 4))
+    return bytes(out)
+
+
+BA = 256
+SPB = adpcm_ima_samples_per_block(BA)
+
+
+def test_vectorized_decode_matches_scalar_oracle():
+    rng = np.random.default_rng(3)
+    pcm = rng.integers(-32768, 32768, size=SPB * 6).astype(np.int16)
+    blocks = [_oracle_encode_block(pcm[i * SPB:(i + 1) * SPB], BA)
+              for i in range(6)]
+    payload = np.frombuffer(b"".join(blocks), np.uint8)
+    want = np.concatenate([_oracle_decode_block(b, BA) for b in blocks])
+    (got,) = adpcm_ima_decode_stacked([payload], BA)
+    assert np.array_equal(want, got)
+
+
+def test_vectorized_encode_matches_scalar_oracle():
+    rng = np.random.default_rng(5)
+    pcm = rng.integers(-32768, 32768, size=SPB * 6).astype(np.int16)
+    want = b"".join(_oracle_encode_block(pcm[i * SPB:(i + 1) * SPB], BA)
+                    for i in range(6))
+    assert adpcm_ima_encode(pcm, BA) == want
+
+
+def test_saturation_and_index_clamp_against_oracle():
+    """Full-scale square waves drive the predictor into ±32767 clipping
+    and the step index to both clamp rails — the branchiest paths of the
+    recurrence must still match the oracle bit-for-bit."""
+    sq = np.tile(np.array([32767, -32768], dtype=np.int16), SPB)
+    for reps in (1, 7, 101):
+        pcm = np.tile(sq, 1)[:SPB] if reps == 1 else \
+            np.resize(np.repeat(sq, reps), SPB)
+        block = adpcm_ima_encode(pcm.astype(np.int16), BA)
+        want = _oracle_decode_block(block, BA)
+        (got,) = adpcm_ima_decode_stacked(
+            [np.frombuffer(block, np.uint8)], BA)
+        assert np.array_equal(want, got)
+
+
+def test_container_roundtrip_fact_trim_and_fields():
+    x = synth_wave(440.0, 333, 16000)      # 5328 samples: pads last block
+    raw = encode_adpcm_wav(x, 16000)
+    coded, sr, codec = parse_wav(raw)
+    assert isinstance(coded, AdpcmCoded)
+    assert (sr, codec) == (16000, "adpcm_ima")
+    assert len(coded) == len(x)            # fact chunk trims the padding
+    assert coded.nbytes < len(x)           # ~4:1 vs int16, container aside
+    pcm, _, _ = decode_wav(raw)
+    assert len(pcm) == len(x)
+    assert snr_db(x, pcm) >= 30.0
+
+
+def test_stacked_equals_per_clip_across_mixed_block_aligns():
+    views = []
+    for dur, ba in [(40, 256), (200, 256), (1000, 512), (90, 512)]:
+        raw = encode_adpcm_wav(synth_wave(440.0, dur, 16000), 16000,
+                               block_align=ba)
+        views.append(parse_wav(raw)[0])
+    for ba in (256, 512):
+        group = [v for v in views if v.block_align == ba]
+        stacked = adpcm_ima_decode_stacked([v.payload for v in group],
+                                           ba)
+        for v, s in zip(group, stacked):
+            assert np.array_equal(v.decode(), s[:len(v)])
+
+
+@pytest.mark.parametrize("mutate,err", [
+    (lambda r: r[:len(r) - 13], "truncated"),        # mid-block cut
+    (lambda r: r[:34] + b"\x08\x00" + r[36:], "malformed"),   # bits=8
+    (lambda r: r[:32] + b"\x04\x00" + r[34:], "malformed"),   # ba=4
+    (lambda r: r[:48] + (10 ** 6).to_bytes(4, "little") + r[52:],
+     "fact chunk exceeds"),                          # fact > capacity
+])
+def test_malformed_adpcm_rejected(mutate, err):
+    raw = mutate(encode_adpcm_wav(synth_wave(440.0, 100, 16000), 16000))
+    with pytest.raises(ValueError, match=err):
+        parse_wav(raw)
+
+
+def test_snr_physics_pass_and_slope_overload_fail():
+    """ADPCM is lossy with frequency-dependent quality: a low f/sr clip
+    clears the 30 dB gate, a high f/sr clip slope-overloads below it —
+    the validator must report the failure, not hide codec physics."""
+    lo = synth_wave(440.0, 500, 16000)
+    hi = synth_wave(7000.0, 500, 16000)
+    lo_snr = snr_db(lo, decode_wav(encode_adpcm_wav(lo, 16000))[0])
+    hi_snr = snr_db(hi, decode_wav(encode_adpcm_wav(hi, 16000))[0])
+    assert lo_snr >= 33.0
+    assert hi_snr < 25.0
+
+
+def _pick_indices(pred, count, start=0):
+    out, i = [], start
+    while len(out) < count:
+        _, freq, sr, dur, _, _ = _row_params(i, clean=True)
+        if pred(freq, sr, dur):
+            out.append(i)
+        i += 1
+    return out
+
+
+def test_decode_check_mixed_codecs_batched_path(spark):
+    """End-to-end Arrow path with ADPCM and G.711 rows interleaved in the
+    SAME batch: the deferred stacked-decode rows must land their snr_db in
+    the right slots (exactly matching the per-clip kernel), pass clips
+    pass, a slope-overload clip fails ONLY snr_ok, and a truncated ADPCM
+    payload is exactly one decode violation."""
+    picked = _pick_indices(
+        lambda f, sr, d: sr >= 16000 and f <= 550 and d <= 2000, 7)
+    ok_is, trunc_i = picked[:6], picked[6]
+    rows = []
+    for k, i in enumerate(ok_is):
+        _, freq, sr, dur, _, _ = _row_params(i, clean=True)
+        pcm = expected_signal(i, clean=True)
+        codec = "adpcm_ima" if k % 2 == 0 else "ulaw"
+        raw = (encode_adpcm_wav(pcm, sr) if codec == "adpcm_ima"
+               else None)
+        if raw is None:
+            from jio_spark.audio.codecs import encode_ulaw_wav
+            raw = encode_ulaw_wav(pcm, sr)
+        rows.append((f"clip_{i:012d}", bytearray(raw), sr, dur, codec,
+                     expected_transcript(i)))
+    # slope-overload: freq near the top of the synth range over sr=8000
+    (bad_i,) = _pick_indices(
+        lambda f, sr, d: sr == 8000 and f >= 990 and d <= 2000, 1)
+    _, _, sr_b, dur_b, _, _ = _row_params(bad_i, clean=True)
+    rows.append((f"clip_{bad_i:012d}",
+                 bytearray(encode_adpcm_wav(
+                     expected_signal(bad_i, clean=True), sr_b)),
+                 sr_b, dur_b, "adpcm_ima", expected_transcript(bad_i)))
+    # truncated payload → one decode violation
+    _, _, sr_t, dur_t, _, _ = _row_params(trunc_i, clean=True)
+    raw_t = encode_adpcm_wav(expected_signal(trunc_i, clean=True), sr_t)
+    rows.append((f"clip_{trunc_i:012d}",
+                 bytearray(raw_t[:len(raw_t) - 13]), sr_t, dur_t,
+                 "adpcm_ima", expected_transcript(trunc_i)))
+
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string").coalesce(1)
+    got = {(r["clip_id"], r["codec_match"]): r
+           for r in decode_check(df).collect()}
+
+    for k, i in enumerate(ok_is):
+        r = got[(f"clip_{i:012d}", True)]
+        assert r["decode_ok"] and r["sr_match"] and r["dur_match"]
+        assert r["snr_ok"] and r["transcript_match"], r
+        # deferred-batch snr must equal the per-clip kernel exactly
+        raw = bytes(rows[k][1])
+        coded, _, codec = parse_wav(raw)
+        from jio_spark.audio.synth import expected_period
+        period, n_ref = expected_period(i, clean=True)
+        assert r["snr_db"] == pytest.approx(
+            snr_db_vs_period(coded, codec, period, n_ref), abs=1e-9)
+
+    bad = got[(f"clip_{bad_i:012d}", True)]
+    assert bad["decode_ok"] and bad["dur_match"] and bad["sr_match"]
+    assert not bad["snr_ok"] and bad["snr_db"] < 30.0
+    assert bad["transcript_match"]
+
+    # truncated row: decode_ok False, every other flag not-asserted
+    tr = got[(f"clip_{trunc_i:012d}", True)]
+    assert not tr["decode_ok"]
+    assert "truncated" in tr["error"]
+    assert tr["snr_ok"] and tr["transcript_match"] and tr["dur_match"]
+    viol = decode_violations(decode_check(df)).collect()
+    trunc_viols = [v for v in viol
+                   if v["clip_id"] == f"clip_{trunc_i:012d}"]
+    assert [(v["rule_path"], v["rule_name"]) for v in trunc_viols] \
+        == [("bytes", "decode")]

@@ -16,8 +16,8 @@ import struct
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
-from jio_spark.audio.codecs import (ENCODERS, parse_wav, snr_db_vs_period,
-                                    synth_wave)
+from jio_spark.audio.codecs import (ENCODERS, AdpcmCoded, parse_wav,
+                                    snr_db_vs_period, synth_wave)
 
 FUZZ = dict(deadline=None, max_examples=300)
 CODECS = sorted(ENCODERS)
@@ -29,10 +29,12 @@ def _assert_parse_contract(raw):
         coded, sr, codec = parse_wav(bytes(raw))
     except (ValueError, TypeError):
         return None
-    assert isinstance(coded, np.ndarray) and coded.ndim == 1
-    assert codec in {"pcm_s16le", "ulaw", "alaw"}
+    assert (isinstance(coded, AdpcmCoded)
+            or (isinstance(coded, np.ndarray) and coded.ndim == 1))
+    assert codec in {"pcm_s16le", "ulaw", "alaw", "adpcm_ima"}
     assert isinstance(sr, int) and sr >= 0
     assert coded.nbytes <= len(raw)
+    assert len(coded) >= 0
     return coded, sr, codec
 
 
