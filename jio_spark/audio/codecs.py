@@ -183,6 +183,15 @@ def adpcm_ima_decode_stacked(payloads, block_align: int):
     UDF — per-clip decode pays ~500 numpy-dispatch round-trips on
     ~30-element vectors, the stacked form pays the same 500 on
     thousands-of-elements vectors."""
+    for p in payloads:
+        if p.nbytes % block_align:
+            # the concatenate+reshape below only needs the TOTAL to be a
+            # block multiple — without this per-payload check, two
+            # misaligned payloads whose sum happens to divide evenly
+            # would decode garbage silently (blocks straddling clips)
+            raise ValueError(
+                f"adpcm payload of {p.nbytes} bytes is not a multiple "
+                f"of block_align {block_align}")
     counts = [p.nbytes // block_align for p in payloads]
     if not counts or sum(counts) == 0:
         return [np.empty(0, dtype=np.int16) for _ in payloads]
@@ -318,6 +327,13 @@ def encode_adpcm_wav(pcm: np.ndarray, sr: int,
     and a fact chunk carrying the true sample count — the payload is
     whole blocks, so without the fact chunk a decoder cannot distinguish
     real samples from the final block's padding."""
+    if not 5 <= block_align <= 32771:
+        # container fields are uint16: wSamplesPerBlock = (ba-4)*2+1 must
+        # stay ≤ 65535, i.e. ba ≤ 32771. An out-of-range knob must fail
+        # as the module's documented ValueError, not surface as an
+        # unrelated low-level struct.error from the header pack.
+        raise ValueError(f"block_align {block_align} out of range "
+                         f"[5, 32771]")
     spb = adpcm_ima_samples_per_block(block_align)
     payload = adpcm_ima_encode(pcm, block_align)
     byte_rate = (sr * block_align + spb - 1) // spb
@@ -366,13 +382,16 @@ def parse_wav(raw: bytes) -> Tuple[object, int, str]:
             # block-padded ADPCM payload it is the only record of where
             # real samples end and final-block padding begins
             (fact_samples,) = struct.unpack("<I", body[:4])
-        elif cid == b"data":
+        elif cid == b"data" and payload is None:
             if fmt is None:
                 raise ValueError("data chunk before fmt chunk")
             if len(body) < clen:
                 raise ValueError("truncated data chunk")
             payload = body
-            break
+            # keep walking: a legal RIFF may order chunks fmt, data,
+            # fact — stopping here would silently drop a post-data fact
+            # chunk and mis-trim ADPCM block padding (false dur/snr
+            # violations on a correct externally-encoded file)
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None:
         raise ValueError("missing fmt chunk")

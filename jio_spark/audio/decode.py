@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .codecs import (AdpcmCoded, adpcm_ima_decode_stacked, parse_wav,
-                     snr_db, snr_db_vs_period)
+                     snr_db_vs_period)
 from .synth import expected_period, expected_transcript
 
 DECODE_RESULT_SCHEMA = (
@@ -73,28 +73,44 @@ def salted_repartition(df: DataFrame, codec_col: str = "codec",
     return df.repartition(key)
 
 
+#: samples decoded per stacked call (int16 ≈ 2 bytes each): bounds the
+#: deferred path's temporaries the way codecs._SNR_BLOCK bounds the fused
+#: kernel's — an ADPCM-heavy 10k-row Arrow batch of multi-second clips
+#: must never materialize the whole batch's PCM at once
+_ADPCM_STACK_SAMPLES = 1 << 22
+
+
 def _fill_adpcm_snr(pending, out, snr_threshold: float) -> None:
     """Stacked-decode every deferred ADPCM row of a batch and write its
     snr_db/snr_ok verdicts. Grouped by block_align (blocks of different
-    geometry cannot share a matrix); within a group ONE call runs the
-    sequential recurrence for all clips at once."""
+    geometry cannot share a matrix) and chunked to ≤_ADPCM_STACK_SAMPLES
+    decoded samples per stacked call, so temporaries stay ~MBs however
+    large the Arrow batch; within a chunk ONE call runs the sequential
+    recurrence for all clips at once. The SNR itself reuses the fused
+    cache-blocked kernel on the decoded PCM (lut-less path), so deferred
+    rows get bit-identical accumulation to the non-deferred codecs."""
     by_ba: dict = {}
     for item in pending:
         by_ba.setdefault(item[1].block_align, []).append(item)
     for ba, items in by_ba.items():
-        decoded = adpcm_ima_decode_stacked([c.payload for _, c, _, _ in
-                                            items], ba)
-        for (j, coded, period, n_ref), pcm in zip(items, decoded):
-            pcm = pcm[:len(coded)]
-            m = min(n_ref, len(pcm))
-            if m == 0:
-                s = float("-inf")
-            else:
-                reps = m // len(period) + 1
-                ref = np.tile(period, reps)[:m]
-                s = snr_db(ref, pcm[:m])
-            out["snr_db"][j] = s
-            out["snr_ok"][j] = bool(s >= snr_threshold)
+        chunk, budget = [], _ADPCM_STACK_SAMPLES
+        for item in items:
+            chunk.append(item)
+            budget -= len(item[1])
+            if budget <= 0:
+                _snr_one_stack(chunk, ba, out, snr_threshold)
+                chunk, budget = [], _ADPCM_STACK_SAMPLES
+        if chunk:
+            _snr_one_stack(chunk, ba, out, snr_threshold)
+
+
+def _snr_one_stack(items, ba: int, out, snr_threshold: float) -> None:
+    decoded = adpcm_ima_decode_stacked(
+        [c.payload for _, c, _, _ in items], ba)
+    for (j, coded, period, n_ref), pcm in zip(items, decoded):
+        s = snr_db_vs_period(pcm[:len(coded)], "pcm_s16le", period, n_ref)
+        out["snr_db"][j] = s
+        out["snr_ok"][j] = bool(s >= snr_threshold)
 
 
 def _decode_batches(check_reference: bool, snr_threshold: float,
@@ -141,8 +157,10 @@ def _decode_batches(check_reference: bool, snr_threshold: float,
             adpcm_pending: list = []
             for j in range(n):
                 try:
-                    # zero-copy parse; decode is fused into the blocked
-                    # SNR scan below (never materializes the full PCM)
+                    # zero-copy parse; G.711/PCM decode is fused into the
+                    # blocked SNR scan below (never materializes the full
+                    # PCM); ADPCM decodes in bounded stacked chunks after
+                    # the row loop (_fill_adpcm_snr)
                     coded, sr, fmt_codec = parse_wav(bytes(raws[j]))
                 except (ValueError, TypeError) as e:
                     out["error"][j] = str(e)

@@ -271,3 +271,73 @@ def test_decode_check_mixed_codecs_batched_path(spark):
                    if v["clip_id"] == f"clip_{trunc_i:012d}"]
     assert [(v["rule_path"], v["rule_name"]) for v in trunc_viols] \
         == [("bytes", "decode")]
+
+
+# ---------------------------------------------------------------------------
+# review-pass pins (round-4 session 9)
+
+def test_fact_chunk_after_data_is_honored():
+    """A legal RIFF may order chunks fmt, data, fact — the walk must not
+    stop at data, or the padding trim is lost and a correct external file
+    gets false dur/snr violations."""
+    x = synth_wave(440.0, 333, 16000)
+    canonical = encode_adpcm_wav(x, 16000)
+    # rearrange: header(12) + fmt(8+20) + fact(8+4) + data — move fact
+    # after the data chunk
+    fmt_chunk = canonical[12:40]
+    fact_chunk = canonical[40:52]
+    data_chunk = canonical[52:]
+    raw = canonical[:12] + fmt_chunk + data_chunk + fact_chunk
+    coded, sr, codec = parse_wav(raw)
+    assert (sr, codec) == (16000, "adpcm_ima")
+    assert len(coded) == len(x)          # fact still trims the padding
+    want, _, _ = decode_wav(canonical)
+    got, _, _ = decode_wav(raw)
+    assert np.array_equal(want, got)
+
+
+def test_stacked_rejects_misaligned_payloads():
+    """Two payloads that are NOT block multiples but whose total is must
+    raise, not silently decode blocks straddling the clip boundary."""
+    p = np.zeros(384, dtype=np.uint8)
+    with pytest.raises(ValueError, match="not a multiple"):
+        adpcm_ima_decode_stacked([p, p], 256)
+
+
+def test_encode_block_align_out_of_range_is_valueerror():
+    x = synth_wave(440.0, 50, 16000)
+    for ba in (4, 0, 40000):
+        with pytest.raises(ValueError, match="out of range"):
+            encode_adpcm_wav(x, 16000, block_align=ba)
+    # the largest legal value must really fit the uint16 header fields
+    raw = encode_adpcm_wav(x, 16000, block_align=32771)
+    coded, _, codec = parse_wav(raw)
+    assert codec == "adpcm_ima" and len(coded) == len(x)
+
+
+def test_deferred_snr_is_chunk_invariant(spark, monkeypatch):
+    """The Arrow path's memory cap (_ADPCM_STACK_SAMPLES) must not change
+    results: force ~per-clip chunking and compare snr_db against the
+    fused per-clip kernel for every row."""
+    import jio_spark.audio.decode as dec
+    monkeypatch.setattr(dec, "_ADPCM_STACK_SAMPLES", 1024)
+    ok_is = _pick_indices(
+        lambda f, sr, d: sr >= 16000 and f <= 550 and d <= 2000, 5)
+    rows = []
+    for i in ok_is:
+        _, _, sr_, d_, _, _ = _row_params(i, clean=True)
+        rows.append((f"clip_{i:012d}",
+                     bytearray(encode_adpcm_wav(
+                         expected_signal(i, clean=True), sr_)),
+                     sr_, d_, "adpcm_ima", expected_transcript(i)))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string").coalesce(1)
+    got = {r["clip_id"]: r for r in decode_check(df).collect()}
+    from jio_spark.audio.synth import expected_period
+    for (cid, raw, *_), i in zip(rows, ok_is):
+        coded, _, codec = parse_wav(bytes(raw))
+        period, n_ref = expected_period(i, clean=True)
+        assert got[cid]["snr_ok"]
+        assert got[cid]["snr_db"] == pytest.approx(
+            snr_db_vs_period(coded, codec, period, n_ref), abs=1e-9)
