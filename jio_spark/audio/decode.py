@@ -19,7 +19,7 @@ skew explicitly").
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Sequence
+from typing import Iterator, Mapping, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -104,13 +104,29 @@ def _fill_adpcm_snr(pending, out, snr_threshold: float) -> None:
             _snr_one_stack(chunk, ba, out, snr_threshold)
 
 
-def _snr_one_stack(items, ba: int, out, snr_threshold: float) -> None:
+def _snr_one_stack(items, ba: int, out, snr_threshold) -> None:
     decoded = adpcm_ima_decode_stacked(
         [c.payload for _, c, _, _ in items], ba)
     for (j, coded, period, n_ref), pcm in zip(items, decoded):
         s = snr_db_vs_period(pcm[:len(coded)], "pcm_s16le", period, n_ref)
         out["snr_db"][j] = s
-        out["snr_ok"][j] = bool(s >= snr_threshold)
+        out["snr_ok"][j] = bool(
+            s >= threshold_for(snr_threshold, "adpcm_ima"))
+
+
+def threshold_for(snr_threshold, codec: str) -> float:
+    """Resolve the SNR gate for one codec. A scalar applies to every
+    codec; a mapping is per-codec with a ``"default"`` fallback (30.0 if
+    absent) — lossy codecs have different honest floors (G.711 ~38 dB on
+    the fixture sines, IMA ADPCM ~28-38 dB depending on f/sr), and one
+    blanket number either masks G.711 regressions or flags healthy ADPCM
+    clips (codec physics, pinned in test_audio_adpcm.py)."""
+    if isinstance(snr_threshold, Mapping):
+        v = snr_threshold.get(codec)
+        if v is None:
+            v = snr_threshold.get("default", 30.0)
+        return float(v)
+    return float(snr_threshold)
 
 
 def _decode_batches(check_reference: bool, snr_threshold: float,
@@ -196,7 +212,8 @@ def _decode_batches(check_reference: bool, snr_threshold: float,
                         s = snr_db_vs_period(coded, fmt_codec, period,
                                              n_ref)
                         out["snr_db"][j] = s
-                        out["snr_ok"][j] = bool(s >= snr_threshold)
+                        out["snr_ok"][j] = bool(
+                            s >= threshold_for(snr_threshold, fmt_codec))
                     t = transcripts[j]
                     out["transcript_match"][j] = (
                         t is not None and t == expected_transcript(i))
@@ -208,7 +225,7 @@ def _decode_batches(check_reference: bool, snr_threshold: float,
 
 
 def decode_check(df: DataFrame, check_reference: bool = True,
-                 snr_threshold: float = 30.0, dur_tolerance_ms: int = 2,
+                 snr_threshold=30.0, dur_tolerance_ms: int = 2,
                  salt: bool = True,
                  num_partitions: Optional[int] = None,
                  passthrough: Optional[Sequence[str]] = None) -> DataFrame:
@@ -216,6 +233,13 @@ def decode_check(df: DataFrame, check_reference: bool = True,
     decoded payload; with ``check_reference`` also re-synthesize the
     deterministic reference signal and assert SNR>=threshold + transcript
     equality (the input_hint per-row invariant).
+
+    ``snr_threshold`` is a scalar dB gate or a per-codec mapping
+    (``{"adpcm_ima": 26.0, "default": 30.0}`` — see
+    :func:`threshold_for`): lossy codecs have different honest SNR
+    floors, and the gate is resolved against the CONTAINER's codec (what
+    actually decoded), not the declared column, so a mislabeled clip is
+    judged by the physics of what its bytes are.
 
     Returns one row per clip (DECODE_RESULT_SCHEMA). Columns are pruned to
     exactly what the decode needs before the Arrow exchange, so parquet
@@ -252,12 +276,16 @@ def decode_check(df: DataFrame, check_reference: bool = True,
 
 def decode_violations(results: DataFrame,
                       extra_cols: Optional[Sequence[str]] = None,
-                      snr_threshold: float = 30.0) -> DataFrame:
+                      snr_threshold=30.0) -> DataFrame:
     """Reshape decode-check results into the engine's standard violation
     rows (one per failed assertion, jio error shape). ``snr_threshold``
-    must match the decode run's — it only shapes the violation's
-    ``expected`` text, which must not claim '>= 30dB' when a 40 dB
-    threshold is what actually failed the row."""
+    must match the decode run's (scalar or the same per-codec mapping) —
+    it only shapes the violation's ``expected`` text, which must not
+    claim '>= 30dB' when a 40 dB threshold is what actually failed the
+    row. With a mapping, the per-row text resolves through the frame's
+    ``codec`` column when present (exact whenever codec_match held —
+    declared == container there; a codec-mismatched row falls back to
+    generic text rather than claim the wrong codec's bound)."""
     # per-check `actual` (the engine's Go-%v "actual is the value"
     # contract, same as referential.py's fmt_col):
     # * decode — the parser's error string IS the decode failure detail.
@@ -273,6 +301,24 @@ def decode_violations(results: DataFrame,
     # * codec/sr/dur — static text: `error` is never about these (it is
     #   set only on parse failure, which un-asserts them, or on
     #   reference-lookup failure, which is snr/transcript's).
+    if isinstance(snr_threshold, Mapping):
+        generic = ">= per-codec dB threshold vs reference"
+        if "codec" in results.columns:
+            default = threshold_for(snr_threshold, "default")
+            snr_expected = F.when(
+                ~F.col("codec_match"), F.lit(generic)).otherwise(
+                F.lit(None).cast("string"))
+            chain = F.lit(f">= {default:g}dB vs reference")
+            for c in sorted(k for k in snr_threshold if k != "default"):
+                chain = F.when(
+                    F.col("codec") == c,
+                    F.lit(f">= {threshold_for(snr_threshold, c):g}dB "
+                          f"vs reference")).otherwise(chain)
+            snr_expected = F.coalesce(snr_expected, chain)
+        else:
+            snr_expected = F.lit(generic)
+    else:
+        snr_expected = F.lit(f">= {float(snr_threshold):g}dB vs reference")
     snr_actual = F.when(
         ~F.isnan(F.col("snr_db")),
         F.format_string("%.2fdB", F.col("snr_db")))
@@ -290,7 +336,7 @@ def decode_violations(results: DataFrame,
          "declared dur_ms != decoded duration",
          F.lit("declared dur_ms != decoded duration")),
         ("snr_ok", "bytes", "snr",
-         f">= {snr_threshold:g}dB vs reference",
+         snr_expected,
          "decoded PCM SNR below threshold vs reference",
          F.coalesce(snr_actual, F.col("error"),
                     F.lit("decoded PCM SNR below threshold vs reference"))),
@@ -302,7 +348,8 @@ def decode_violations(results: DataFrame,
         F.when(~F.col(flag), F.struct(
             F.lit(path).alias("rule_path"),
             F.lit(name).alias("rule_name"),
-            F.lit(expected).alias("expected"),
+            (expected if isinstance(expected, Column)
+             else F.lit(expected)).alias("expected"),
             actual.alias("actual"),
             F.concat(F.lit(f"field `{path}` "), F.lit(msg),
                      F.lit(" (clip "),

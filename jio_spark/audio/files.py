@@ -282,7 +282,7 @@ def _corrupt_frame(clip_marker: str, msg: str, pval,
 
 def decode_check_files(spark: SparkSession, root: str,
                        check_reference: bool = True,
-                       snr_threshold: float = 30.0,
+                       snr_threshold=30.0,
                        dur_tolerance_ms: int = 2,
                        tasks_per_cpu: int = 8,
                        partition_filter: Optional[Sequence] = None,

@@ -213,7 +213,11 @@ class ClipsJobConfig:
     audio_check: bool = True
     audio_salt: bool = True           # salted repartition before decode
     check_reference: bool = True      # SNR + transcript vs synth oracle
-    snr_threshold: float = 30.0
+    #: scalar dB gate, or a per-codec mapping like
+    #: {"adpcm_ima": 26.0, "default": 30.0} (audio/decode.threshold_for)
+    #: — serialized into the semantic fingerprint either way, so a
+    #: resumed run cannot silently mix two gates' violations
+    snr_threshold: object = 30.0
     uniqueness_layout: str = "any"    # clips parquet isn't key-clustered
     #: when ``uniqueness_layout='clustered'``: what to do if the free
     #: runtime range certificate (operators/uniqueness.py) finds the

@@ -341,3 +341,53 @@ def test_deferred_snr_is_chunk_invariant(spark, monkeypatch):
         assert got[cid]["snr_ok"]
         assert got[cid]["snr_db"] == pytest.approx(
             snr_db_vs_period(coded, codec, period, n_ref), abs=1e-9)
+
+
+def test_per_codec_snr_threshold_mapping(spark):
+    """snr_threshold accepts a per-codec mapping resolved against the
+    CONTAINER codec: one corpus-wide blanket number either masks G.711
+    regressions or flags healthy ADPCM clips. A marginal ADPCM clip
+    (~29.5 dB at 440Hz/8kHz) must fail the blanket 30 dB gate but pass
+    {"adpcm_ima": 26}, while a co-resident ulaw clip keeps the default
+    gate; the violation row's expected text must name the codec's own
+    bound when codec is passed through."""
+    (i_8k,) = _pick_indices(
+        lambda f, sr, d: sr == 8000 and f == 440.0 and d <= 2000, 1)
+    (i_16k,) = _pick_indices(
+        lambda f, sr, d: sr >= 16000 and f <= 550 and d <= 2000, 1)
+    rows = []
+    _, _, sr_a, d_a, _, _ = _row_params(i_8k, clean=True)
+    rows.append((f"clip_{i_8k:012d}",
+                 bytearray(encode_adpcm_wav(
+                     expected_signal(i_8k, clean=True), sr_a)),
+                 sr_a, d_a, "adpcm_ima", expected_transcript(i_8k)))
+    from jio_spark.audio.codecs import encode_ulaw_wav
+    _, _, sr_u, d_u, _, _ = _row_params(i_16k, clean=True)
+    rows.append((f"clip_{i_16k:012d}",
+                 bytearray(encode_ulaw_wav(
+                     expected_signal(i_16k, clean=True), sr_u)),
+                 sr_u, d_u, "ulaw", expected_transcript(i_16k)))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string").coalesce(1)
+
+    blanket = {r["clip_id"]: r["snr_ok"]
+               for r in decode_check(df, snr_threshold=30.0).collect()}
+    assert blanket[f"clip_{i_8k:012d}"] is False     # 29.5 dB < 30
+    assert blanket[f"clip_{i_16k:012d}"] is True
+
+    gates = {"adpcm_ima": 26.0, "default": 30.0}
+    res = decode_check(df, snr_threshold=gates, passthrough=["codec"])
+    mapped = {r["clip_id"]: r for r in res.collect()}
+    assert mapped[f"clip_{i_8k:012d}"]["snr_ok"] is True
+    assert mapped[f"clip_{i_16k:012d}"]["snr_ok"] is True
+
+    # a ulaw-tight mapping must fail ONLY the ulaw row, proving the gate
+    # resolves per container codec, and the violation names ulaw's bound
+    tight = {"ulaw": 60.0, "default": 26.0}
+    res2 = decode_check(df, snr_threshold=tight, passthrough=["codec"])
+    viol = decode_violations(res2, snr_threshold=tight).collect()
+    snr_viols = [v for v in viol if v["rule_name"] == "snr"]
+    assert len(snr_viols) == 1
+    assert snr_viols[0]["clip_id"] == f"clip_{i_16k:012d}"
+    assert snr_viols[0]["expected"] == ">= 60dB vs reference"
