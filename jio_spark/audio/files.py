@@ -23,7 +23,7 @@ import glob
 import os
 import re
 import zlib
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Mapping, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -260,12 +260,13 @@ def _partition_dtype(splits: Sequence[Tuple[str, int, Optional[int]]],
 
 
 def _corrupt_frame(clip_marker: str, msg: str, pval,
-                   partition_col: str) -> pd.DataFrame:
+                   partition_col: str,
+                   codec_passthrough: bool = False) -> pd.DataFrame:
     """One decode-result row attributing an unreadable file/row group.
     Only ``decode_ok`` is failed — the metadata/SNR/transcript flags stay
     True ("not asserted") so ``decode_violations`` emits exactly ONE
     violation per corrupt unit, not six."""
-    return pd.DataFrame({
+    out = {
         "clip_id": [clip_marker],
         "decode_ok": np.array([False]),
         "codec_match": np.array([True]),
@@ -277,7 +278,12 @@ def _corrupt_frame(clip_marker: str, msg: str, pval,
         "n_samples": np.array([0], dtype="int64"),
         "error": np.array([msg], dtype=object),
         partition_col: [pval],
-    })
+    }
+    if codec_passthrough:
+        # per-codec-gate runs carry codec through the results schema;
+        # an unreadable unit has no codec to report
+        out["codec"] = np.array([None], dtype=object)
+    return pd.DataFrame(out)
 
 
 def decode_check_files(spark: SparkSession, root: str,
@@ -322,8 +328,12 @@ def decode_check_files(spark: SparkSession, root: str,
         f"path string, rg int, {partition_col} {ptype}") \
         .repartition(n_tasks)
 
-    inner = _decode_batches(check_reference, snr_threshold,
-                            dur_tolerance_ms, passthrough=[partition_col])
+    # per-codec SNR gates: carry codec into the results so the snr
+    # violation's expected text can name that codec's own bound
+    codec_pass = isinstance(snr_threshold, Mapping)
+    inner = _decode_batches(
+        check_reference, snr_threshold, dur_tolerance_ms,
+        passthrough=[partition_col] + (["codec"] if codec_pass else []))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os as _os
@@ -346,7 +356,8 @@ def decode_check_files(spark: SparkSession, root: str,
                     # on_corrupt='violation')
                     yield _corrupt_frame(
                         f"__corrupt__:{rel}#footer",
-                        "unreadable parquet footer", pval, partition_col)
+                        "unreadable parquet footer", pval, partition_col,
+                        codec_pass)
                     continue
                 try:
                     pf = pq.ParquetFile(path)
@@ -381,11 +392,14 @@ def decode_check_files(spark: SparkSession, root: str,
                         raise
                     yield _corrupt_frame(
                         f"__corrupt__:{rel}#rg{int(rg)}",
-                        f"unreadable row group: {e}", pval, partition_col)
+                        f"unreadable row group: {e}", pval, partition_col,
+                        codec_pass)
                     continue
                 if not col_backed:
                     block[partition_col] = pval
                 yield from inner(iter([block]))
 
     schema = DECODE_RESULT_SCHEMA + f", {partition_col} {ptype}"
+    if codec_pass:
+        schema += ", codec string"
     return sdf.mapInPandas(run, schema)

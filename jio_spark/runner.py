@@ -20,7 +20,7 @@ from __future__ import annotations
 import threading
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Mapping, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -387,12 +387,19 @@ class ClipsValidationJob:
                     on_corrupt=self.cfg.decode_on_corrupt,
                     footer_cache=footer_cache)
             else:
+                # per-codec SNR gates: pass codec through so the snr
+                # violation's `expected` names that codec's own bound
+                # (decode_violations falls back to generic text without
+                # it); the violations schema itself is unchanged
+                extra_pass = [self.cfg.partition_col]
+                if isinstance(self.cfg.snr_threshold, Mapping):
+                    extra_pass.append("codec")
                 dec = decode_check(
                     df, check_reference=self.cfg.check_reference,
                     snr_threshold=self.cfg.snr_threshold,
                     salt=self.cfg.audio_salt,
                     num_partitions=self.cfg.decode_partitions,
-                    passthrough=[self.cfg.partition_col])
+                    passthrough=extra_pass)
             viols = viols.unionByName(
                 decode_violations(dec, extra_cols=[self.cfg.partition_col],
                                   snr_threshold=self.cfg.snr_threshold))

@@ -477,7 +477,45 @@ def test_full_job_over_adpcm_corpus_with_codec_gates(spark, tmp_path):
     assert len(viols) == 1, viols
     assert viols[0]["clip_id"] == f"clip_{bad_i:012d}"
     assert viols[0]["rule_name"] == "snr"
+    # the runner passes codec through under mapping gates, so the
+    # violation names the codec's OWN bound, not generic text
+    assert viols[0]["expected"] == ">= 26dB vs reference"
     # the blanket gate would also have flagged the marginal 8 kHz/440 Hz
     # ADPCM arm — prove the corpus really contains sub-30 dB passers
     sub30 = [r for r in rows[:12][::2]]
     assert len(sub30) >= 1
+
+
+def test_files_decode_carries_codec_under_mapping_gates(spark, tmp_path):
+    """decode_check_files under per-codec gates must add the codec column
+    to its results (so downstream violation text can name the codec's
+    bound) and keep the schema stable on corrupt-unit marker rows."""
+    from jio_spark.audio.files import decode_check_files
+    picked = _pick_indices(
+        lambda f, sr, d: sr >= 16000 and f <= 550 and d <= 2000, 3)
+    rows = []
+    for i in picked:
+        _, _, sr_, d_, _, _ = _row_params(i, clean=True)
+        rows.append((f"clip_{i:012d}",
+                     bytearray(encode_adpcm_wav(
+                         expected_signal(i, clean=True), sr_)),
+                     sr_, d_, "adpcm_ima", expected_transcript(i), 0))
+    root = str(tmp_path / "clips")
+    (spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string, bucket_id int")
+     .coalesce(1).write.partitionBy("bucket_id").parquet(root))
+    # smash one file's footer so a corrupt marker row flows through the
+    # widened schema too
+    import glob as _glob
+    victim = sorted(_glob.glob(root + "/**/*.parquet", recursive=True))[0]
+    with open(victim, "r+b") as f:
+        import os as _os
+        f.seek(-8, _os.SEEK_END)
+        f.write(b"\x00" * 8)
+    res = decode_check_files(
+        spark, root, snr_threshold={"adpcm_ima": 26.0},
+        on_corrupt="violation").collect()
+    assert "codec" in res[0].asDict()
+    markers = [r for r in res if r["clip_id"].startswith("__corrupt__")]
+    assert markers and markers[0]["codec"] is None
