@@ -80,9 +80,10 @@ def salted_repartition(df: DataFrame, codec_col: str = "codec",
 _ADPCM_STACK_SAMPLES = 1 << 22
 
 
-def _fill_adpcm_snr(pending, out, snr_threshold: float) -> None:
+def _fill_adpcm_snr(pending, out, adpcm_thr: float) -> None:
     """Stacked-decode every deferred ADPCM row of a batch and write its
-    snr_db/snr_ok verdicts. Grouped by block_align (blocks of different
+    snr_db/snr_ok verdicts against the pre-resolved adpcm gate.
+    Grouped by block_align (blocks of different
     geometry cannot share a matrix) and chunked to ≤_ADPCM_STACK_SAMPLES
     decoded samples per stacked call, so temporaries stay ~MBs however
     large the Arrow batch; within a chunk ONE call runs the sequential
@@ -98,20 +99,19 @@ def _fill_adpcm_snr(pending, out, snr_threshold: float) -> None:
             chunk.append(item)
             budget -= len(item[1])
             if budget <= 0:
-                _snr_one_stack(chunk, ba, out, snr_threshold)
+                _snr_one_stack(chunk, ba, out, adpcm_thr)
                 chunk, budget = [], _ADPCM_STACK_SAMPLES
         if chunk:
-            _snr_one_stack(chunk, ba, out, snr_threshold)
+            _snr_one_stack(chunk, ba, out, adpcm_thr)
 
 
-def _snr_one_stack(items, ba: int, out, snr_threshold) -> None:
+def _snr_one_stack(items, ba: int, out, adpcm_thr: float) -> None:
     decoded = adpcm_ima_decode_stacked(
         [c.payload for _, c, _, _ in items], ba)
     for (j, coded, period, n_ref), pcm in zip(items, decoded):
         s = snr_db_vs_period(pcm[:len(coded)], "pcm_s16le", period, n_ref)
         out["snr_db"][j] = s
-        out["snr_ok"][j] = bool(
-            s >= threshold_for(snr_threshold, "adpcm_ima"))
+        out["snr_ok"][j] = bool(s >= adpcm_thr)
 
 
 def threshold_for(snr_threshold, codec: str) -> float:
@@ -129,9 +129,19 @@ def threshold_for(snr_threshold, codec: str) -> float:
     return float(snr_threshold)
 
 
-def _decode_batches(check_reference: bool, snr_threshold: float,
+def _decode_batches(check_reference: bool, snr_threshold,
                     dur_tolerance_ms: int,
                     passthrough: Sequence[str] = ()):
+    # resolve the per-codec gates once per task, not once per clip —
+    # threshold_for's isinstance+get is cheap but this is the hot loop
+    thr_memo: dict = {}
+
+    def _thr(codec: str) -> float:
+        v = thr_memo.get(codec)
+        if v is None:
+            thr_memo[codec] = v = threshold_for(snr_threshold, codec)
+        return v
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
@@ -212,13 +222,12 @@ def _decode_batches(check_reference: bool, snr_threshold: float,
                         s = snr_db_vs_period(coded, fmt_codec, period,
                                              n_ref)
                         out["snr_db"][j] = s
-                        out["snr_ok"][j] = bool(
-                            s >= threshold_for(snr_threshold, fmt_codec))
+                        out["snr_ok"][j] = bool(s >= _thr(fmt_codec))
                     t = transcripts[j]
                     out["transcript_match"][j] = (
                         t is not None and t == expected_transcript(i))
             if adpcm_pending:
-                _fill_adpcm_snr(adpcm_pending, out, snr_threshold)
+                _fill_adpcm_snr(adpcm_pending, out, _thr("adpcm_ima"))
             yield pd.DataFrame(out)
 
     return run
@@ -305,16 +314,14 @@ def decode_violations(results: DataFrame,
         generic = ">= per-codec dB threshold vs reference"
         if "codec" in results.columns:
             default = threshold_for(snr_threshold, "default")
-            snr_expected = F.when(
-                ~F.col("codec_match"), F.lit(generic)).otherwise(
-                F.lit(None).cast("string"))
             chain = F.lit(f">= {default:g}dB vs reference")
             for c in sorted(k for k in snr_threshold if k != "default"):
                 chain = F.when(
                     F.col("codec") == c,
                     F.lit(f">= {threshold_for(snr_threshold, c):g}dB "
                           f"vs reference")).otherwise(chain)
-            snr_expected = F.coalesce(snr_expected, chain)
+            snr_expected = F.when(~F.col("codec_match"),
+                                  F.lit(generic)).otherwise(chain)
         else:
             snr_expected = F.lit(generic)
     else:

@@ -329,8 +329,12 @@ def decode_check_files(spark: SparkSession, root: str,
         .repartition(n_tasks)
 
     # per-codec SNR gates: carry codec into the results so the snr
-    # violation's expected text can name that codec's own bound
-    codec_pass = isinstance(snr_threshold, Mapping)
+    # violation's expected text can name that codec's own bound. A table
+    # PARTITIONED BY codec already carries the column as its partition
+    # tag — adding it again would emit a duplicate column and break the
+    # Arrow schema mid-job (decode.py's dict.fromkeys dedup, mirrored)
+    codec_pass = (isinstance(snr_threshold, Mapping)
+                  and partition_col != "codec")
     inner = _decode_batches(
         check_reference, snr_threshold, dur_tolerance_ms,
         passthrough=[partition_col] + (["codec"] if codec_pass else []))
@@ -372,8 +376,16 @@ def decode_check_files(spark: SparkSession, root: str,
                     # the (absent) directory value
                     col_backed = (pd.isna(pval) and partition_col
                                   in pf.schema_arrow.names)
-                    if col_backed:
+                    if col_backed and partition_col not in cols:
                         cols.append(partition_col)
+                    elif not col_backed and partition_col in cols:
+                        # hive layout partitioned BY a decode input
+                        # column (e.g. codec): partitionBy moved it out
+                        # of the data files into the directory name —
+                        # demanding it from the file would fail every
+                        # row group; the dir value is written back into
+                        # the block below
+                        cols.remove(partition_col)
                     tbl = pf.read_row_group(int(rg), columns=cols,
                                             use_threads=False)
                     # pyarrow silently DROPS requested columns missing

@@ -449,8 +449,21 @@ def test_full_job_over_adpcm_corpus_with_codec_gates(spark, tmp_path):
                      bytearray(enc(expected_signal(i, clean=True), sr_)),
                      sr_, d_, "adpcm_ima" if k % 2 == 0 else "ulaw",
                      expected_transcript(i), k % 4))
-    # one honest slope-overload clip: ~16 dB at 7 kHz/16 kHz fails even
-    # the relaxed adpcm gate
+    # one MARGINAL clean clip (~29.5 dB at 440 Hz/8 kHz): fails a blanket
+    # 30 dB gate, passes the adpcm 26 dB gate — the row that proves the
+    # per-codec gate actually engaged (without it the job would emit a
+    # second violation)
+    (marg_i,) = _pick_indices(
+        lambda f, sr, d: sr == 8000 and f == 440.0 and d <= 2000, 1)
+    _, _, sr_m, d_m, _, _ = _row_params(marg_i, clean=True)
+    marg_raw = encode_adpcm_wav(expected_signal(marg_i, clean=True), sr_m)
+    marg_snr = snr_db(expected_signal(marg_i, clean=True),
+                      decode_wav(marg_raw)[0])
+    assert 26.0 < marg_snr < 30.0     # really in the discriminating band
+    rows.append((f"clip_{marg_i:012d}", bytearray(marg_raw), sr_m, d_m,
+                 "adpcm_ima", expected_transcript(marg_i), 2))
+    # one honest slope-overload clip (~22 dB): fails even the relaxed
+    # adpcm gate
     (bad_i,) = _pick_indices(
         lambda f, sr, d: sr == 8000 and f >= 990 and d <= 2000, 1)
     _, _, sr_b, d_b, _, _ = _row_params(bad_i, clean=True)
@@ -480,10 +493,16 @@ def test_full_job_over_adpcm_corpus_with_codec_gates(spark, tmp_path):
     # the runner passes codec through under mapping gates, so the
     # violation names the codec's OWN bound, not generic text
     assert viols[0]["expected"] == ">= 26dB vs reference"
-    # the blanket gate would also have flagged the marginal 8 kHz/440 Hz
-    # ADPCM arm — prove the corpus really contains sub-30 dB passers
-    sub30 = [r for r in rows[:12][::2]]
-    assert len(sub30) >= 1
+    # the marginal sub-30 dB clip passed ONLY because the adpcm gate
+    # engaged: under a blanket 30 dB config the same corpus must flag it
+    cfg30 = ClipsJobConfig(group_size=4, drift=False, snr_threshold=30.0)
+    out30 = str(tmp_path / "out30")
+    ClipsValidationJob(spark, cfg30,
+                       codec_dim=default_codec_dim(spark)).run(
+        df, output_root=out30)
+    v30 = spark.read.parquet(os.path.join(out30, "violations")).collect()
+    flagged = {r["clip_id"] for r in v30 if r["rule_name"] == "snr"}
+    assert flagged == {f"clip_{marg_i:012d}", f"clip_{bad_i:012d}"}
 
 
 def test_files_decode_carries_codec_under_mapping_gates(spark, tmp_path):
@@ -494,21 +513,23 @@ def test_files_decode_carries_codec_under_mapping_gates(spark, tmp_path):
     picked = _pick_indices(
         lambda f, sr, d: sr >= 16000 and f <= 550 and d <= 2000, 3)
     rows = []
-    for i in picked:
+    for k, i in enumerate(picked):
         _, _, sr_, d_, _, _ = _row_params(i, clean=True)
         rows.append((f"clip_{i:012d}",
                      bytearray(encode_adpcm_wav(
                          expected_signal(i, clean=True), sr_)),
-                     sr_, d_, "adpcm_ima", expected_transcript(i), 0))
+                     sr_, d_, "adpcm_ima", expected_transcript(i),
+                     k % 2))
     root = str(tmp_path / "clips")
     (spark.createDataFrame(
         rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
               "codec string, transcript string, bucket_id int")
      .coalesce(1).write.partitionBy("bucket_id").parquet(root))
-    # smash one file's footer so a corrupt marker row flows through the
-    # widened schema too
+    # smash ONE bucket's file so the result mixes real decoded rows
+    # (codec carried from the data) with a corrupt marker (codec null)
+    # in the same widened schema
     import glob as _glob
-    victim = sorted(_glob.glob(root + "/**/*.parquet", recursive=True))[0]
+    victim = sorted(_glob.glob(root + "/bucket_id=1/*.parquet"))[0]
     with open(victim, "r+b") as f:
         import os as _os
         f.seek(-8, _os.SEEK_END)
@@ -516,6 +537,41 @@ def test_files_decode_carries_codec_under_mapping_gates(spark, tmp_path):
     res = decode_check_files(
         spark, root, snr_threshold={"adpcm_ima": 26.0},
         on_corrupt="violation").collect()
-    assert "codec" in res[0].asDict()
+    real = [r for r in res if not r["clip_id"].startswith("__corrupt__")]
     markers = [r for r in res if r["clip_id"].startswith("__corrupt__")]
+    assert real and all(r["codec"] == "adpcm_ima" and r["decode_ok"]
+                        and r["snr_ok"] for r in real)
     assert markers and markers[0]["codec"] is None
+    assert markers[0]["bucket_id"] == 1    # partition tag not nulled
+
+
+def test_files_decode_codec_partitioned_table_with_mapping_gates(
+        spark, tmp_path):
+    """partition_col='codec' (a natural layout given codec skew) plus
+    mapping gates: the codec column arrives once as the partition tag —
+    the passthrough must NOT add a duplicate (schema corruption)."""
+    from jio_spark.audio.files import decode_check_files
+    from jio_spark.audio.codecs import encode_ulaw_wav
+    picked = _pick_indices(
+        lambda f, sr, d: sr >= 16000 and f <= 550 and d <= 2000, 4)
+    rows = []
+    for k, i in enumerate(picked):
+        _, _, sr_, d_, _, _ = _row_params(i, clean=True)
+        enc = encode_adpcm_wav if k % 2 == 0 else encode_ulaw_wav
+        rows.append((f"clip_{i:012d}",
+                     bytearray(enc(expected_signal(i, clean=True), sr_)),
+                     sr_, d_, "adpcm_ima" if k % 2 == 0 else "ulaw",
+                     expected_transcript(i)))
+    root = str(tmp_path / "clips")
+    (spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+     .coalesce(1).write.partitionBy("codec").parquet(root))
+    res = decode_check_files(
+        spark, root, snr_threshold={"adpcm_ima": 26.0, "default": 30.0},
+        partition_col="codec")
+    assert res.columns.count("codec") == 1
+    got = res.collect()
+    assert len(got) == 4
+    assert all(r["decode_ok"] and r["snr_ok"] for r in got)
+    assert {r["codec"] for r in got} == {"adpcm_ima", "ulaw"}

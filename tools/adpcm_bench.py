@@ -20,7 +20,9 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
-os.environ["JIO_PIN_ARROW_CPU"] = "1"
+# no JIO_PIN_ARROW_CPU here: that flag is read only inside
+# decode_check_files' worker closure; this bench drives the in-memory
+# decode_check path, where it would be a silent no-op
 
 
 def main() -> None:
