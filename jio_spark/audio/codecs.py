@@ -4,10 +4,15 @@ has no audio at all; formats follow the public RIFF/WAVE and ITU-T G.711
 specifications.
 
 Supported WAVE format tags:
-* 1    — PCM signed 16-bit little-endian (``pcm_s16le``)
-* 6    — ITU-T G.711 A-law
-* 7    — ITU-T G.711 μ-law
-* 0x11 — IMA/DVI ADPCM (``adpcm_ima``), mono 4-bit
+* 1      — PCM little-endian: signed 16-bit (``pcm_s16le``) or the
+  legacy unsigned 8-bit convention (``pcm_u8`` — WAV stores 8-bit PCM
+  excess-128 by specification)
+* 6      — ITU-T G.711 A-law
+* 7      — ITU-T G.711 μ-law
+* 0x11   — IMA/DVI ADPCM (``adpcm_ima``), mono 4-bit
+* 0xFFFE — WAVE_FORMAT_EXTENSIBLE: the real format rides the SubFormat
+  GUID's leading tag bytes; unwrapped to one of the above (modern
+  encoders emit EXTENSIBLE even for plain mono PCM)
 
 G.711 companding is implemented as vectorized numpy over int16 arrays
 (standard bias-133/segment encoding for μ-law, 13-bit segment encoding for
@@ -283,12 +288,38 @@ class AdpcmCoded:
 
 
 # ---------------------------------------------------------------------------
+# unsigned 8-bit PCM (WAV's legacy excess-128 convention for bits=8)
+
+_PCMU8_LUT = ((np.arange(256, dtype=np.int32) - 128) << 8).astype(np.int16)
+
+
+def pcm_u8_decode(u: np.ndarray) -> np.ndarray:
+    """uint8 excess-128 PCM → int16 (<<8 rescale, exact table lookup)."""
+    return _PCMU8_LUT[u]
+
+
+def pcm_u8_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM → uint8 excess-128, rounding to the nearest 8-bit code
+    (a truncating >>8 would center the quantization noise off zero and
+    cost ~6 dB; rounded, the fixture sines measure ~44 dB — 8-bit
+    quantization noise, comfortably above the 30 dB gate)."""
+    q = np.round(pcm.astype(np.float64) / 256.0).astype(np.int32)
+    return np.clip(q + 128, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
 # RIFF/WAVE container
 
 _FMT_PCM16 = 1
 _FMT_ALAW = 6
 _FMT_ULAW = 7
 _FMT_ADPCM_IMA = 0x11
+_FMT_EXTENSIBLE = 0xFFFE
+
+#: WAVE_FORMAT_EXTENSIBLE SubFormat = {tag:04x}-0000-0010-8000-00AA00389B71:
+#: the first two GUID bytes are the little-endian classic format tag, the
+#: remaining 14 are this fixed media-type suffix
+_EXT_GUID_SUFFIX = bytes.fromhex("000000001000800000AA00389B71")
 
 _CODEC_FMT = {"pcm_s16le": _FMT_PCM16, "alaw": _FMT_ALAW, "ulaw": _FMT_ULAW,
               "adpcm_ima": _FMT_ADPCM_IMA}
@@ -377,6 +408,21 @@ def parse_wav(raw: bytes) -> Tuple[object, int, str]:
                 raise ValueError("malformed fmt chunk")
             (fmt, channels, sr, _, block_align, bits) = struct.unpack(
                 "<HHIIHH", body[:16])
+            if fmt == _FMT_EXTENSIBLE:
+                # WAVEFORMATEXTENSIBLE: 22-byte extension = cbSize(2) +
+                # wValidBitsPerSample(2) + dwChannelMask(4) +
+                # SubFormat GUID(16); the GUID's first two bytes are the
+                # real little-endian format tag
+                if clen < 40 or len(body) < 40:
+                    raise ValueError("malformed extensible fmt chunk")
+                if body[26:40] != _EXT_GUID_SUFFIX:
+                    raise ValueError("unknown extensible subformat")
+                (fmt,) = struct.unpack("<H", body[24:26])
+                # wValidBitsPerSample refines the container width for
+                # the payload-layout checks below
+                (valid_bits,) = struct.unpack("<H", body[18:20])
+                if valid_bits:
+                    bits = valid_bits
         elif cid == b"fact" and clen >= 4 and len(body) >= 4:
             # dwSampleLength — required for compressed formats; for the
             # block-padded ADPCM payload it is the only record of where
@@ -401,6 +447,9 @@ def parse_wav(raw: bytes) -> Tuple[object, int, str]:
     if channels != 1:
         raise ValueError(f"unsupported channel count {channels}")
     if fmt == _FMT_PCM16:
+        if bits == 8:
+            # WAV spec: 8-bit PCM is unsigned excess-128
+            return np.frombuffer(payload, dtype=np.uint8), sr, "pcm_u8"
         if bits != 16 or dlen % 2:
             raise ValueError("malformed pcm16 payload")
         return np.frombuffer(payload, dtype="<i2"), sr, _FMT_CODEC[fmt]
@@ -441,6 +490,8 @@ def decode_coded(samples, codec: str) -> np.ndarray:
         return alaw_decode(samples)
     if codec == "adpcm_ima":
         return samples.decode()
+    if codec == "pcm_u8":
+        return pcm_u8_decode(samples)
     return samples
 
 
@@ -453,8 +504,14 @@ def decode_wav(raw: bytes) -> Tuple[np.ndarray, int, str]:
     return decode_coded(coded, codec), sr, codec
 
 
+def encode_pcm8_wav(pcm: np.ndarray, sr: int) -> bytes:
+    """int16 samples → unsigned 8-bit PCM WAV (format tag 1, bits=8)."""
+    return _wav_bytes(pcm_u8_encode(pcm).tobytes(), _FMT_PCM16, sr, 8)
+
+
 ENCODERS = {"pcm_s16le": encode_pcm16_wav, "ulaw": encode_ulaw_wav,
-            "alaw": encode_alaw_wav, "adpcm_ima": encode_adpcm_wav}
+            "alaw": encode_alaw_wav, "adpcm_ima": encode_adpcm_wav,
+            "pcm_u8": encode_pcm8_wav}
 
 
 _PERIOD_CACHE: dict = {}
@@ -543,7 +600,8 @@ def snr_db_vs_period(coded: np.ndarray, codec: str,
         # takes this path — it stacks all ADPCM clips of a batch through
         # adpcm_ima_decode_stacked (decode.py) and computes SNR there.
         coded = coded.decode()
-    lut = {"ulaw": _ULAW_LUT, "alaw": _ALAW_LUT}.get(codec)
+    lut = {"ulaw": _ULAW_LUT, "alaw": _ALAW_LUT,
+           "pcm_u8": _PCMU8_LUT}.get(codec)
     plen = len(period)
     blk = min(_SNR_BLOCK, n)
     reps = (blk + plen) // plen + 1

@@ -31,7 +31,7 @@ def _assert_parse_contract(raw):
         return None
     assert (isinstance(coded, AdpcmCoded)
             or (isinstance(coded, np.ndarray) and coded.ndim == 1))
-    assert codec in {"pcm_s16le", "ulaw", "alaw", "adpcm_ima"}
+    assert codec in {"pcm_s16le", "pcm_u8", "ulaw", "alaw", "adpcm_ima"}
     assert isinstance(sr, int) and sr >= 0
     assert coded.nbytes <= len(raw)
     assert len(coded) >= 0
