@@ -1,3 +1,4 @@
-from .validate_stream import stateful_violation_counts, validate_stream
+from .validate_stream import (decode_stream, stateful_violation_counts,
+                              validate_stream)
 
-__all__ = ["validate_stream", "stateful_violation_counts"]
+__all__ = ["validate_stream", "stateful_violation_counts", "decode_stream"]

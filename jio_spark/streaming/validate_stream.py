@@ -70,6 +70,57 @@ def validate_stream(stream_df: DataFrame,
     return out
 
 
+def decode_stream(stream_df: DataFrame,
+                  check_reference: bool = True,
+                  snr_threshold=30.0,
+                  dur_tolerance_ms: int = 2,
+                  ts_col: Optional[str] = None,
+                  watermark: str = "10 minutes",
+                  window: str = "1 minute") -> Dict[str, DataFrame]:
+    """Codec-aware audio decode-and-check over a STREAMING clips frame —
+    validate payloads as they land, with the SAME Arrow kernel as batch
+    (``audio.decode.decode_check`` is ``mapInPandas``, which Structured
+    Streaming executes per micro-batch unchanged: G.711/PCM LUT decode,
+    batch-stacked ADPCM, per-codec SNR gates, one-violation-per-defect).
+
+    * ``results`` — one DECODE_RESULT_SCHEMA row per clip (append mode)
+    * ``violations`` — jio-shaped violation rows (append mode)
+    * ``rates`` — watermarked windowed decoded/failed counts, when
+      ``ts_col`` is given (the audio analog of validate_stream's rates)
+
+    No salting here: a micro-batch is already small and the salted
+    repartition would add a shuffle per micro-batch; skew across a long
+    stream amortizes through micro-batch boundaries instead."""
+    from ..audio.decode import (Mapping as _Mapping, decode_check,
+                                decode_violations)
+    passthrough = []
+    if ts_col:
+        passthrough.append(ts_col)
+    if isinstance(snr_threshold, _Mapping):
+        passthrough.append("codec")
+    dec = decode_check(stream_df, check_reference=check_reference,
+                       snr_threshold=snr_threshold,
+                       dur_tolerance_ms=dur_tolerance_ms,
+                       salt=False, passthrough=passthrough)
+    all_ok = (F.col("decode_ok") & F.col("codec_match") & F.col("sr_match")
+              & F.col("dur_match") & F.col("snr_ok")
+              & F.col("transcript_match"))
+    out = {"results": dec,
+           "violations": decode_violations(
+               dec, snr_threshold=snr_threshold)}
+    if ts_col:
+        out["rates"] = (dec
+                        .withWatermark(ts_col, watermark)
+                        .groupBy(F.window(F.col(ts_col), window))
+                        .agg(F.count(F.lit(1)).alias("clips"),
+                             F.sum((~all_ok).cast("long")).alias("failed"))
+                        .select(F.col("window.start")
+                                .alias("window_start"),
+                                F.col("window.end").alias("window_end"),
+                                "clips", "failed"))
+    return out
+
+
 def stateful_violation_counts(stream_df: DataFrame,
                               schema: Union[ObjectSchema,
                                             Dict[str, BaseSchema]],

@@ -342,3 +342,65 @@ def test_stream_schema_contract_preflight(spark, tmp_path):
                         schema_contract={"id": "string", "qty": "double",
                                          "ts": "timestamp"})
     assert "id" in str(e.value) and "ts" in str(e.value)
+
+
+def test_decode_stream_end_to_end(spark, tmp_path):
+    """Audio decode-and-check as a streaming query: the same Arrow
+    kernel per micro-batch — clean ADPCM/G.711 clips pass under
+    per-codec gates, a corrupt payload emits exactly one decode
+    violation, and the watermarked rates window counts it."""
+    from jio_spark.streaming import decode_stream
+    from jio_spark.audio.codecs import encode_adpcm_wav, encode_ulaw_wav
+    from jio_spark.audio.synth import (_row_params, expected_signal,
+                                       expected_transcript)
+
+    picked, i = [], 0
+    while len(picked) < 4:
+        _, f_, sr_, d_, _, _ = _row_params(i, True)
+        if sr_ >= 16000 and f_ <= 550 and d_ <= 1500:
+            picked.append(i)
+        i += 1
+    rows = []
+    for k, i in enumerate(picked):
+        _, _, sr_, d_, _, _ = _row_params(i, True)
+        enc = encode_adpcm_wav if k % 2 == 0 else encode_ulaw_wav
+        raw = enc(expected_signal(i, True), sr_)
+        if k == 3:
+            raw = raw[: len(raw) // 3]          # corrupt payload
+        rows.append((f"clip_{i:012d}", bytearray(raw), sr_, d_,
+                     "adpcm_ima" if k % 2 == 0 else "ulaw",
+                     expected_transcript(i),
+                     f"2024-01-01 00:00:{10 + k:02d}"))
+    src = str(tmp_path / "clips_stream")
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(src, mode="overwrite")
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    outs = decode_stream(
+        stream, snr_threshold={"adpcm_ima": 26.0, "default": 30.0},
+        ts_col="ts", window="30 seconds")
+    assert outs["results"].isStreaming and outs["violations"].isStreaming
+
+    q = (outs["violations"].writeStream.format("memory")
+         .queryName("dec_viols").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        viols = spark.sql("select * from dec_viols").collect()
+    finally:
+        q.stop()
+    bad_id = rows[3][0]
+    assert [(v["clip_id"], v["rule_name"]) for v in viols] \
+        == [(bad_id, "decode")]
+
+    q2 = (outs["rates"].writeStream.format("memory")
+          .queryName("dec_rates").outputMode("complete").start())
+    try:
+        q2.processAllAvailable()
+        rates = spark.sql("select * from dec_rates").collect()
+    finally:
+        q2.stop()
+    assert sum(r["clips"] for r in rates) == 4
+    assert sum(r["failed"] for r in rates) == 1
