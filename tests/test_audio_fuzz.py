@@ -87,3 +87,45 @@ def test_mutated_wav_parses_or_rejects_and_snr_is_total(codec, sr, dur, ops):
     period = synth_wave(440.0, 1000 // 440 + 3, sr)  # a few periods
     s = snr_db_vs_period(coded, got_codec, period, len(pcm))
     assert isinstance(s, float)
+
+
+@settings(deadline=None, max_examples=120)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 900),
+       st.sampled_from([12, 64, 256, 512]))
+def test_adpcm_roundtrip_matches_scalar_oracle(seed, n, block_align):
+    """Hypothesis arm of the ADPCM conformance: for random PCM of random
+    length and block geometry, the vectorized encoder's payload decodes
+    (via the vectorized decoder AND the in-test scalar transliteration in
+    test_audio_adpcm) to identical samples, and the container roundtrip
+    preserves the exact sample count through the fact chunk."""
+    from jio_spark.audio.codecs import (adpcm_ima_decode_stacked,
+                                        adpcm_ima_encode,
+                                        encode_adpcm_wav)
+    from tests.test_audio_adpcm import _oracle_decode_block
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32768, size=n).astype(np.int16)
+    payload = adpcm_ima_encode(pcm, block_align)
+    blocks = [payload[i:i + block_align]
+              for i in range(0, len(payload), block_align)]
+    want = np.concatenate([_oracle_decode_block(b, block_align)
+                           for b in blocks])
+    (got,) = adpcm_ima_decode_stacked(
+        [np.frombuffer(payload, np.uint8)], block_align)
+    assert np.array_equal(want, got)
+    coded, _, codec = parse_wav(encode_adpcm_wav(pcm, 16000, block_align))
+    assert codec == "adpcm_ima" and len(coded) == n
+
+
+@settings(deadline=None, max_examples=120)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 2000))
+def test_pcm_u8_decode_is_exact_lut(seed, n):
+    """pcm_u8 round trip: every decoded sample equals the excess-128
+    rescale of its code, and re-encoding the decoded PCM is the
+    identity on codes (the LUT pair is mutually inverse on its range)."""
+    from jio_spark.audio.codecs import pcm_u8_decode, pcm_u8_encode
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 256, size=n).astype(np.uint8)
+    dec = pcm_u8_decode(codes)
+    assert np.array_equal(dec, ((codes.astype(np.int32) - 128) << 8)
+                          .astype(np.int16))
+    assert np.array_equal(pcm_u8_encode(dec), codes)
