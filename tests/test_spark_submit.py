@@ -41,7 +41,10 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
          "--py-files", zip_path,
          os.path.join(REPO, "tools", "submit_job.py"),
          "--input", src, "--output", out,
-         "--group-size", "16", "--decode-source", "files"],
+         "--group-size", "16", "--decode-source", "files",
+         # JSON per-codec gate form, semantically equal to the scalar
+         # default — proves the flag plumbs through the packaged entry
+         "--snr-threshold", '{"default": 30.0}'],
         capture_output=True, text=True, timeout=600,
         cwd=str(tmp_path), env=env)
     assert proc.returncode == 0, proc.stderr[-4000:]
@@ -64,3 +67,22 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
     assert run_meta["audio_check"] is True
     viols = spark.read.parquet(os.path.join(out, "violations"))
     assert viols.where("rule_name = 'transcript_equality'").count() > 0
+
+
+def test_submit_job_rejects_bad_snr_threshold(tmp_path):
+    """A malformed --snr-threshold must die at argument parsing (exit 2,
+    loud message) — before a Spark session ever starts."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "submit_job.py"),
+         "--input", str(tmp_path), "--output", str(tmp_path / "o"),
+         "--snr-threshold", "not-a-number"],
+        capture_output=True, text=True, timeout=60)
+    assert proc.returncode == 2
+    assert "snr-threshold" in proc.stderr
+    proc2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "submit_job.py"),
+         "--input", str(tmp_path), "--output", str(tmp_path / "o"),
+         "--snr-threshold", "[26, 30]"],
+        capture_output=True, text=True, timeout=60)
+    assert proc2.returncode == 2
+    assert "number or a JSON object" in proc2.stderr

@@ -85,7 +85,20 @@ def main(argv=None):
                          "via the exact groupBy — always exact; 'trust' "
                          "for layouts exact by construction (hash-bucketed "
                          "or equal-keys-colocated writes)")
+    ap.add_argument("--snr-threshold", default="30.0",
+                    help="SNR gate in dB: a number, or a JSON object of "
+                         "per-codec gates with a 'default' fallback, "
+                         "e.g. '{\"adpcm_ima\": 26, \"default\": 30}' — "
+                         "lossy codecs have different honest floors")
     args = ap.parse_args(argv)
+    try:
+        snr_threshold = json.loads(args.snr_threshold)
+    except json.JSONDecodeError:
+        ap.error(f"--snr-threshold is neither a number nor JSON: "
+                 f"{args.snr_threshold!r}")
+    if not isinstance(snr_threshold, (int, float, dict)):
+        ap.error("--snr-threshold must be a number or a JSON object "
+                 "of per-codec gates")
     if args.decode_source == "files" and args.format != "parquet":
         # the runner would silently route to the dataframe decode (an
         # Iceberg location is a catalog name, not a listable dir), which
@@ -132,6 +145,7 @@ def main(argv=None):
                          observe_rule_counts=args.rule_counts,
                          violations_sink=args.violations_sink,
                          violations_exemplars=args.violations_exemplars,
+                         snr_threshold=snr_threshold,
                          drift=baseline is not None)
     job = ClipsValidationJob(spark, cfg,
                              codec_dim=default_codec_dim(spark),
