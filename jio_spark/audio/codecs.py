@@ -410,19 +410,23 @@ def parse_wav(raw: bytes) -> Tuple[object, int, str]:
                 "<HHIIHH", body[:16])
             if fmt == _FMT_EXTENSIBLE:
                 # WAVEFORMATEXTENSIBLE: 22-byte extension = cbSize(2) +
-                # wValidBitsPerSample(2) + dwChannelMask(4) +
-                # SubFormat GUID(16); the GUID's first two bytes are the
-                # real little-endian format tag
+                # Samples union(2) + dwChannelMask(4) + SubFormat
+                # GUID(16); the GUID's first two bytes are the real
+                # little-endian format tag. `bits` stays the base
+                # header's wBitsPerSample (the CONTAINER width every
+                # layout check below needs): the union field at offset
+                # 18 is wValidBitsPerSample only for PCM — for
+                # compressed subformats it is wSamplesPerBlock, and for
+                # PCM with valid_bits < container the payload is still
+                # laid out at container width (low bits zero), so
+                # overriding bits from the union would reject valid
+                # ADPCM files (505 ≠ 4) or misroute 16-bit containers
+                # to the 8-bit decoder
                 if clen < 40 or len(body) < 40:
                     raise ValueError("malformed extensible fmt chunk")
                 if body[26:40] != _EXT_GUID_SUFFIX:
                     raise ValueError("unknown extensible subformat")
                 (fmt,) = struct.unpack("<H", body[24:26])
-                # wValidBitsPerSample refines the container width for
-                # the payload-layout checks below
-                (valid_bits,) = struct.unpack("<H", body[18:20])
-                if valid_bits:
-                    bits = valid_bits
         elif cid == b"fact" and clen >= 4 and len(body) >= 4:
             # dwSampleLength — required for compressed formats; for the
             # block-padded ADPCM payload it is the only record of where

@@ -114,6 +114,24 @@ def _snr_one_stack(items, ba: int, out, adpcm_thr: float) -> None:
         out["snr_ok"][j] = bool(s >= adpcm_thr)
 
 
+def validate_gates(snr_threshold) -> None:
+    """Fail a malformed gate config at PLAN time (driver), not as a
+    TypeError inside an executor's Arrow task minutes into the job.
+    bool is rejected explicitly — it is an int subclass, and a `true`
+    gate would silently become 1.0 dB (an SNR check in name only)."""
+    def _num(v):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if isinstance(snr_threshold, Mapping):
+        bad = {k: v for k, v in snr_threshold.items() if not _num(v)}
+        if bad:
+            raise ValueError(
+                f"snr_threshold mapping has non-number gates: {bad!r}")
+    elif not _num(snr_threshold):
+        raise ValueError(
+            f"snr_threshold must be a number or a per-codec mapping, "
+            f"got {snr_threshold!r}")
+
+
 def threshold_for(snr_threshold, codec: str) -> float:
     """Resolve the SNR gate for one codec. A scalar applies to every
     codec; a mapping is per-codec with a ``"default"`` fallback (30.0 if
@@ -253,6 +271,7 @@ def decode_check(df: DataFrame, check_reference: bool = True,
     Returns one row per clip (DECODE_RESULT_SCHEMA). Columns are pruned to
     exactly what the decode needs before the Arrow exchange, so parquet
     scan pruning still applies (SURVEY.md §4.2)."""
+    validate_gates(snr_threshold)
     cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
     if check_reference:
         # only the reference check reads transcripts — a metadata-only

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .decode import DECODE_RESULT_SCHEMA, _decode_batches
+from .decode import DECODE_RESULT_SCHEMA, _decode_batches, validate_gates
 from ..sources.tables import _unescape_hive, parse_hive_values
 
 _COLUMNS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
@@ -310,6 +310,7 @@ def decode_check_files(spark: SparkSession, root: str,
     JVM rule-scan side plus the runner's footer-vs-scan ``row_integrity``
     check, which turns that setting's silent row loss into an explicit
     metric. Default ``'fail'`` keeps strict semantics."""
+    validate_gates(snr_threshold)
     splits = list_row_group_splits(root, partition_filter, partition_col,
                                    on_corrupt=on_corrupt,
                                    footer_cache=footer_cache)

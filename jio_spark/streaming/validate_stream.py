@@ -56,18 +56,25 @@ def validate_stream(stream_df: DataFrame,
 
     out = {"annotated": res.annotated, "violations": res.violations}
     if ts_col:
-        rates = (res.prepared
-                 .withColumn("_pass", res.compiled.row_pass)
-                 .withWatermark(ts_col, watermark)
-                 .groupBy(F.window(F.col(ts_col), window))
-                 .agg(F.count(F.lit(1)).alias("rows"),
-                      F.sum((~F.col("_pass")).cast("long"))
-                       .alias("failed"))
-                 .select(F.col("window.start").alias("window_start"),
-                         F.col("window.end").alias("window_end"),
-                         "rows", "failed"))
-        out["rates"] = rates
+        out["rates"] = _windowed_rates(
+            res.prepared.withColumn("_pass", res.compiled.row_pass),
+            ts_col, watermark, window, F.col("_pass"), "rows")
     return out
+
+
+def _windowed_rates(df: DataFrame, ts_col: str, watermark: str,
+                    window: str, ok_col, count_alias: str) -> DataFrame:
+    """One derivation of the watermarked windowed pass/fail rates shared
+    by the rule face (validate_stream) and the audio face (decode_stream)
+    — the two analogs must not drift."""
+    return (df
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window))
+            .agg(F.count(F.lit(1)).alias(count_alias),
+                 F.sum((~ok_col).cast("long")).alias("failed"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    count_alias, "failed"))
 
 
 def decode_stream(stream_df: DataFrame,
@@ -109,15 +116,8 @@ def decode_stream(stream_df: DataFrame,
            "violations": decode_violations(
                dec, snr_threshold=snr_threshold)}
     if ts_col:
-        out["rates"] = (dec
-                        .withWatermark(ts_col, watermark)
-                        .groupBy(F.window(F.col(ts_col), window))
-                        .agg(F.count(F.lit(1)).alias("clips"),
-                             F.sum((~all_ok).cast("long")).alias("failed"))
-                        .select(F.col("window.start")
-                                .alias("window_start"),
-                                F.col("window.end").alias("window_end"),
-                                "clips", "failed"))
+        out["rates"] = _windowed_rates(dec, ts_col, watermark, window,
+                                       all_ok, "clips")
     return out
 
 

@@ -580,16 +580,19 @@ def test_files_decode_codec_partitioned_table_with_mapping_gates(
 # ---------------------------------------------------------------------------
 # session-9 container breadth: pcm_u8 and WAVE_FORMAT_EXTENSIBLE
 
-def _extensible_wrap(raw: bytes, valid_bits: int) -> bytes:
-    """Rewrap a canonical 44-byte-header WAV as WAVE_FORMAT_EXTENSIBLE:
-    fmt grows 16→40 bytes, the classic tag moves into the SubFormat GUID,
-    and the fmt-chunk tag becomes 0xFFFE."""
+def _extensible_wrap(raw: bytes, samples_union: int) -> bytes:
+    """Rewrap a canonical WAV as WAVE_FORMAT_EXTENSIBLE: the fmt chunk
+    grows to 40 bytes, the classic tag moves into the SubFormat GUID,
+    and the fmt-chunk tag becomes 0xFFFE. ``samples_union`` is the
+    spec's union field at offset 18 — wValidBitsPerSample for PCM,
+    wSamplesPerBlock for compressed formats like IMA ADPCM."""
     import struct as _s
+    (fmt_clen,) = _s.unpack("<I", raw[16:20])
     (fmt, ch, sr, br, ba, bits) = _s.unpack("<HHIIHH", raw[20:36])
     guid = _s.pack("<H", fmt) + bytes.fromhex("000000001000800000AA00389B71")
     ext_fmt = _s.pack("<HHIIHHHHI", 0xFFFE, ch, sr, br, ba, bits,
-                      22, valid_bits, 0x4) + guid
-    rest = raw[36:]
+                      22, samples_union, 0x4) + guid
+    rest = raw[20 + fmt_clen + (fmt_clen & 1):]
     out = (b"RIFF" + _s.pack("<I", 4 + 8 + 40 + len(rest)) + b"WAVE"
            + b"fmt " + _s.pack("<I", 40) + ext_fmt + rest)
     return out
@@ -623,14 +626,24 @@ def test_extensible_container_unwraps_every_codec():
         "pcm_s16le": encode_pcm16_wav(x, 16000),
         "pcm_u8": encode_pcm8_wav(x, 16000),
         "ulaw": encode_ulaw_wav(x, 16000),
+        # compressed subformat: the Samples union carries
+        # wSamplesPerBlock (505), NOT a bits value — the parser must
+        # keep the container's 4-bit layout (reviewer repro: overriding
+        # bits from the union rejected this valid file)
+        "adpcm_ima": encode_adpcm_wav(x, 16000),
     }
+    unions = {"pcm_s16le": 16, "pcm_u8": 8, "ulaw": 8, "adpcm_ima": 505}
     for codec, raw in forms.items():
-        bits = {"pcm_s16le": 16, "pcm_u8": 8, "ulaw": 8}[codec]
-        wrapped = _extensible_wrap(raw, bits)
+        wrapped = _extensible_wrap(raw, unions[codec])
         c0, sr0, k0 = parse_wav(raw)
         c1, sr1, k1 = parse_wav(wrapped)
         assert (sr0, k0) == (sr1, k1) == (16000, codec)
         assert np.array_equal(decode_coded(c0, k0), decode_coded(c1, k1))
+    # EXTENSIBLE PCM with valid_bits < container width (8 significant
+    # bits in int16 containers): layout is still 16-bit — must parse as
+    # s16le, not be misrouted to the u8 decoder
+    c2, _, k2 = parse_wav(_extensible_wrap(forms["pcm_s16le"], 8))
+    assert k2 == "pcm_s16le" and len(c2) == len(x)
 
 
 def test_extensible_malformed_rejected():
@@ -642,8 +655,24 @@ def test_extensible_malformed_rejected():
     bad = bytes(wrapped[:48]) + b"\xde\xad" + bytes(wrapped[50:])
     with pytest.raises(ValueError, match="unknown extensible subformat"):
         parse_wav(bad)
-    # truncate the fmt extension → malformed extensible fmt
-    short = bytes(wrapped[:20 + 8]) \
-        + bytes(wrapped[20 + 8:])[:10]
-    with pytest.raises(ValueError):
-        parse_wav(short)
+    # a short extensible fmt chunk (clen 24 < 40) must hit the explicit
+    # extensible guard, not crash unpacking GUID bytes that aren't there
+    short = bytearray(wrapped)
+    short[16:20] = (24).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="malformed extensible fmt"):
+        parse_wav(bytes(short))
+
+
+def test_library_gate_validation_fails_at_plan_time(spark):
+    """A malformed gate mapping must raise on the driver when the plan
+    is built, not as a TypeError inside an executor's Arrow task."""
+    df = spark.createDataFrame(
+        [("c", bytearray(b"x"), 1, 1, "ulaw", "t")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string")
+    with pytest.raises(ValueError, match="non-number gates"):
+        decode_check(df, snr_threshold={"ulaw": [26]})
+    with pytest.raises(ValueError, match="non-number gates"):
+        decode_check(df, snr_threshold={"ulaw": True})
+    with pytest.raises(ValueError, match="number or a per-codec"):
+        decode_check(df, snr_threshold="30")

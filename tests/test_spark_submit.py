@@ -86,3 +86,17 @@ def test_submit_job_rejects_bad_snr_threshold(tmp_path):
         capture_output=True, text=True, timeout=60)
     assert proc2.returncode == 2
     assert "number or a JSON object" in proc2.stderr
+
+
+def test_submit_job_rejects_sneaky_snr_gates(tmp_path):
+    """bool is an int subclass (`true` → a 1.0 dB gate that disables the
+    check in all but name) and a typo'd codec key silently falls to the
+    default gate — both must die at parse time."""
+    for bad in ("true", '{"adpcm_ima": [26]}', '{"adcpm_ima": 26}'):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "submit_job.py"),
+             "--input", str(tmp_path), "--output", str(tmp_path / "o"),
+             "--snr-threshold", bad],
+            capture_output=True, text=True, timeout=60)
+        assert proc.returncode == 2, bad
+        assert "snr-threshold" in proc.stderr, bad

@@ -96,7 +96,26 @@ def main(argv=None):
     except json.JSONDecodeError:
         ap.error(f"--snr-threshold is neither a number nor JSON: "
                  f"{args.snr_threshold!r}")
-    if not isinstance(snr_threshold, (int, float, dict)):
+    # bool is an int subclass: `true` would silently become a 1.0 dB
+    # gate (an SNR check in name only) — reject it and every non-number
+    # dict value HERE, not as a TypeError inside an executor task
+    def _is_num(v):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if isinstance(snr_threshold, dict):
+        bad = {k: v for k, v in snr_threshold.items()
+               if not _is_num(v)}
+        if bad:
+            ap.error(f"--snr-threshold object has non-number gates: "
+                     f"{bad!r}")
+        known = {"pcm_s16le", "pcm_u8", "ulaw", "alaw", "adpcm_ima",
+                 "default"}
+        unknown = sorted(set(snr_threshold) - known)
+        if unknown:
+            # a typo'd codec key would silently fall through to the
+            # default gate — the loud-knob rule applies to keys too
+            ap.error(f"--snr-threshold has unknown codec keys "
+                     f"{unknown}; known: {sorted(known)}")
+    elif not _is_num(snr_threshold):
         ap.error("--snr-threshold must be a number or a JSON object "
                  "of per-codec gates")
     if args.decode_source == "files" and args.format != "parquet":
