@@ -114,11 +114,21 @@ def _snr_one_stack(items, ba: int, out, adpcm_thr: float) -> None:
         out["snr_ok"][j] = bool(s >= adpcm_thr)
 
 
+#: every codec parse_wav can return — the gate mapping's key space is
+#: closed, so an unknown key is always a typo that would silently fall
+#: to the default gate
+KNOWN_CODECS = frozenset(
+    {"pcm_s16le", "pcm_u8", "ulaw", "alaw", "adpcm_ima"})
+
+
 def validate_gates(snr_threshold) -> None:
     """Fail a malformed gate config at PLAN time (driver), not as a
     TypeError inside an executor's Arrow task minutes into the job.
     bool is rejected explicitly — it is an int subclass, and a `true`
-    gate would silently become 1.0 dB (an SNR check in name only)."""
+    gate would silently become 1.0 dB (an SNR check in name only);
+    unknown codec keys are rejected too (the codec set is closed, so a
+    typo like 'adcpm_ima' can only ever mean the default gate silently
+    applied where a specific one was intended)."""
     def _num(v):
         return isinstance(v, (int, float)) and not isinstance(v, bool)
     if isinstance(snr_threshold, Mapping):
@@ -126,6 +136,11 @@ def validate_gates(snr_threshold) -> None:
         if bad:
             raise ValueError(
                 f"snr_threshold mapping has non-number gates: {bad!r}")
+        unknown = sorted(set(snr_threshold) - KNOWN_CODECS - {"default"})
+        if unknown:
+            raise ValueError(
+                f"snr_threshold has unknown codec keys {unknown}; "
+                f"known: {sorted(KNOWN_CODECS)} + 'default'")
     elif not _num(snr_threshold):
         raise ValueError(
             f"snr_threshold must be a number or a per-codec mapping, "

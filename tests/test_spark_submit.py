@@ -85,7 +85,7 @@ def test_submit_job_rejects_bad_snr_threshold(tmp_path):
          "--snr-threshold", "[26, 30]"],
         capture_output=True, text=True, timeout=60)
     assert proc2.returncode == 2
-    assert "number or a JSON object" in proc2.stderr
+    assert "number or a per-codec mapping" in proc2.stderr
 
 
 def test_submit_job_rejects_sneaky_snr_gates(tmp_path):

@@ -20,7 +20,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# direct `python tools/submit_job.py` runs (arg validation, local dev)
+# see only the script dir on sys.path; APPEND the repo root as a
+# fallback so the --py-files zip still wins on a real cluster
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
@@ -96,28 +102,14 @@ def main(argv=None):
     except json.JSONDecodeError:
         ap.error(f"--snr-threshold is neither a number nor JSON: "
                  f"{args.snr_threshold!r}")
-    # bool is an int subclass: `true` would silently become a 1.0 dB
-    # gate (an SNR check in name only) — reject it and every non-number
-    # dict value HERE, not as a TypeError inside an executor task
-    def _is_num(v):
-        return isinstance(v, (int, float)) and not isinstance(v, bool)
-    if isinstance(snr_threshold, dict):
-        bad = {k: v for k, v in snr_threshold.items()
-               if not _is_num(v)}
-        if bad:
-            ap.error(f"--snr-threshold object has non-number gates: "
-                     f"{bad!r}")
-        known = {"pcm_s16le", "pcm_u8", "ulaw", "alaw", "adpcm_ima",
-                 "default"}
-        unknown = sorted(set(snr_threshold) - known)
-        if unknown:
-            # a typo'd codec key would silently fall through to the
-            # default gate — the loud-knob rule applies to keys too
-            ap.error(f"--snr-threshold has unknown codec keys "
-                     f"{unknown}; known: {sorted(known)}")
-    elif not _is_num(snr_threshold):
-        ap.error("--snr-threshold must be a number or a JSON object "
-                 "of per-codec gates")
+    # one validator for CLI and library (bool-as-int trap, non-number
+    # dict values, typo'd codec keys) — fail at parse time, not inside
+    # an executor task
+    from jio_spark.audio.decode import validate_gates
+    try:
+        validate_gates(snr_threshold)
+    except ValueError as exc:
+        ap.error(f"--snr-threshold: {exc}")
     if args.decode_source == "files" and args.format != "parquet":
         # the runner would silently route to the dataframe decode (an
         # Iceberg location is a catalog name, not a listable dir), which
