@@ -234,18 +234,22 @@ def adpcm_ima_encode(pcm: np.ndarray, block_align: int = 256) -> bytes:
     if pad:
         tail = pcm[-1] if n else np.int16(0)
         pcm = np.concatenate([pcm, np.full(pad, tail, dtype=np.int16)])
-    s = pcm.astype(np.int32).reshape(nb, spb)
-    pred = s[:, 0].copy()
-    d0 = np.abs(s[:, 1] - pred) if spb > 1 else np.zeros(nb, dtype=np.int32)
+    # transposed like the decoder: per-step reads (sample k+1 of every
+    # block) and writes (nibble k of every block) are contiguous rows of
+    # (spb, nb) matrices instead of strided columns of row-major ones
+    s_t = np.ascontiguousarray(
+        pcm.astype(np.int32).reshape(nb, spb).T)
+    pred = s_t[0].copy()
+    d0 = np.abs(s_t[1] - pred) if spb > 1 else np.zeros(nb, dtype=np.int32)
     index = np.clip(np.searchsorted(_IMA_STEPS, d0), 0, 88).astype(np.int32)
     header = np.zeros((nb, 4), dtype=np.uint8)
     header[:, 0] = pred & 0xFF
     header[:, 1] = (pred >> 8) & 0xFF
     header[:, 2] = index
-    nibbles = np.empty((nb, spb - 1), dtype=np.uint8)
+    nibbles_t = np.empty((spb - 1, nb), dtype=np.uint8)
     for k in range(spb - 1):
         step = _IMA_STEPS[index]
-        diff = s[:, k + 1] - pred
+        diff = s_t[k + 1] - pred
         sign = diff < 0
         ad = np.abs(diff)
         b4 = ad >= step
@@ -259,7 +263,8 @@ def adpcm_ima_encode(pcm: np.ndarray, block_align: int = 256) -> bytes:
         pred = np.clip(pred + _IMA_SIGN[nib] * _IMA_DIFF[flat],
                        -32768, 32767)
         index = _IMA_NEXT[flat]
-        nibbles[:, k] = nib
+        nibbles_t[k] = nib
+    nibbles = np.ascontiguousarray(nibbles_t.T)
     packed = (nibbles[:, 0::2] | (nibbles[:, 1::2] << 4)).astype(np.uint8)
     return np.concatenate([header, packed], axis=1).tobytes()
 
