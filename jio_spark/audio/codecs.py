@@ -4,7 +4,9 @@ has no audio at all; formats follow the public RIFF/WAVE and ITU-T G.711
 specifications.
 
 Supported WAVE format tags:
-* 1      — PCM little-endian: signed 16-bit (``pcm_s16le``) or the
+* 1      — PCM little-endian: signed 16-bit (``pcm_s16le``), signed
+  24-bit (``pcm_s24le`` — the studio mastering width; compared at int16
+  precision, exact for payloads produced from 16-bit sources), or the
   legacy unsigned 8-bit convention (``pcm_u8`` — WAV stores 8-bit PCM
   excess-128 by specification)
 * 6      — ITU-T G.711 A-law
@@ -299,6 +301,50 @@ class AdpcmCoded:
 
 
 # ---------------------------------------------------------------------------
+# signed 24-bit PCM (bits=24 under format tag 1 — studio mastering width)
+
+class Pcm24Coded:
+    """Zero-copy view of a 24-bit PCM data chunk. Like AdpcmCoded it
+    cannot be a one-element-per-sample numpy view (3 bytes per sample
+    have no native dtype), so ``len()``/``nbytes`` carry the invariants
+    and :meth:`decode` materializes int16 on demand — the comparison
+    precision of the whole check pipeline (references are int16 synth;
+    a 24-bit payload written from a 16-bit source round-trips exactly,
+    so SNR reads ∞ on clean clips)."""
+
+    __slots__ = ("payload",)
+
+    def __init__(self, payload: np.ndarray):
+        self.payload = payload
+
+    def __len__(self) -> int:
+        return self.payload.nbytes // 3
+
+    @property
+    def nbytes(self) -> int:
+        return self.payload.nbytes
+
+    def decode(self) -> np.ndarray:
+        b = np.ascontiguousarray(self.payload).reshape(-1, 3)
+        x = (b[:, 0].astype(np.int32)
+             | (b[:, 1].astype(np.int32) << 8)
+             | (b[:, 2].astype(np.int32) << 16))
+        x = (x ^ 0x800000) - 0x800000          # sign-extend int24
+        return (x >> 8).astype(np.int16)
+
+
+def pcm_s24_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM → little-endian 3-byte samples (value << 8): the exact
+    inverse of Pcm24Coded.decode for 16-bit sources."""
+    x = pcm.astype(np.int32) << 8
+    out = np.empty((len(pcm), 3), dtype=np.uint8)
+    out[:, 0] = x & 0xFF
+    out[:, 1] = (x >> 8) & 0xFF
+    out[:, 2] = (x >> 16) & 0xFF
+    return out.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
 # unsigned 8-bit PCM (WAV's legacy excess-128 convention for bits=8)
 
 _PCMU8_LUT = ((np.arange(256, dtype=np.int32) - 128) << 8).astype(np.int16)
@@ -465,6 +511,11 @@ def parse_wav(raw: bytes) -> Tuple[object, int, str]:
         if bits == 8:
             # WAV spec: 8-bit PCM is unsigned excess-128
             return np.frombuffer(payload, dtype=np.uint8), sr, "pcm_u8"
+        if bits == 24:
+            if dlen % 3:
+                raise ValueError("malformed pcm24 payload")
+            return (Pcm24Coded(np.frombuffer(payload, dtype=np.uint8)),
+                    sr, "pcm_s24le")
         if bits != 16 or dlen % 2:
             raise ValueError("malformed pcm16 payload")
         return np.frombuffer(payload, dtype="<i2"), sr, _FMT_CODEC[fmt]
@@ -503,7 +554,7 @@ def decode_coded(samples, codec: str) -> np.ndarray:
         return ulaw_decode(samples)
     if codec == "alaw":
         return alaw_decode(samples)
-    if codec == "adpcm_ima":
+    if codec in ("adpcm_ima", "pcm_s24le"):
         return samples.decode()
     if codec == "pcm_u8":
         return pcm_u8_decode(samples)
@@ -524,9 +575,14 @@ def encode_pcm8_wav(pcm: np.ndarray, sr: int) -> bytes:
     return _wav_bytes(pcm_u8_encode(pcm).tobytes(), _FMT_PCM16, sr, 8)
 
 
+def encode_pcm24_wav(pcm: np.ndarray, sr: int) -> bytes:
+    """int16 samples → signed 24-bit PCM WAV (format tag 1, bits=24)."""
+    return _wav_bytes(pcm_s24_encode(pcm).tobytes(), _FMT_PCM16, sr, 24)
+
+
 ENCODERS = {"pcm_s16le": encode_pcm16_wav, "ulaw": encode_ulaw_wav,
             "alaw": encode_alaw_wav, "adpcm_ima": encode_adpcm_wav,
-            "pcm_u8": encode_pcm8_wav}
+            "pcm_u8": encode_pcm8_wav, "pcm_s24le": encode_pcm24_wav}
 
 
 _PERIOD_CACHE: dict = {}
@@ -608,12 +664,12 @@ def snr_db_vs_period(coded: np.ndarray, codec: str,
     n = min(n_ref, len(coded))
     if n == 0:
         return float("-inf")
-    if isinstance(coded, AdpcmCoded):
-        # ADPCM has no per-sample LUT — its recurrence needs whole blocks.
-        # Per-clip this materializes the PCM (clips are ~KBs; the 1/4-size
-        # coded payload already fit in memory); the Arrow decode UDF never
-        # takes this path — it stacks all ADPCM clips of a batch through
-        # adpcm_ima_decode_stacked (decode.py) and computes SNR there.
+    if isinstance(coded, (AdpcmCoded, Pcm24Coded)):
+        # neither has a per-sample LUT (ADPCM needs whole blocks, s24 has
+        # no 3-byte dtype) — materialize the int16 PCM per clip (clips
+        # are ~KBs). The Arrow decode UDF still routes ADPCM through the
+        # batch-stacked path (decode.py); s24 decode is a single
+        # vectorized pass, so per-clip is already the efficient form.
         coded = coded.decode()
     lut = {"ulaw": _ULAW_LUT, "alaw": _ALAW_LUT,
            "pcm_u8": _PCMU8_LUT}.get(codec)

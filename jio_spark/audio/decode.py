@@ -118,7 +118,7 @@ def _snr_one_stack(items, ba: int, out, adpcm_thr: float) -> None:
 #: closed, so an unknown key is always a typo that would silently fall
 #: to the default gate
 KNOWN_CODECS = frozenset(
-    {"pcm_s16le", "pcm_u8", "ulaw", "alaw", "adpcm_ima"})
+    {"pcm_s16le", "pcm_u8", "pcm_s24le", "ulaw", "alaw", "adpcm_ima"})
 
 
 def validate_gates(snr_threshold) -> None:

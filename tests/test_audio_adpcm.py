@@ -676,3 +676,45 @@ def test_library_gate_validation_fails_at_plan_time(spark):
         decode_check(df, snr_threshold={"ulaw": True})
     with pytest.raises(ValueError, match="number or a per-codec"):
         decode_check(df, snr_threshold="30")
+
+
+def test_pcm_s24_roundtrip_is_lossless_and_checks_pass(spark):
+    """24-bit PCM written from a 16-bit source decodes back exactly
+    (value<<8 then >>8), so a clean s24 clip measures infinite SNR; the
+    live decode path and the EXTENSIBLE wrapper both carry it."""
+    from jio_spark.audio.codecs import (Pcm24Coded, decode_coded,
+                                        encode_pcm24_wav)
+    x = synth_wave(440.0, 250, 16000)
+    raw = encode_pcm24_wav(x, 16000)
+    coded, sr, codec = parse_wav(raw)
+    assert isinstance(coded, Pcm24Coded)
+    assert (sr, codec) == (16000, "pcm_s24le")
+    assert len(coded) == len(x) and coded.nbytes == 3 * len(x)
+    assert np.array_equal(decode_coded(coded, codec), x)
+    # malformed: payload not a multiple of 3 bytes (shrink the data clen
+    # at offset 40 of the 44-byte classic header and drop the last byte)
+    bad = bytearray(raw)
+    bad[40:44] = (len(x) * 3 - 1).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="pcm24"):
+        parse_wav(bytes(bad[:len(bad) - 1]))
+    # EXTENSIBLE wrapper (valid bits 24)
+    c2, _, k2 = parse_wav(_extensible_wrap(raw, 24))
+    assert k2 == "pcm_s24le"
+    assert np.array_equal(decode_coded(c2, k2), x)
+    # end-to-end through the Arrow decode with reference checks
+    picked = _pick_indices(
+        lambda f, sr_, d: sr_ >= 16000 and f <= 550 and d <= 1500, 3)
+    rows = []
+    for i in picked:
+        _, _, sr_, d_, _, _ = _row_params(i, clean=True)
+        rows.append((f"clip_{i:012d}",
+                     bytearray(encode_pcm24_wav(
+                         expected_signal(i, clean=True), sr_)),
+                     sr_, d_, "pcm_s24le", expected_transcript(i)))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string")
+    res = decode_check(df).collect()
+    assert all(r["decode_ok"] and r["snr_ok"] and r["codec_match"]
+               and r["dur_match"] and r["transcript_match"] for r in res)
+    assert all(r["snr_db"] == float("inf") for r in res)   # lossless

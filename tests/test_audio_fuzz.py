@@ -16,7 +16,8 @@ import struct
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
-from jio_spark.audio.codecs import (ENCODERS, AdpcmCoded, parse_wav,
+from jio_spark.audio.codecs import (ENCODERS, AdpcmCoded, Pcm24Coded,
+                                    parse_wav,
                                     snr_db_vs_period, synth_wave)
 
 FUZZ = dict(deadline=None, max_examples=300)
@@ -29,9 +30,10 @@ def _assert_parse_contract(raw):
         coded, sr, codec = parse_wav(bytes(raw))
     except (ValueError, TypeError):
         return None
-    assert (isinstance(coded, AdpcmCoded)
+    assert (isinstance(coded, (AdpcmCoded, Pcm24Coded))
             or (isinstance(coded, np.ndarray) and coded.ndim == 1))
-    assert codec in {"pcm_s16le", "pcm_u8", "ulaw", "alaw", "adpcm_ima"}
+    assert codec in {"pcm_s16le", "pcm_u8", "pcm_s24le", "ulaw", "alaw",
+                     "adpcm_ima"}
     assert isinstance(sr, int) and sr >= 0
     assert coded.nbytes <= len(raw)
     assert len(coded) >= 0
