@@ -790,20 +790,34 @@ def q_stats_profile_approx(spark, sf):
 
 
 def q_audio_decode(spark, sf):
+    """Decode-and-check aggregate over the pinned §1 corpus (2000 rows,
+    pcm/ulaw/alaw mono) UNIONED with the §1b extended-codec corpus
+    (1000 rows: all four PCM widths incl. IEEE float32, G.711, IMA
+    ADPCM, dual-mono stereo, WAVE_FORMAT_EXTENSIBLE wraps) under the
+    documented per-codec SNR gates — the §1 half's verdicts are
+    unchanged by the mapping (no ADPCM rows there; default gate = the
+    old scalar 30). total_samples pins exact decoded FRAME counts
+    across every codec and channel layout; codec_mismatch pins the
+    container-vs-declared check (the injected `opus` rows)."""
     _ensure_workers(spark)
-    from jio_spark.audio.synth import clips_frame
+    from jio_spark.audio.synth import (MIX_SNR_GATES, clips_frame,
+                                       mixed_clips_frame)
     from jio_spark.audio.decode import decode_check
-    n = 2000
-    clips = clips_frame(spark, n, partitions=8)
-    res = decode_check(clips, check_reference=True)
+    clips = clips_frame(spark, 2000, partitions=8).unionByName(
+        mixed_clips_frame(spark, 1000, partitions=4))
+    res = decode_check(clips, check_reference=True,
+                       snr_threshold=MIX_SNR_GATES)
     return res.agg(
         F.count(F.lit(1)).alias("clips"),
         F.sum(F.col("decode_ok").cast("long")).alias("decoded"),
         F.sum((~F.col("sr_match") & F.col("decode_ok")).cast("long"))
          .alias("sr_mismatch"),
+        F.sum((~F.col("codec_match") & F.col("decode_ok")).cast("long"))
+         .alias("codec_mismatch"),
         F.sum((~F.col("transcript_match")).cast("long"))
          .alias("bad_transcript"),
-        F.sum(F.col("snr_ok").cast("long")).alias("snr_ok"))
+        F.sum(F.col("snr_ok").cast("long")).alias("snr_ok"),
+        F.sum("n_samples").alias("total_samples"))
 
 
 def q_audio_checks(spark, sf):
@@ -1871,11 +1885,13 @@ def oracle_sql() -> dict[str, str]:
               ('l_returnflag', true, true)
             ) AS t(col_name, distinct_ok, quantiles_ok)""",
         "audio_decode": """
-            SELECT CAST(2000 AS BIGINT) AS clips,
-                   CAST(1991 AS BIGINT) AS decoded,
-                   CAST(11 AS BIGINT) AS sr_mismatch,
-                   CAST(51 AS BIGINT) AS bad_transcript,
-                   CAST(1997 AS BIGINT) AS snr_ok""",
+            SELECT CAST(3000 AS BIGINT) AS clips,
+                   CAST(2986 AS BIGINT) AS decoded,
+                   CAST(16 AS BIGINT) AS sr_mismatch,
+                   CAST(5 AS BIGINT) AS codec_mismatch,
+                   CAST(77 AS BIGINT) AS bad_transcript,
+                   CAST(2996 AS BIGINT) AS snr_ok,
+                   CAST(202608203 AS BIGINT) AS total_samples""",
         "audio_checks": """
             SELECT * FROM (VALUES
               ('rule', 'clip_id/required', '2000:2000:0'),

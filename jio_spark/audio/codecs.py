@@ -9,12 +9,21 @@ Supported WAVE format tags:
   precision, exact for payloads produced from 16-bit sources), or the
   legacy unsigned 8-bit convention (``pcm_u8`` — WAV stores 8-bit PCM
   excess-128 by specification)
+* 3      — IEEE float32 (``pcm_f32le``), the float-mastering convention
+  (/32768 scaling; decode rounds ties-to-even back to int16)
 * 6      — ITU-T G.711 A-law
 * 7      — ITU-T G.711 μ-law
 * 0x11   — IMA/DVI ADPCM (``adpcm_ima``), mono 4-bit
 * 0xFFFE — WAVE_FORMAT_EXTENSIBLE: the real format rides the SubFormat
   GUID's leading tag bytes; unwrapped to one of the above (modern
   encoders emit EXTENSIBLE even for plain mono PCM)
+
+Channels: 1 or 2. Stereo is supported for every per-SAMPLE codec (the
+PCM widths, G.711, float — their decodes commute with interleaving);
+decode policy is downmix-to-mono ``(L+R+1)>>1`` before the SNR check
+(see :class:`StereoCoded`). Stereo IMA ADPCM is a documented rejection:
+its per-channel 4-byte sub-block interleave is a different block
+geometry, and wrong samples would be worse than a clean violation.
 
 G.711 companding is implemented as vectorized numpy over int16 arrays
 (standard bias-133/segment encoding for μ-law, 13-bit segment encoding for
@@ -345,6 +354,92 @@ def pcm_s24_encode(pcm: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# IEEE float32 PCM (WAVE format tag 3)
+
+class Float32Coded:
+    """Zero-copy view of an IEEE-float data chunk (format tag 3, incl.
+    the KSDATAFORMAT float GUID under WAVE_FORMAT_EXTENSIBLE). float32
+    has no int16 identity view, so like :class:`Pcm24Coded` the class
+    carries ``len()``/``nbytes`` and materializes int16 on demand.
+    :meth:`decode` scales by 32768 and rounds ties-to-even (np.rint) —
+    the exact inverse of :func:`pcm_f32_encode` for int16 sources
+    (int16/32768 is exact in float32's 24-bit mantissa), so clean clips
+    measure SNR ∞. Non-finite payload floats (a corrupt file can carry
+    NaN/±inf bit patterns) decode deterministically: NaN → 0, ±inf →
+    the int16 rails — never an undefined float→int cast."""
+
+    __slots__ = ("payload",)
+
+    def __init__(self, payload: np.ndarray):
+        self.payload = payload          # '<f4' view of the data chunk
+
+    def __len__(self) -> int:
+        return len(self.payload)
+
+    @property
+    def nbytes(self) -> int:
+        return self.payload.nbytes
+
+    def decode(self) -> np.ndarray:
+        x = np.rint(self.payload * np.float32(32768.0))
+        x = np.nan_to_num(x, nan=0.0, posinf=32767.0, neginf=-32768.0)
+        return np.clip(x, -32768.0, 32767.0).astype(np.int16)
+
+
+def pcm_f32_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM → little-endian float32 samples in [-1, 1) at the
+    conventional /32768 scaling — the exact inverse of
+    Float32Coded.decode for 16-bit sources."""
+    return (pcm.astype(np.float32) / np.float32(32768.0)).astype("<f4")
+
+
+# ---------------------------------------------------------------------------
+# stereo (nChannels == 2) for the per-sample codec family
+
+class StereoCoded:
+    """Two-channel interleaved coded view + the downmix decode policy.
+
+    parse_wav wraps the full interleaved payload's MONO coded view (the
+    per-sample codecs — PCM widths, G.711, float — commute with
+    interleaving, so one elementwise decode covers both channels).
+    ``len()`` is the FRAME count (samples per channel): the unit the
+    dur/n_samples checks are defined in, keeping 1000·len/sr == dur_ms
+    for stereo exactly as for mono. :meth:`decode` de-interleaves and
+    downmixes ``(L + R + 1) >> 1`` (round-half-up mean — exact identity
+    for dual-mono content, so a stereo file carrying the reference
+    signal on both channels measures the same SNR as its mono
+    counterpart). Per-channel SNR is deliberately NOT computed: the
+    reference signal is mono, and the documented policy is
+    downmix-then-compare (FIXTURES.md §1b). IMA ADPCM is excluded —
+    stereo ADPCM interleaves 4-byte sub-blocks per channel, a different
+    block geometry, and parse_wav rejects it as one decode violation."""
+
+    __slots__ = ("inner", "codec")
+
+    def __init__(self, inner, codec: str):
+        self.inner = inner
+        self.codec = codec
+
+    def __len__(self) -> int:
+        return len(self.inner) // 2
+
+    @property
+    def nbytes(self) -> int:
+        return self.inner.nbytes
+
+    def decode(self) -> np.ndarray:
+        pcm = decode_coded(self.inner, self.codec)
+        n = (len(pcm) // 2) * 2
+        s = pcm[:n].astype(np.int32).reshape(-1, 2)
+        return ((s[:, 0] + s[:, 1] + 1) >> 1).astype(np.int16)
+
+
+#: every coded-view class parse_wav can return instead of a bare ndarray;
+#: decode_coded and the fused SNR kernel materialize these via .decode()
+CODED_CLASSES = (AdpcmCoded, Pcm24Coded, Float32Coded, StereoCoded)
+
+
+# ---------------------------------------------------------------------------
 # unsigned 8-bit PCM (WAV's legacy excess-128 convention for bits=8)
 
 _PCMU8_LUT = ((np.arange(256, dtype=np.int32) - 128) << 8).astype(np.int16)
@@ -368,6 +463,7 @@ def pcm_u8_encode(pcm: np.ndarray) -> np.ndarray:
 # RIFF/WAVE container
 
 _FMT_PCM16 = 1
+_FMT_FLOAT = 3
 _FMT_ALAW = 6
 _FMT_ULAW = 7
 _FMT_ADPCM_IMA = 0x11
@@ -379,16 +475,17 @@ _FMT_EXTENSIBLE = 0xFFFE
 _EXT_GUID_SUFFIX = bytes.fromhex("000000001000800000AA00389B71")
 
 _CODEC_FMT = {"pcm_s16le": _FMT_PCM16, "alaw": _FMT_ALAW, "ulaw": _FMT_ULAW,
-              "adpcm_ima": _FMT_ADPCM_IMA}
+              "adpcm_ima": _FMT_ADPCM_IMA, "pcm_f32le": _FMT_FLOAT}
 _FMT_CODEC = {v: k for k, v in _CODEC_FMT.items()}
 
 
-def _wav_bytes(payload: bytes, fmt: int, sr: int, bits: int) -> bytes:
-    block = bits // 8
+def _wav_bytes(payload: bytes, fmt: int, sr: int, bits: int,
+               channels: int = 1) -> bytes:
+    block = (bits // 8) * channels
     header = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF", 36 + len(payload), b"WAVE",
-        b"fmt ", 16, fmt, 1, sr, sr * block, block, bits,
+        b"fmt ", 16, fmt, channels, sr, sr * block, block, bits,
         b"data", len(payload))
     return header + payload
 
@@ -460,7 +557,11 @@ def parse_wav(raw: bytes) -> Tuple[object, int, str]:
         cid = raw[pos:pos + 4]
         (clen,) = struct.unpack("<I", raw[pos + 4:pos + 8])
         body = raw[pos + 8:pos + 8 + clen]
-        if cid == b"fmt ":
+        if cid == b"fmt " and fmt is None:
+            # first fmt chunk only — mirrors the data-chunk guard: a
+            # trailing duplicate (or coincidental garbage) `fmt ` chunk
+            # after data must not overwrite fmt/sr/bits/block_align and
+            # reinterpret an already-captured payload
             if clen < 16 or len(body) < 16:
                 raise ValueError("malformed fmt chunk")
             (fmt, channels, sr, _, block_align, bits) = struct.unpack(
@@ -505,29 +606,15 @@ def parse_wav(raw: bytes) -> Tuple[object, int, str]:
     if payload is None:
         raise ValueError("missing data chunk")
     dlen = len(payload)
-    if channels != 1:
+    if channels not in (1, 2):
         raise ValueError(f"unsupported channel count {channels}")
-    if fmt == _FMT_PCM16:
-        if bits == 8:
-            # WAV spec: 8-bit PCM is unsigned excess-128
-            return np.frombuffer(payload, dtype=np.uint8), sr, "pcm_u8"
-        if bits == 24:
-            if dlen % 3:
-                raise ValueError("malformed pcm24 payload")
-            return (Pcm24Coded(np.frombuffer(payload, dtype=np.uint8)),
-                    sr, "pcm_s24le")
-        if bits != 16 or dlen % 2:
-            raise ValueError("malformed pcm16 payload")
-        return np.frombuffer(payload, dtype="<i2"), sr, _FMT_CODEC[fmt]
-    if fmt in (_FMT_ULAW, _FMT_ALAW):
-        # G.711 is 8-bit by definition: a fmt chunk declaring 16-bit
-        # A-law/mu-law is malformed and must surface as ONE decode
-        # violation, not be read one-sample-per-byte (doubling
-        # n_samples and misattributing the defect to dur/snr)
-        if bits != 8:
-            raise ValueError("malformed g711 payload")
-        return np.frombuffer(payload, dtype=np.uint8), sr, _FMT_CODEC[fmt]
     if fmt == _FMT_ADPCM_IMA:
+        # IMA stereo interleaves 4-byte sub-blocks per channel inside
+        # each block — a different block geometry the stacked decoder
+        # does not model; documented rejection (ONE decode violation,
+        # pinned in test_audio_adpcm) rather than silent wrong samples
+        if channels != 1:
+            raise ValueError("stereo adpcm is not supported")
         # mono IMA: 4-bit samples, ≥5-byte blocks (4-byte header + data),
         # payload must be whole blocks — a mid-block truncation cannot be
         # decoded and must surface as ONE decode violation
@@ -545,17 +632,59 @@ def parse_wav(raw: bytes) -> Tuple[object, int, str]:
         coded = AdpcmCoded(np.frombuffer(payload, dtype=np.uint8),
                            block_align, n_samples)
         return coded, sr, _FMT_CODEC[fmt]
-    raise ValueError(f"unsupported format tag {fmt}")
+    # the remaining tags are all per-SAMPLE codecs: build the mono coded
+    # view over the whole interleaved payload, then wrap stereo — the
+    # elementwise decodes commute with channel interleaving
+    if fmt == _FMT_PCM16:
+        if bits == 8:
+            # WAV spec: 8-bit PCM is unsigned excess-128
+            coded, codec = np.frombuffer(payload, dtype=np.uint8), "pcm_u8"
+        elif bits == 24:
+            if dlen % 3:
+                raise ValueError("malformed pcm24 payload")
+            coded = Pcm24Coded(np.frombuffer(payload, dtype=np.uint8))
+            codec = "pcm_s24le"
+        elif bits != 16 or dlen % 2:
+            raise ValueError("malformed pcm16 payload")
+        else:
+            coded, codec = np.frombuffer(payload, dtype="<i2"), "pcm_s16le"
+    elif fmt in (_FMT_ULAW, _FMT_ALAW):
+        # G.711 is 8-bit by definition: a fmt chunk declaring 16-bit
+        # A-law/mu-law is malformed and must surface as ONE decode
+        # violation, not be read one-sample-per-byte (doubling
+        # n_samples and misattributing the defect to dur/snr)
+        if bits != 8:
+            raise ValueError("malformed g711 payload")
+        coded, codec = np.frombuffer(payload, dtype=np.uint8), \
+            _FMT_CODEC[fmt]
+    elif fmt == _FMT_FLOAT:
+        # WAVE_FORMAT_IEEE_FLOAT — float32 only (float64 WAV exists in
+        # principle but no mainstream encoder emits it; rejected loudly)
+        if bits != 32 or dlen % 4:
+            raise ValueError("malformed ieee-float payload")
+        coded = Float32Coded(np.frombuffer(payload, dtype="<f4"))
+        codec = "pcm_f32le"
+    else:
+        raise ValueError(f"unsupported format tag {fmt}")
+    if channels == 2:
+        if len(coded) % 2:
+            raise ValueError("stereo payload with odd sample count")
+        coded = StereoCoded(coded, codec)
+    return coded, sr, codec
 
 
 def decode_coded(samples, codec: str) -> np.ndarray:
-    """Coded-sample view from :func:`parse_wav` → int16 PCM."""
+    """Coded-sample view from :func:`parse_wav` → int16 PCM (mono; a
+    stereo container arrives as a StereoCoded whose decode applies the
+    documented downmix). Class dispatch first: a StereoCoded wrapping
+    G.711 must materialize through its own decode, not have the LUT
+    applied to the wrapper."""
+    if isinstance(samples, CODED_CLASSES):
+        return samples.decode()
     if codec == "ulaw":
         return ulaw_decode(samples)
     if codec == "alaw":
         return alaw_decode(samples)
-    if codec in ("adpcm_ima", "pcm_s24le"):
-        return samples.decode()
     if codec == "pcm_u8":
         return pcm_u8_decode(samples)
     return samples
@@ -580,9 +709,67 @@ def encode_pcm24_wav(pcm: np.ndarray, sr: int) -> bytes:
     return _wav_bytes(pcm_s24_encode(pcm).tobytes(), _FMT_PCM16, sr, 24)
 
 
+def encode_pcm32f_wav(pcm: np.ndarray, sr: int) -> bytes:
+    """int16 samples → IEEE float32 WAV (format tag 3, bits=32)."""
+    return _wav_bytes(pcm_f32_encode(pcm).tobytes(), _FMT_FLOAT, sr, 32)
+
+
+#: codec → (int16 samples → payload bytes, format tag, container bits) for
+#: the per-SAMPLE codec family — the shared table behind the mono encoders
+#: above and the stereo writer below (ADPCM is block-structured and mono-
+#: only; it keeps its dedicated encoder)
+_PAYLOAD_ENC = {
+    "pcm_s16le": (lambda p: p.astype("<i2").tobytes(), _FMT_PCM16, 16),
+    "ulaw": (lambda p: ulaw_encode(p).tobytes(), _FMT_ULAW, 8),
+    "alaw": (lambda p: alaw_encode(p).tobytes(), _FMT_ALAW, 8),
+    "pcm_u8": (lambda p: pcm_u8_encode(p).tobytes(), _FMT_PCM16, 8),
+    "pcm_s24le": (lambda p: pcm_s24_encode(p).tobytes(), _FMT_PCM16, 24),
+    "pcm_f32le": (lambda p: pcm_f32_encode(p).tobytes(), _FMT_FLOAT, 32),
+}
+
+
+def encode_stereo_wav(pcm: np.ndarray, sr: int, codec: str) -> bytes:
+    """Mono int16 samples → dual-mono stereo WAV (the same signal on both
+    channels — the fixture convention, FIXTURES.md §1b: the downmix
+    decode recovers the mono signal EXACTLY, so a stereo clip's SNR
+    verdict matches its mono counterpart's). Raises for adpcm_ima —
+    stereo ADPCM is a documented rejection (parse_wav)."""
+    if codec not in _PAYLOAD_ENC:
+        raise ValueError(f"no stereo encoder for codec {codec!r}")
+    enc, fmt, bits = _PAYLOAD_ENC[codec]
+    inter = np.empty(2 * len(pcm), dtype=np.int16)
+    inter[0::2] = pcm
+    inter[1::2] = pcm
+    return _wav_bytes(enc(inter), fmt, sr, bits, channels=2)
+
+
+def wrap_extensible(raw: bytes) -> bytes:
+    """Rewrap a canonical 16-byte-fmt WAV as WAVE_FORMAT_EXTENSIBLE: the
+    classic tag moves into the SubFormat GUID's leading bytes, the fmt
+    chunk grows to the 40-byte WAVEFORMATEXTENSIBLE form (cbSize=22,
+    wValidBitsPerSample = container bits, standard mono/stereo channel
+    masks), and every other chunk passes through verbatim. Modern
+    encoders emit EXTENSIBLE even for plain PCM — this is the fixture
+    generator for that corpus shape."""
+    if raw[:4] != b"RIFF" or raw[8:16] != b"WAVEfmt ":
+        raise ValueError("not a canonical fmt-first WAV")
+    (clen,) = struct.unpack("<I", raw[16:20])
+    if clen != 16:
+        raise ValueError("fmt chunk is not the 16-byte canonical form")
+    fmt, channels, sr, br, ba, bits = struct.unpack("<HHIIHH", raw[20:36])
+    rest = raw[36:]                       # remaining chunks, verbatim
+    mask = 0x4 if channels == 1 else 0x3  # FC / FL+FR
+    ext = (struct.pack("<HHIIHHHHI", _FMT_EXTENSIBLE, channels, sr, br,
+                       ba, bits, 22, bits, mask)
+           + struct.pack("<H", fmt) + _EXT_GUID_SUFFIX)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + 40 + len(rest)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 40) + ext + rest)
+
+
 ENCODERS = {"pcm_s16le": encode_pcm16_wav, "ulaw": encode_ulaw_wav,
             "alaw": encode_alaw_wav, "adpcm_ima": encode_adpcm_wav,
-            "pcm_u8": encode_pcm8_wav, "pcm_s24le": encode_pcm24_wav}
+            "pcm_u8": encode_pcm8_wav, "pcm_s24le": encode_pcm24_wav,
+            "pcm_f32le": encode_pcm32f_wav}
 
 
 _PERIOD_CACHE: dict = {}
@@ -664,15 +851,21 @@ def snr_db_vs_period(coded: np.ndarray, codec: str,
     n = min(n_ref, len(coded))
     if n == 0:
         return float("-inf")
-    if isinstance(coded, (AdpcmCoded, Pcm24Coded)):
-        # neither has a per-sample LUT (ADPCM needs whole blocks, s24 has
-        # no 3-byte dtype) — materialize the int16 PCM per clip (clips
+    if isinstance(coded, CODED_CLASSES):
+        # none of these has a per-sample LUT (ADPCM needs whole blocks,
+        # s24 has no 3-byte dtype, f32/stereo materialize via their own
+        # vectorized decode) — materialize the int16 PCM per clip (clips
         # are ~KBs). The Arrow decode UDF still routes ADPCM through the
-        # batch-stacked path (decode.py); s24 decode is a single
+        # batch-stacked path (decode.py); the others decode in a single
         # vectorized pass, so per-clip is already the efficient form.
+        # lut must be None afterwards: a StereoCoded wrapping G.711
+        # already decoded — applying the companding LUT again would
+        # corrupt the samples.
         coded = coded.decode()
-    lut = {"ulaw": _ULAW_LUT, "alaw": _ALAW_LUT,
-           "pcm_u8": _PCMU8_LUT}.get(codec)
+        lut = None
+    else:
+        lut = {"ulaw": _ULAW_LUT, "alaw": _ALAW_LUT,
+               "pcm_u8": _PCMU8_LUT}.get(codec)
     plen = len(period)
     blk = min(_SNR_BLOCK, n)
     reps = (blk + plen) // plen + 1

@@ -118,7 +118,8 @@ def _snr_one_stack(items, ba: int, out, adpcm_thr: float) -> None:
 #: closed, so an unknown key is always a typo that would silently fall
 #: to the default gate
 KNOWN_CODECS = frozenset(
-    {"pcm_s16le", "pcm_u8", "pcm_s24le", "ulaw", "alaw", "adpcm_ima"})
+    {"pcm_s16le", "pcm_u8", "pcm_s24le", "pcm_f32le", "ulaw", "alaw",
+     "adpcm_ima"})
 
 
 def validate_gates(snr_threshold) -> None:
@@ -126,16 +127,24 @@ def validate_gates(snr_threshold) -> None:
     TypeError inside an executor's Arrow task minutes into the job.
     bool is rejected explicitly — it is an int subclass, and a `true`
     gate would silently become 1.0 dB (an SNR check in name only);
-    unknown codec keys are rejected too (the codec set is closed, so a
-    typo like 'adcpm_ima' can only ever mean the default gate silently
-    applied where a specific one was intended)."""
+    non-finite floats are rejected too (json.loads('NaN'/'Infinity')
+    produces them, and a NaN gate makes every `s >= thr` comparison
+    False — silently failing ALL clips, the sneaky-gate class this
+    validator exists to catch); unknown codec keys are rejected (the
+    codec set is closed, so a typo like 'adcpm_ima' can only ever mean
+    the default gate silently applied where a specific one was
+    intended)."""
+    import math
+
     def _num(v):
-        return isinstance(v, (int, float)) and not isinstance(v, bool)
+        return (isinstance(v, (int, float)) and not isinstance(v, bool)
+                and math.isfinite(v))
     if isinstance(snr_threshold, Mapping):
         bad = {k: v for k, v in snr_threshold.items() if not _num(v)}
         if bad:
             raise ValueError(
-                f"snr_threshold mapping has non-number gates: {bad!r}")
+                f"snr_threshold mapping has non-number or non-finite "
+                f"gates: {bad!r}")
         unknown = sorted(set(snr_threshold) - KNOWN_CODECS - {"default"})
         if unknown:
             raise ValueError(
@@ -143,8 +152,8 @@ def validate_gates(snr_threshold) -> None:
                 f"known: {sorted(KNOWN_CODECS)} + 'default'")
     elif not _num(snr_threshold):
         raise ValueError(
-            f"snr_threshold must be a number or a per-codec mapping, "
-            f"got {snr_threshold!r}")
+            f"snr_threshold must be a finite number or a per-codec "
+            f"mapping, got {snr_threshold!r}")
 
 
 def threshold_for(snr_threshold, codec: str) -> float:

@@ -20,7 +20,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .codecs import DEFAULT_AMPLITUDE, ENCODERS, _one_period, synth_wave
+from .codecs import (DEFAULT_AMPLITUDE, ENCODERS, _one_period,
+                     encode_stereo_wav, synth_wave, wrap_extensible)
 
 CLIPS_SCHEMA = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
                 "codec string, transcript string, bucket_id int")
@@ -138,6 +139,100 @@ def make_row(i: int, clean: bool = False):
             transcript = None
     return (clip_id, bytearray(raw), decl_sr, decl_dur, codec, transcript,
             i % 16)
+
+
+#: extended-corpus codec mix (FIXTURES.md §1b): every codec family the
+#: engine decodes, ADPCM deliberately heavy (20%) so its block-stacked
+#: cost is visible in the mixed-codec bench arm round-over-round
+_MIX_CODECS = np.array(["pcm_s16le", "ulaw", "alaw", "adpcm_ima",
+                        "pcm_u8", "pcm_s24le", "pcm_f32le"])
+_MIX_CUM = np.array([0.25, 0.40, 0.50, 0.70, 0.80, 0.90, 1.0])
+# p = [.25,.15,.10,.20,.10,.10,.10]
+
+#: §1b layout rates: stereo (dual-mono) on 25% of per-sample-codec rows;
+#: WAVE_FORMAT_EXTENSIBLE rewrap on 20% of per-sample-codec rows (ADPCM
+#: rows stay canonical — its 20-byte WAVEFORMATEX fmt chunk is not the
+#: 16-byte form wrap_extensible rewraps, and stereo ADPCM is a
+#: documented parse rejection)
+_MIX_STEREO_P = 0.25
+_MIX_EXT_P = 0.20
+
+#: per-codec SNR gates for runs over the §1b mixed corpus: the honest
+#: IMA ADPCM floor across the fixture (freq 220-1045 Hz × sr 8-44.1 kHz)
+#: grid is 21.1 dB (high-slew sines at 8 kHz — codec physics, measured
+#: over the full grid in tests), so the blanket 30 dB gate would flag
+#: healthy clips; every other codec's clean floor is ≥35.9 dB (G.711)
+#: and the PCM widths round-trip exactly
+MIX_SNR_GATES = {"adpcm_ima": 20.0, "default": 30.0}
+
+
+def make_row_mixed(i: int):
+    """One clip row of the EXTENDED codec corpus (FIXTURES.md §1b):
+    same deterministic signal/sr/dur/transcript parameters as
+    :func:`make_row` (so the decode reference lookup keyed off the id
+    index works unchanged), but the codec drawn from the FULL decode
+    surface — all four PCM widths, G.711, IMA ADPCM — with dual-mono
+    stereo and WAVE_FORMAT_EXTENSIBLE container variants, and the same
+    anomaly-injection rates as §1. Ids carry the ``mix_`` prefix so an
+    extended corpus can sit beside the pinned §1 corpus without id
+    collisions (and without touching the §1 bytes, which are pinned
+    across rounds). Salts 20-22 are §1b's own draws; every §1 salt keeps
+    its meaning."""
+    _, freq, sr, dur, _, transcript = _row_params(i, clean=False)
+    clip_id = f"mix_{i:012d}"
+    codec = str(_MIX_CODECS[int(np.searchsorted(_MIX_CUM, _u(i, 20)))])
+    pcm = synth_wave(freq, dur, sr)
+    if codec == "adpcm_ima":
+        raw = ENCODERS[codec](pcm, sr)
+    else:
+        stereo = _u(i, 21) < _MIX_STEREO_P
+        raw = (encode_stereo_wav(pcm, sr, codec) if stereo
+               else ENCODERS[codec](pcm, sr))
+        if _u(i, 22) < _MIX_EXT_P:
+            raw = wrap_extensible(raw)
+    # §1 anomaly injections, same salts and rates as make_row
+    if _u(i, 10) < 0.001 and i >= 7:                     # duplicate id
+        clip_id = f"mix_{i - 7:012d}"
+    if _u(i, 14) < 0.002:                                # unknown codec
+        codec = "opus"
+    decl_sr, decl_dur = sr, dur
+    if _u(i, 11) < 0.005:                                # corrupt payload
+        raw = raw[:max(8, len(raw) // 3)]
+    if _u(i, 12) < 0.005:                                # sr mismatch
+        decl_sr = int(_SR_CHOICES[(int(np.searchsorted(
+            _SR_CUM, _u(i, 1))) + 1) % 4])
+    if _u(i, 13) < 0.005:                                # dur mismatch
+        decl_dur = dur + 500
+    tu = _u(i, 15)
+    if tu < 0.005:                                       # mutated transcript
+        words = transcript.split(" ")
+        words[_mix(i, 16) % len(words)] = _VOCAB[_mix(i, 17) % 64]
+        transcript = " ".join(words)
+    elif tu < 0.015:                                     # empty
+        transcript = ""
+    elif tu < 0.020:                                     # NULL
+        transcript = None
+    return (clip_id, bytearray(raw), decl_sr, decl_dur, codec, transcript,
+            i % 16)
+
+
+def mixed_clips_frame(spark: SparkSession, n_rows: int,
+                      partitions: Optional[int] = None) -> DataFrame:
+    """Distributed §1b extended-codec clips table — same mapInPandas
+    chunked generation discipline as :func:`clips_frame`."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].values
+            for j in range(0, len(ids), 2048):
+                rows = [make_row_mixed(int(i)) for i in ids[j:j + 2048]]
+                yield pd.DataFrame(
+                    rows, columns=["clip_id", "bytes", "sr_hz", "dur_ms",
+                                   "codec", "transcript", "bucket_id"])
+
+    return (spark.range(0, n_rows, numPartitions=parts)
+            .mapInPandas(gen, CLIPS_SCHEMA))
 
 
 def clips_frame(spark: SparkSession, n_rows: int, clean: bool = False,

@@ -16,8 +16,7 @@ import struct
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
-from jio_spark.audio.codecs import (ENCODERS, AdpcmCoded, Pcm24Coded,
-                                    parse_wav,
+from jio_spark.audio.codecs import (CODED_CLASSES, ENCODERS, parse_wav,
                                     snr_db_vs_period, synth_wave)
 
 FUZZ = dict(deadline=None, max_examples=300)
@@ -30,10 +29,10 @@ def _assert_parse_contract(raw):
         coded, sr, codec = parse_wav(bytes(raw))
     except (ValueError, TypeError):
         return None
-    assert (isinstance(coded, (AdpcmCoded, Pcm24Coded))
+    assert (isinstance(coded, CODED_CLASSES)
             or (isinstance(coded, np.ndarray) and coded.ndim == 1))
-    assert codec in {"pcm_s16le", "pcm_u8", "pcm_s24le", "ulaw", "alaw",
-                     "adpcm_ima"}
+    assert codec in {"pcm_s16le", "pcm_u8", "pcm_s24le", "pcm_f32le",
+                     "ulaw", "alaw", "adpcm_ima"}
     assert isinstance(sr, int) and sr >= 0
     assert coded.nbytes <= len(raw)
     assert len(coded) >= 0
@@ -131,3 +130,105 @@ def test_pcm_u8_decode_is_exact_lut(seed, n):
     assert np.array_equal(dec, ((codes.astype(np.int32) - 128) << 8)
                           .astype(np.int16))
     assert np.array_equal(pcm_u8_encode(dec), codes)
+
+
+# -- adversarial RIFF container fuzz (round-5 task: chunk-walk hardening) ---
+
+def _chunks_of(raw: bytes):
+    """Split a WAV into its chunk list [(cid, body), ...]."""
+    out, pos = [], 12
+    while pos + 8 <= len(raw):
+        cid = raw[pos:pos + 4]
+        (n,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+        out.append((cid, raw[pos + 8:pos + 8 + n]))
+        pos += 8 + n + (n & 1)
+    return out
+
+
+def _rebuild(chunks) -> bytes:
+    body = b""
+    for cid, cbody in chunks:
+        body += cid + struct.pack("<I", len(cbody)) + cbody
+        if len(cbody) & 1:
+            body += b"\x00"           # word alignment pad
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+@settings(deadline=None, max_examples=250)
+@given(
+    codec=st.sampled_from(CODECS + ["stereo:pcm_s16le", "stereo:ulaw",
+                                    "ext:pcm_s16le", "ext:pcm_f32le"]),
+    inserts=st.lists(
+        st.tuples(
+            st.integers(0, 6),                      # insertion position
+            st.sampled_from([b"LIST", b"junk", b"id3 ", b"bext",
+                             b"fak\x00", b"cue "]),
+            st.binary(max_size=9)),                 # incl. odd lengths
+        max_size=3),
+    swap=st.booleans(),
+    trunc_at_boundary=st.integers(-1, 8))
+def test_riff_walk_adversarial_containers(codec, inserts, swap,
+                                          trunc_at_boundary):
+    """Permute/augment/truncate the CHUNK STRUCTURE of a valid WAV:
+
+    * unknown chunks (odd lengths included) inserted anywhere must be
+      skipped — if fmt and data survive intact and ordered, the decode
+      is BIT-IDENTICAL to the canonical file (never wrong samples);
+    * moving data before fmt must reject (the walk requires fmt first);
+    * truncating at any chunk boundary must reject or decode a valid
+      prefix — never crash with a non-ValueError."""
+    from jio_spark.audio.codecs import (decode_coded, encode_stereo_wav,
+                                        wrap_extensible)
+    pcm = synth_wave(330.0, 80, 8000)
+    if codec.startswith("stereo:"):
+        raw = encode_stereo_wav(pcm, 8000, codec.split(":")[1])
+    elif codec.startswith("ext:"):
+        raw = wrap_extensible(ENCODERS[codec.split(":")[1]](pcm, 8000))
+    else:
+        raw = ENCODERS[codec](pcm, 8000)
+    want = decode_coded(*parse_wav(raw)[::2])
+    chunks = _chunks_of(raw)
+    for pos, cid, body in inserts:
+        chunks.insert(min(pos, len(chunks)), (cid, body))
+    if swap and len(chunks) >= 2:
+        chunks = chunks[::-1]       # reverse order: data before fmt
+    raw2 = _rebuild(chunks)
+    if 0 <= trunc_at_boundary:
+        # truncate at the trunc_at_boundary-th chunk boundary
+        pos, seen = 12, 0
+        while pos + 8 <= len(raw2) and seen < trunc_at_boundary:
+            (n,) = struct.unpack("<I", raw2[pos + 4:pos + 8])
+            pos += 8 + n + (n & 1)
+            seen += 1
+        raw2 = raw2[:pos]
+    try:
+        coded, sr, got = parse_wav(raw2)
+    except (ValueError, TypeError):
+        return
+    # never a crash; and if the parse SUCCEEDED with the original fmt
+    # before the original data (no truncation, no swap), the samples
+    # must be bit-identical — unknown chunks can never corrupt a decode
+    if trunc_at_boundary < 0 and not swap:
+        assert sr == 8000
+        got_pcm = decode_coded(coded, got)
+        assert np.array_equal(got_pcm, want)
+
+
+@settings(deadline=None, max_examples=200)
+@given(data=st.data())
+def test_riff_walk_random_chunk_soup(data):
+    """Fully random chunk soup behind a valid RIFF/WAVE magic: the walk
+    must stay total (parse or ValueError/TypeError) whatever the chunk
+    ids, declared lengths (incl. lengths pointing past EOF), and
+    bodies."""
+    n_chunks = data.draw(st.integers(0, 5))
+    body = b""
+    for _ in range(n_chunks):
+        cid = data.draw(st.one_of(
+            st.sampled_from([b"fmt ", b"data", b"fact", b"LIST"]),
+            st.binary(min_size=4, max_size=4)))
+        declared = data.draw(st.integers(0, 80))
+        chunk_body = data.draw(st.binary(max_size=40))
+        body += cid + struct.pack("<I", declared) + chunk_body
+    raw = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    _assert_parse_contract(raw)

@@ -11,10 +11,11 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from tools.derive_rows_only_oracles import (N_CLIPS, derive_audio_checks,
+from tools.derive_rows_only_oracles import (N_CLIPS, N_MIXED,
+                                            derive_audio_checks,
                                             derive_audio_decode,
                                             derive_multimodal)
-from jio_spark.audio.synth import make_row
+from jio_spark.audio.synth import make_row, make_row_mixed
 
 
 @pytest.fixture(scope="module")
@@ -24,9 +25,13 @@ def fixture_rows():
 
 
 def test_audio_decode_matches_independent_derivation(spark, fixture_rows):
+    """audio_decode's corpus is the pinned §1 corpus + the §1b extended
+    codec mix (stereo / float32 / ADPCM / EXTENSIBLE) — the independent
+    derivation decodes every codec with its own formulations."""
     import __spark_entry__ as e
     rows, _ = fixture_rows
-    want = derive_audio_decode(rows)
+    want = derive_audio_decode(
+        rows + [make_row_mixed(i) for i in range(N_MIXED)])
     got = e.queries()["audio_decode"](spark, "unused").collect()[0].asDict()
     assert got == want
 
@@ -58,9 +63,11 @@ def test_embedded_literals_match_derivation(fixture_rows):
     rows, clean = fixture_rows
     con = duckdb.connect()
     lit = con.execute(e.oracle_sql()["audio_decode"]).fetchone()
-    d = derive_audio_decode(rows)
+    d = derive_audio_decode(
+        rows + [make_row_mixed(i) for i in range(N_MIXED)])
     assert lit == (d["clips"], d["decoded"], d["sr_mismatch"],
-                   d["bad_transcript"], d["snr_ok"])
+                   d["codec_mismatch"], d["bad_transcript"], d["snr_ok"],
+                   d["total_samples"])
     lit_rows = con.execute(e.oracle_sql()["audio_checks"]).fetchall()
     assert sorted(lit_rows) == sorted(derive_audio_checks(rows, clean))
     lit_mm = con.execute(e.oracle_sql()["multimodal"]).fetchall()

@@ -32,10 +32,15 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from jio_spark.audio.synth import (_row_params, expected_transcript,  # noqa: E402
-                                   make_row)
+                                   make_row, make_row_mixed)
 
 N_CLIPS = 2000
-SNR_THRESHOLD = 30.0
+N_MIXED = 1000
+#: per-codec gates, restated from the documented §1b mapping
+#: (synth.MIX_SNR_GATES): adpcm 20 dB (honest codec floor 21.1 on the
+#: fixture grid), everything else 30 dB
+SNR_GATE = {"adpcm_ima": 20.0}
+SNR_DEFAULT = 30.0
 DUR_TOL_MS = 2
 
 
@@ -65,31 +70,145 @@ def _alaw_lut() -> np.ndarray:
 _ULAW, _ALAW = _ulaw_lut(), _alaw_lut()
 
 
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]
+_IMA_INDEX_STEP = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_block_scalar(block: bytes, block_align: int) -> list:
+    """Scalar per-sample IMA ADPCM block decode, straight from the IMA
+    spec's step/index recurrence with explicit if-chains — deliberately
+    NOT the engine's transposed gather-table matrix form."""
+    pred = struct.unpack_from("<h", block, 0)[0]
+    index = block[2]
+    index = 0 if index < 0 else (88 if index > 88 else index)
+    out = [pred]
+    for k in range((block_align - 4) * 2):
+        byte = block[4 + (k >> 1)]
+        nib = (byte & 0x0F) if k % 2 == 0 else (byte >> 4)
+        step = _IMA_STEP_TABLE[index]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = -32768 if pred < -32768 else (32767 if pred > 32767
+                                             else pred)
+        index += _IMA_INDEX_STEP[nib & 7]
+        index = 0 if index < 0 else (88 if index > 88 else index)
+        out.append(pred)
+    return out
+
+
 def parse_wav_independent(raw: bytes):
-    """(int16 PCM, sample rate, codec name) or raises ValueError."""
-    if len(raw) < 44:
-        raise ValueError("short")
-    if raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE" or raw[12:16] != b"fmt ":
+    """(int16 MONO PCM, sample rate, container codec name) or raises
+    ValueError. Full decode surface: the four PCM widths (incl. IEEE
+    float32), G.711, IMA ADPCM, WAVE_FORMAT_EXTENSIBLE unwrap, fact
+    chunks, and 2-channel downmix (L+R+1)//2 — each written in its own
+    formulation (chunk scan into a list, scalar ADPCM recurrence, (b-128)
+    *256 u8 rescale, int8-viewed s24 sign byte) so a transcription error
+    on either side surfaces as an aggregate mismatch."""
+    if len(raw) < 44 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("bad container")
-    fmt_tag = struct.unpack_from("<H", raw, 20)[0]
-    channels = struct.unpack_from("<H", raw, 22)[0]
-    sr = struct.unpack_from("<I", raw, 24)[0]
-    bits = struct.unpack_from("<H", raw, 34)[0]
-    if raw[36:40] != b"data":
-        raise ValueError("no data chunk")
-    dlen = struct.unpack_from("<I", raw, 40)[0]
-    body = raw[44:44 + dlen]
-    if len(body) != dlen or channels != 1:
-        raise ValueError("truncated or multichannel")
-    if fmt_tag == 1:
-        if bits != 16 or dlen % 2:
+    chunks = []
+    off = 12
+    while off + 8 <= len(raw):
+        cid = raw[off:off + 4]
+        n = struct.unpack_from("<I", raw, off + 4)[0]
+        chunks.append((cid, raw[off + 8:off + 8 + n], n))
+        off += 8 + n + (n % 2)
+    fmts = [c for c in chunks if c[0] == b"fmt "]
+    datas = [c for c in chunks if c[0] == b"data"]
+    facts = [c for c in chunks if c[0] == b"fact" and len(c[1]) >= 4]
+    if not fmts:
+        raise ValueError("no fmt")
+    if not datas:
+        raise ValueError("no data")
+    # first fmt / first data win; a data chunk preceding the first fmt
+    # chunk is rejected (the engine walks in order and requires fmt
+    # before data)
+    if chunks.index(datas[0]) < chunks.index(fmts[0]):
+        raise ValueError("data before fmt")
+    fbody, _ = fmts[0][1], fmts[0][2]
+    if len(fbody) < 16 or fmts[0][2] < 16:
+        raise ValueError("short fmt")
+    tag, channels, sr, _br, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fbody, 0)
+    if tag == 0xFFFE:
+        if len(fbody) < 40 or fmts[0][2] < 40:
+            raise ValueError("short extensible fmt")
+        guid = fbody[24:40]
+        if guid[2:16] != bytes.fromhex("000000001000800000AA00389B71"):
+            raise ValueError("unknown subformat guid")
+        tag = struct.unpack_from("<H", guid, 0)[0]
+    body, dlen = datas[0][1], datas[0][2]
+    if len(body) < dlen:
+        raise ValueError("truncated data")
+    if channels not in (1, 2):
+        raise ValueError("channels")
+    fact_n = struct.unpack_from("<I", facts[-1][1], 0)[0] if facts \
+        else None
+    if tag == 0x11:
+        if channels != 1:
+            raise ValueError("stereo adpcm")
+        if bits != 4 or block_align < 5:
+            raise ValueError("bad adpcm fmt")
+        if dlen == 0 or dlen % block_align:
+            raise ValueError("partial adpcm block")
+        samples = []
+        for b0 in range(0, dlen, block_align):
+            samples.extend(_adpcm_block_scalar(body[b0:b0 + block_align],
+                                               block_align))
+        if fact_n is not None:
+            if fact_n > len(samples):
+                raise ValueError("fact too large")
+            samples = samples[:fact_n]
+        return np.asarray(samples, dtype=np.int16), sr, "adpcm_ima"
+    if tag == 1 and bits == 16:
+        if dlen % 2:
             raise ValueError("bad pcm16")
-        return np.frombuffer(body, "<i2").astype(np.int16), sr, "pcm_s16le"
-    if fmt_tag == 7:
-        return _ULAW[np.frombuffer(body, np.uint8)], sr, "ulaw"
-    if fmt_tag == 6:
-        return _ALAW[np.frombuffer(body, np.uint8)], sr, "alaw"
-    raise ValueError(f"format {fmt_tag}")
+        pcm, codec = np.frombuffer(body, "<i2").astype(np.int16), \
+            "pcm_s16le"
+    elif tag == 1 and bits == 8:
+        b = np.frombuffer(body, np.uint8).astype(np.int32)
+        pcm, codec = ((b - 128) * 256).astype(np.int16), "pcm_u8"
+    elif tag == 1 and bits == 24:
+        if dlen % 3:
+            raise ValueError("bad pcm24")
+        b = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        val = (b[:, 0].astype(np.int32) + (b[:, 1].astype(np.int32) * 256)
+               + (b[:, 2].astype(np.int8).astype(np.int32) * 65536))
+        pcm, codec = (val >> 8).astype(np.int16), "pcm_s24le"
+    elif tag == 3 and bits == 32:
+        if dlen % 4:
+            raise ValueError("bad float32")
+        x = np.round(np.frombuffer(body, "<f4").astype(np.float64)
+                     * 32768.0)
+        x = np.nan_to_num(x, nan=0.0, posinf=32767.0, neginf=-32768.0)
+        pcm, codec = np.clip(x, -32768, 32767).astype(np.int16), \
+            "pcm_f32le"
+    elif tag == 7 and bits == 8:
+        pcm, codec = _ULAW[np.frombuffer(body, np.uint8)], "ulaw"
+    elif tag == 6 and bits == 8:
+        pcm, codec = _ALAW[np.frombuffer(body, np.uint8)], "alaw"
+    else:
+        raise ValueError(f"format {tag}/{bits}")
+    if channels == 2:
+        if len(pcm) % 2:
+            raise ValueError("odd stereo")
+        left = pcm[0::2].astype(np.int32)
+        right = pcm[1::2].astype(np.int32)
+        pcm = ((left + right + 1) // 2).astype(np.int16)
+    return pcm, sr, codec
 
 
 def reference_pcm(i: int) -> np.ndarray:
@@ -125,14 +244,16 @@ def check_clip(row):
     # decode_ok — the downstream checks never ran, so their flags carry
     # the not-asserted value (True), mirroring decode._decode_batches
     # and files._corrupt_frame
-    r = {"decode_ok": False, "sr_match": True, "snr_ok": True,
-         "transcript_match": True}
+    r = {"decode_ok": False, "sr_match": True, "codec_match": True,
+         "snr_ok": True, "transcript_match": True, "n_samples": 0}
     try:
         dec, sr, fmt_codec = parse_wav_independent(bytes(raw))
     except ValueError:
         return r
     r["decode_ok"] = True
+    r["n_samples"] = len(dec)
     r["sr_match"] = (sr == decl_sr)
+    r["codec_match"] = (fmt_codec == codec)
     try:
         idx = int(clip_id.rsplit("_", 1)[1])
     except (IndexError, ValueError):
@@ -142,7 +263,10 @@ def check_clip(row):
         r["transcript_match"] = False
         return r
     ref = reference_pcm(idx)
-    r["snr_ok"] = snr_db_independent(ref, dec) >= SNR_THRESHOLD
+    # the gate resolves against the CONTAINER codec (what the bytes
+    # actually decode as), mirroring decode.threshold_for
+    thr = SNR_GATE.get(fmt_codec, SNR_DEFAULT)
+    r["snr_ok"] = snr_db_independent(ref, dec) >= thr
     r["transcript_match"] = (transcript is not None
                              and transcript == expected_transcript(idx))
     return r
@@ -155,8 +279,11 @@ def derive_audio_decode(rows):
         "decoded": sum(c["decode_ok"] for c in checks),
         "sr_mismatch": sum(c["decode_ok"] and not c["sr_match"]
                            for c in checks),
+        "codec_mismatch": sum(c["decode_ok"] and not c["codec_match"]
+                              for c in checks),
         "bad_transcript": sum(not c["transcript_match"] for c in checks),
         "snr_ok": sum(c["snr_ok"] for c in checks),
+        "total_samples": sum(c["n_samples"] for c in checks),
     }
 
 
@@ -355,8 +482,8 @@ def derive_multimodal():
 def sql_audio_decode(d):
     return ("SELECT " + ", ".join(
         f"CAST({d[k]} AS BIGINT) AS {k}"
-        for k in ("clips", "decoded", "sr_mismatch", "bad_transcript",
-                  "snr_ok")))
+        for k in ("clips", "decoded", "sr_mismatch", "codec_mismatch",
+                  "bad_transcript", "snr_ok", "total_samples")))
 
 
 def sql_audio_checks(tall):
@@ -379,7 +506,10 @@ def sql_multimodal(rows):
 def main():
     rows = [make_row(i) for i in range(N_CLIPS)]
     clean = [make_row(i, clean=True) for i in range(N_CLIPS)]
-    d = derive_audio_decode(rows)
+    # audio_decode runs over the pinned §1 corpus + the §1b extended mix
+    # (q_audio_decode's union); audio_checks stays on the pinned corpus
+    d = derive_audio_decode(rows
+                            + [make_row_mixed(i) for i in range(N_MIXED)])
     print("== audio_decode ==")
     print(d)
     print(sql_audio_decode(d))
