@@ -131,7 +131,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              exclude_self: bool = True) -> DataFrame:
     """Random-hyperplane LSH top-k: join corpus and queries on
     (table, sign-bucket); score only collisions. Expected candidate
-    fraction ≈ tables × 2^-bits of the corpus per query."""
+    fraction ≈ tables × 2^-bits of the corpus per query.
+
+    Recall is measured, not just formula-claimed
+    (tests/test_recall_empirical.py): on the seeded 60-cluster corpus,
+    recall@5 = 1.00 at bits=6/tables=4 (per-pair angle formula predicts
+    0.98) and tracks the `1-(1-(1-θ/π)^bits)^tables` prediction within
+    binomial noise at the deliberately mid-recall bits=10 setting."""
     c = _with_buckets(_with_norm(corpus, id_col, vec_col,
                                  "neighbor_id", "c_vec", "c_n"),
                       "neighbor_id", "c_vec", "c_n", dim, tables, bits)
@@ -295,6 +301,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              exclude_self: bool = True,
              assign: str = "expr") -> DataFrame:
     """IVF-style ANN with shuffle-free centroid assignment.
+
+    Recall evidence (tests/test_recall_empirical.py): on the seeded
+    60-cluster corpus, recall@5 = 1.00 at nprobe=3 of 12 centroids
+    (documented floor 0.8), and nprobe == n_centroids reproduces
+    brute_force_topk EXACTLY (ids and scores) — the candidate set is
+    the whole corpus, pinned as the formula's boundary case.
 
     1. Seeds: the ``n_centroids`` corpus rows with lexicographically
        smallest ``md5(id)`` — a deterministic sample any SQL engine can

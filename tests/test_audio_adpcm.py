@@ -670,9 +670,9 @@ def test_library_gate_validation_fails_at_plan_time(spark):
         [("c", bytearray(b"x"), 1, 1, "ulaw", "t")],
         "clip_id string, bytes binary, sr_hz int, dur_ms int, "
         "codec string, transcript string")
-    with pytest.raises(ValueError, match="non-number gates"):
+    with pytest.raises(ValueError, match="non-number or non-finite"):
         decode_check(df, snr_threshold={"ulaw": [26]})
-    with pytest.raises(ValueError, match="non-number gates"):
+    with pytest.raises(ValueError, match="non-number or non-finite"):
         decode_check(df, snr_threshold={"ulaw": True})
     with pytest.raises(ValueError, match="number or a per-codec"):
         decode_check(df, snr_threshold="30")
