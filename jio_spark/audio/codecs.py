@@ -18,12 +18,15 @@ Supported WAVE format tags:
   GUID's leading tag bytes; unwrapped to one of the above (modern
   encoders emit EXTENSIBLE even for plain mono PCM)
 
-Channels: 1 or 2. Stereo is supported for every per-SAMPLE codec (the
-PCM widths, G.711, float — their decodes commute with interleaving);
-decode policy is downmix-to-mono ``(L+R+1)>>1`` before the SNR check
-(see :class:`StereoCoded`). Stereo IMA ADPCM is a documented rejection:
-its per-channel 4-byte sub-block interleave is a different block
-geometry, and wrong samples would be worse than a clean violation.
+Channels: 1 or 2. Stereo is supported for every codec. The per-SAMPLE
+codecs (PCM widths, G.711, float) decode the interleaved payload in one
+pass (their decodes commute with interleaving; :class:`StereoCoded`);
+stereo IMA ADPCM (per-channel 4-byte block headers + data interleaved
+in 4-byte groups) de-interleaves each block into two virtual MONO
+sub-blocks so one run of the mono recurrence decodes both channels
+(:func:`adpcm_stereo_decode_stacked`). Decode policy for both is
+downmix-to-mono ``(L+R+1)>>1`` before the SNR check — the reference
+signal is mono, and the downmix is exact on dual-mono content.
 
 G.711 companding is implemented as vectorized numpy over int16 arrays
 (standard bias-133/segment encoding for μ-law, 13-bit segment encoding for
@@ -162,6 +165,100 @@ def adpcm_ima_samples_per_block(block_align: int) -> int:
     return (block_align - 4) * 2 + 1
 
 
+def adpcm_stereo_frames_per_block(block_align: int) -> int:
+    """Stereo IMA WAVE block: one 4-byte header PER CHANNEL, then the
+    data interleaved in 4-byte (8-nibble) groups per channel — frames
+    per block = (block_align − 4·2)·8 / (4·2) + 1 = block_align − 7
+    (the WAVEFORMATEX wSamplesPerBlock formula at 4 bits, 2 channels)."""
+    return block_align - 7
+
+
+def _stereo_virtual_mono_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n, block_align) stereo IMA blocks → (2n, 4 + (ba−8)/2) virtual
+    MONO blocks (all left channels, then all right): each channel's
+    header plus its de-interleaved 4-byte data groups form a valid mono
+    block, so ONE run of the mono recurrence decodes both channels of
+    every block. The channel split is pure reshape/slice — no Python
+    loop."""
+    n, ba = blocks.shape
+    groups = blocks[:, 8:].reshape(n, (ba - 8) // 8, 2, 4)
+    left = np.concatenate(
+        [blocks[:, 0:4], groups[:, :, 0, :].reshape(n, -1)], axis=1)
+    right = np.concatenate(
+        [blocks[:, 4:8], groups[:, :, 1, :].reshape(n, -1)], axis=1)
+    return np.concatenate([left, right], axis=0)
+
+
+def adpcm_stereo_decode_channels(payload: np.ndarray,
+                                 block_align: int):
+    """One stereo IMA payload → (left, right) int16 PCM at full
+    block-padded length (callers trim to the fact-chunk frame count).
+    The per-channel samples are BIT-EXACT mono recurrences over the
+    de-interleaved sub-blocks (pinned against the scalar oracle in
+    tests/test_audio_adpcm.py)."""
+    blocks = np.ascontiguousarray(payload).reshape(-1, block_align)
+    n = blocks.shape[0]
+    dec = _adpcm_decode_blocks(_stereo_virtual_mono_blocks(blocks))
+    return dec[:n].reshape(-1), dec[n:].reshape(-1)
+
+
+def adpcm_stereo_decode_stacked(payloads, block_align: int):
+    """Stereo analog of :func:`adpcm_ima_decode_stacked`: every block of
+    every stereo clip in the batch decodes in ONE mono-recurrence run
+    (left+right channels stacked as virtual mono blocks), then each
+    clip's channels downmix ``(L+R+1)>>1`` to the comparison-domain
+    mono signal. Returns one int16 array of FRAMES per payload."""
+    for p in payloads:
+        if p.nbytes % block_align:
+            raise ValueError(
+                f"adpcm payload of {p.nbytes} bytes is not a multiple "
+                f"of block_align {block_align}")
+    counts = [p.nbytes // block_align for p in payloads]
+    if not counts or sum(counts) == 0:
+        return [np.empty(0, dtype=np.int16) for _ in payloads]
+    blocks = np.concatenate(
+        [np.ascontiguousarray(p).reshape(-1) for p in payloads]
+    ).reshape(-1, block_align)
+    nb = blocks.shape[0]
+    dec = _adpcm_decode_blocks(_stereo_virtual_mono_blocks(blocks))
+    left, right = dec[:nb].astype(np.int32), dec[nb:].astype(np.int32)
+    mixed = ((left + right + 1) >> 1).astype(np.int16)
+    out, off = [], 0
+    for c in counts:
+        out.append(mixed[off:off + c].reshape(-1))
+        off += c
+    return out
+
+
+def adpcm_ima_encode_stereo(left: np.ndarray, right: np.ndarray,
+                            block_align: int = 256) -> bytes:
+    """Two int16 channels → stereo IMA ADPCM payload: each channel is
+    encoded independently by the vectorized mono encoder at the
+    per-channel sub-block size (4 + (ba−8)/2), then headers and 4-byte
+    data groups interleave per the stereo block layout. Channels must be
+    equal length (pad upstream)."""
+    if len(left) != len(right):
+        raise ValueError("stereo adpcm channels must be equal length")
+    if block_align < 16 or (block_align - 8) % 8:
+        raise ValueError(
+            f"stereo adpcm block_align {block_align} invalid: needs "
+            f">= 16 with (block_align - 8) % 8 == 0")
+    sub_ba = 4 + (block_align - 8) // 2
+    enc_l = np.frombuffer(adpcm_ima_encode(left, sub_ba), np.uint8) \
+        .reshape(-1, sub_ba)
+    enc_r = np.frombuffer(adpcm_ima_encode(right, sub_ba), np.uint8) \
+        .reshape(-1, sub_ba)
+    n = enc_l.shape[0]
+    out = np.empty((n, block_align), dtype=np.uint8)
+    out[:, 0:4] = enc_l[:, 0:4]
+    out[:, 4:8] = enc_r[:, 0:4]
+    gl = enc_l[:, 4:].reshape(n, -1, 4)
+    gr = enc_r[:, 4:].reshape(n, -1, 4)
+    inter = np.stack([gl, gr], axis=2)          # (n, groups, 2, 4)
+    out[:, 8:] = inter.reshape(n, -1)
+    return out.tobytes()
+
+
 def _adpcm_decode_blocks(blocks: np.ndarray) -> np.ndarray:
     """(n_blocks, block_align) uint8 → (n_blocks, samples_per_block) int16.
 
@@ -282,18 +379,22 @@ def adpcm_ima_encode(pcm: np.ndarray, block_align: int = 256) -> bytes:
 
 class AdpcmCoded:
     """Zero-copy view of an IMA ADPCM data chunk plus the block geometry
-    needed to decode it. ``len()`` is the DECODED sample count, keeping
-    parse_wav's one-len()-per-decoded-sample invariant that the dur/
-    n_samples checks rely on; ``nbytes`` is the raw payload size, keeping
-    the fuzz contract's no-amplification bound."""
+    needed to decode it. ``len()`` is the DECODED frame count (samples
+    for mono, frames for stereo — the unit the dur/n_samples checks are
+    defined in), keeping parse_wav's one-len()-per-decoded-sample
+    invariant; ``nbytes`` is the raw payload size, keeping the fuzz
+    contract's no-amplification bound. ``channels == 2`` selects the
+    stereo block layout (per-channel headers + interleaved 4-byte data
+    groups) whose decode downmixes ``(L+R+1)>>1`` like StereoCoded."""
 
-    __slots__ = ("payload", "block_align", "n_samples")
+    __slots__ = ("payload", "block_align", "n_samples", "channels")
 
     def __init__(self, payload: np.ndarray, block_align: int,
-                 n_samples: int):
+                 n_samples: int, channels: int = 1):
         self.payload = payload
         self.block_align = block_align
         self.n_samples = n_samples
+        self.channels = channels
 
     def __len__(self) -> int:
         return self.n_samples
@@ -304,8 +405,11 @@ class AdpcmCoded:
 
     def decode(self) -> np.ndarray:
         """Per-clip decode (tests / snr_db_vs_period fallback); the hot
-        Arrow path batches clips through adpcm_ima_decode_stacked."""
-        (pcm,) = adpcm_ima_decode_stacked([self.payload], self.block_align)
+        Arrow path batches clips through adpcm_ima_decode_stacked /
+        adpcm_stereo_decode_stacked."""
+        fn = (adpcm_stereo_decode_stacked if self.channels == 2
+              else adpcm_ima_decode_stacked)
+        (pcm,) = fn([self.payload], self.block_align)
         return pcm[:self.n_samples]
 
 
@@ -410,9 +514,9 @@ class StereoCoded:
     signal on both channels measures the same SNR as its mono
     counterpart). Per-channel SNR is deliberately NOT computed: the
     reference signal is mono, and the documented policy is
-    downmix-then-compare (FIXTURES.md §1b). IMA ADPCM is excluded —
-    stereo ADPCM interleaves 4-byte sub-blocks per channel, a different
-    block geometry, and parse_wav rejects it as one decode violation."""
+    downmix-then-compare (FIXTURES.md §1b). IMA ADPCM is NOT wrapped
+    here — its stereo layout is block-structured (per-channel headers +
+    interleaved 4-byte groups), handled by AdpcmCoded(channels=2)."""
 
     __slots__ = ("inner", "codec")
 
@@ -609,20 +713,24 @@ def parse_wav(raw: bytes) -> Tuple[object, int, str]:
     if channels not in (1, 2):
         raise ValueError(f"unsupported channel count {channels}")
     if fmt == _FMT_ADPCM_IMA:
-        # IMA stereo interleaves 4-byte sub-blocks per channel inside
-        # each block — a different block geometry the stacked decoder
-        # does not model; documented rejection (ONE decode violation,
-        # pinned in test_audio_adpcm) rather than silent wrong samples
-        if channels != 1:
-            raise ValueError("stereo adpcm is not supported")
-        # mono IMA: 4-bit samples, ≥5-byte blocks (4-byte header + data),
-        # payload must be whole blocks — a mid-block truncation cannot be
-        # decoded and must surface as ONE decode violation
-        if bits != 4 or block_align is None or block_align < 5:
+        # IMA: 4-bit samples, whole blocks only — a mid-block truncation
+        # cannot be decoded and must surface as ONE decode violation.
+        # Mono blocks: 4-byte header + data (≥5 bytes). Stereo blocks
+        # (round 5): one header per channel + data interleaved in
+        # 4-byte groups per channel, so the data region must split
+        # evenly into 8-byte group pairs (≥16 bytes, (ba−8) % 8 == 0).
+        if bits != 4 or block_align is None:
             raise ValueError("malformed adpcm payload")
+        if channels == 1:
+            if block_align < 5:
+                raise ValueError("malformed adpcm payload")
+            spb = adpcm_ima_samples_per_block(block_align)
+        else:
+            if block_align < 16 or (block_align - 8) % 8:
+                raise ValueError("malformed stereo adpcm payload")
+            spb = adpcm_stereo_frames_per_block(block_align)
         if dlen == 0 or dlen % block_align:
             raise ValueError("truncated adpcm payload")
-        spb = adpcm_ima_samples_per_block(block_align)
         capacity = (dlen // block_align) * spb
         n_samples = capacity
         if fact_samples is not None:
@@ -630,7 +738,7 @@ def parse_wav(raw: bytes) -> Tuple[object, int, str]:
                 raise ValueError("fact chunk exceeds adpcm capacity")
             n_samples = fact_samples
         coded = AdpcmCoded(np.frombuffer(payload, dtype=np.uint8),
-                           block_align, n_samples)
+                           block_align, n_samples, channels)
         return coded, sr, _FMT_CODEC[fmt]
     # the remaining tags are all per-SAMPLE codecs: build the mono coded
     # view over the whole interleaved payload, then wrap stereo — the
@@ -728,12 +836,36 @@ _PAYLOAD_ENC = {
 }
 
 
+def encode_adpcm_stereo_wav(left: np.ndarray, right: np.ndarray,
+                            sr: int, block_align: int = 256) -> bytes:
+    """Two int16 channels → stereo IMA ADPCM WAV (tag 0x11, channels=2):
+    WAVEFORMATEX fmt chunk with the stereo wSamplesPerBlock + fact chunk
+    carrying the true FRAME count (block padding is per channel)."""
+    if len(left) != len(right):
+        raise ValueError("stereo adpcm channels must be equal length")
+    spb = adpcm_stereo_frames_per_block(block_align)
+    payload = adpcm_ima_encode_stereo(left, right, block_align)
+    byte_rate = (sr * block_align + spb - 1) // spb
+    header = struct.pack(
+        "<4sI4s4sIHHIIHHHH4sII4sI",
+        b"RIFF", 52 + len(payload), b"WAVE",
+        b"fmt ", 20, _FMT_ADPCM_IMA, 2, sr, byte_rate, block_align, 4,
+        2, spb,
+        b"fact", 4, len(left),
+        b"data", len(payload))
+    return header + payload
+
+
 def encode_stereo_wav(pcm: np.ndarray, sr: int, codec: str) -> bytes:
     """Mono int16 samples → dual-mono stereo WAV (the same signal on both
     channels — the fixture convention, FIXTURES.md §1b: the downmix
-    decode recovers the mono signal EXACTLY, so a stereo clip's SNR
-    verdict matches its mono counterpart's). Raises for adpcm_ima —
-    stereo ADPCM is a documented rejection (parse_wav)."""
+    decode recovers the mono signal EXACTLY for the per-sample codecs,
+    so a stereo clip's SNR verdict matches its mono counterpart's).
+    adpcm_ima routes to :func:`encode_adpcm_stereo_wav` (round 5: stereo
+    ADPCM decodes for real; the dual-mono downmix equals the per-channel
+    decode exactly since both channels encode identically)."""
+    if codec == "adpcm_ima":
+        return encode_adpcm_stereo_wav(pcm, pcm, sr)
     if codec not in _PAYLOAD_ENC:
         raise ValueError(f"no stereo encoder for codec {codec!r}")
     enc, fmt, bits = _PAYLOAD_ENC[codec]

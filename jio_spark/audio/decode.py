@@ -27,7 +27,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .codecs import (AdpcmCoded, adpcm_ima_decode_stacked, parse_wav,
+from .codecs import (AdpcmCoded, adpcm_ima_decode_stacked,
+                     adpcm_stereo_decode_stacked, parse_wav,
                      snr_db_vs_period)
 from .synth import expected_period, expected_transcript
 
@@ -83,31 +84,36 @@ _ADPCM_STACK_SAMPLES = 1 << 22
 def _fill_adpcm_snr(pending, out, adpcm_thr: float) -> None:
     """Stacked-decode every deferred ADPCM row of a batch and write its
     snr_db/snr_ok verdicts against the pre-resolved adpcm gate.
-    Grouped by block_align (blocks of different
-    geometry cannot share a matrix) and chunked to ≤_ADPCM_STACK_SAMPLES
-    decoded samples per stacked call, so temporaries stay ~MBs however
-    large the Arrow batch; within a chunk ONE call runs the sequential
-    recurrence for all clips at once. The SNR itself reuses the fused
+    Grouped by (block_align, channels) — blocks of different geometry
+    cannot share a matrix, and stereo blocks route through the
+    channel-de-interleaving stacked decoder — and chunked to
+    ≤_ADPCM_STACK_SAMPLES decoded samples per stacked call, so
+    temporaries stay ~MBs however large the Arrow batch; within a chunk
+    ONE call runs the sequential recurrence for all clips (both stereo
+    channels included) at once. The SNR itself reuses the fused
     cache-blocked kernel on the decoded PCM (lut-less path), so deferred
     rows get bit-identical accumulation to the non-deferred codecs."""
-    by_ba: dict = {}
+    by_geom: dict = {}
     for item in pending:
-        by_ba.setdefault(item[1].block_align, []).append(item)
-    for ba, items in by_ba.items():
+        key = (item[1].block_align, item[1].channels)
+        by_geom.setdefault(key, []).append(item)
+    for (ba, ch), items in by_geom.items():
         chunk, budget = [], _ADPCM_STACK_SAMPLES
         for item in items:
             chunk.append(item)
-            budget -= len(item[1])
+            budget -= len(item[1]) * ch
             if budget <= 0:
-                _snr_one_stack(chunk, ba, out, adpcm_thr)
+                _snr_one_stack(chunk, ba, ch, out, adpcm_thr)
                 chunk, budget = [], _ADPCM_STACK_SAMPLES
         if chunk:
-            _snr_one_stack(chunk, ba, out, adpcm_thr)
+            _snr_one_stack(chunk, ba, ch, out, adpcm_thr)
 
 
-def _snr_one_stack(items, ba: int, out, adpcm_thr: float) -> None:
-    decoded = adpcm_ima_decode_stacked(
-        [c.payload for _, c, _, _ in items], ba)
+def _snr_one_stack(items, ba: int, ch: int, out,
+                   adpcm_thr: float) -> None:
+    fn = adpcm_stereo_decode_stacked if ch == 2 \
+        else adpcm_ima_decode_stacked
+    decoded = fn([c.payload for _, c, _, _ in items], ba)
     for (j, coded, period, n_ref), pcm in zip(items, decoded):
         s = snr_db_vs_period(pcm[:len(coded)], "pcm_s16le", period, n_ref)
         out["snr_db"][j] = s

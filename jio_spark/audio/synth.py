@@ -149,11 +149,11 @@ _MIX_CODECS = np.array(["pcm_s16le", "ulaw", "alaw", "adpcm_ima",
 _MIX_CUM = np.array([0.25, 0.40, 0.50, 0.70, 0.80, 0.90, 1.0])
 # p = [.25,.15,.10,.20,.10,.10,.10]
 
-#: §1b layout rates: stereo (dual-mono) on 25% of per-sample-codec rows;
-#: WAVE_FORMAT_EXTENSIBLE rewrap on 20% of per-sample-codec rows (ADPCM
-#: rows stay canonical — its 20-byte WAVEFORMATEX fmt chunk is not the
-#: 16-byte form wrap_extensible rewraps, and stereo ADPCM is a
-#: documented parse rejection)
+#: §1b layout rates: stereo (dual-mono) on 25% of ALL rows — including
+#: ADPCM, whose stereo block layout decodes for real since round 5 —
+#: and a WAVE_FORMAT_EXTENSIBLE rewrap on 20% of per-sample-codec rows
+#: (ADPCM rows stay canonical: its 20-byte WAVEFORMATEX fmt chunk is
+#: not the 16-byte form wrap_extensible rewraps)
 _MIX_STEREO_P = 0.25
 _MIX_EXT_P = 0.20
 
@@ -182,14 +182,13 @@ def make_row_mixed(i: int):
     clip_id = f"mix_{i:012d}"
     codec = str(_MIX_CODECS[int(np.searchsorted(_MIX_CUM, _u(i, 20)))])
     pcm = synth_wave(freq, dur, sr)
-    if codec == "adpcm_ima":
-        raw = ENCODERS[codec](pcm, sr)
-    else:
-        stereo = _u(i, 21) < _MIX_STEREO_P
-        raw = (encode_stereo_wav(pcm, sr, codec) if stereo
-               else ENCODERS[codec](pcm, sr))
-        if _u(i, 22) < _MIX_EXT_P:
-            raw = wrap_extensible(raw)
+    stereo = _u(i, 21) < _MIX_STEREO_P
+    raw = (encode_stereo_wav(pcm, sr, codec) if stereo
+           else ENCODERS[codec](pcm, sr))
+    if codec != "adpcm_ima" and _u(i, 22) < _MIX_EXT_P:
+        # ADPCM stays canonical: its 20-byte WAVEFORMATEX fmt chunk is
+        # not the 16-byte form wrap_extensible rewraps
+        raw = wrap_extensible(raw)
     # §1 anomaly injections, same salts and rates as make_row
     if _u(i, 10) < 0.001 and i >= 7:                     # duplicate id
         clip_id = f"mix_{i - 7:012d}"

@@ -718,3 +718,79 @@ def test_pcm_s24_roundtrip_is_lossless_and_checks_pass(spark):
     assert all(r["decode_ok"] and r["snr_ok"] and r["codec_match"]
                and r["dur_match"] and r["transcript_match"] for r in res)
     assert all(r["snr_db"] == float("inf") for r in res)   # lossless
+
+
+# ---------------------------------------------------------------------------
+# stereo IMA ADPCM (round 5): scalar-oracle bit-exactness
+
+def _oracle_decode_stereo_block(block, block_align):
+    """Independent scalar rendering of the stereo IMA block layout: one
+    4-byte header per channel, then the data interleaved in 4-byte
+    (8-nibble) groups per channel — each channel is a plain mono
+    recurrence over its own header + de-interleaved groups."""
+    chans = []
+    body = block[8:block_align]
+    for c in (0, 1):
+        sub = bytearray(block[4 * c:4 * c + 4])
+        for g in range(len(body) // 4):
+            if g % 2 == c:
+                sub += body[g * 4:(g + 1) * 4]
+        chans.append(_oracle_decode_block(bytes(sub), len(sub)))
+    return chans
+
+
+def test_stereo_decode_matches_scalar_oracle_bit_for_bit():
+    from jio_spark.audio.codecs import (adpcm_ima_encode_stereo,
+                                        adpcm_stereo_decode_channels,
+                                        adpcm_stereo_frames_per_block)
+    rng = np.random.default_rng(11)
+    ba = 256
+    fpb = adpcm_stereo_frames_per_block(ba)
+    left = rng.integers(-32768, 32768, size=fpb * 5).astype(np.int16)
+    right = rng.integers(-32768, 32768, size=fpb * 5).astype(np.int16)
+    payload = adpcm_ima_encode_stereo(left, right, ba)
+    blocks = [payload[i:i + ba] for i in range(0, len(payload), ba)]
+    want_l, want_r = [], []
+    for b in blocks:
+        ol, orr = _oracle_decode_stereo_block(b, ba)
+        want_l.append(ol)
+        want_r.append(orr)
+    got_l, got_r = adpcm_stereo_decode_channels(
+        np.frombuffer(payload, np.uint8), ba)
+    assert np.array_equal(np.concatenate(want_l), got_l)
+    assert np.array_equal(np.concatenate(want_r), got_r)
+
+
+def test_stereo_container_roundtrip_and_fact_trim():
+    from jio_spark.audio.codecs import (AdpcmCoded,
+                                        encode_adpcm_stereo_wav)
+    l = synth_wave(440.0, 333, 16000)          # pads the last block
+    r = synth_wave(660.0, 333, 16000)
+    raw = encode_adpcm_stereo_wav(l, r, 16000)
+    coded, sr, codec = parse_wav(raw)
+    assert isinstance(coded, AdpcmCoded) and coded.channels == 2
+    assert (sr, codec) == (16000, "adpcm_ima")
+    assert len(coded) == len(l)                # frames via fact chunk
+    mix = coded.decode()
+    assert len(mix) == len(l)
+    want = ((l.astype(np.int32) + r.astype(np.int32) + 1) >> 1)
+    # lossy codec: the downmix of decoded channels tracks the downmix
+    # of the sources at ADPCM quality
+    assert snr_db(want.astype(np.int16), mix) >= 20.0
+
+
+def test_stereo_stacked_equals_per_clip():
+    from jio_spark.audio.codecs import (adpcm_stereo_decode_stacked,
+                                        encode_adpcm_stereo_wav)
+    views = []
+    for dur, ba in [(40, 256), (200, 256), (1000, 512), (90, 512)]:
+        l = synth_wave(440.0, dur, 16000)
+        r = synth_wave(550.0, dur, 16000)
+        raw = encode_adpcm_stereo_wav(l, r, 16000, block_align=ba)
+        views.append(parse_wav(raw)[0])
+    for ba in (256, 512):
+        group = [v for v in views if v.block_align == ba]
+        stacked = adpcm_stereo_decode_stacked(
+            [v.payload for v in group], ba)
+        for v, s in zip(group, stacked):
+            assert np.array_equal(v.decode(), s[:len(v)])

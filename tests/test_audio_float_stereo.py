@@ -155,17 +155,37 @@ def test_three_channels_rejected(pcm):
         parse_wav(bytes(raw))
 
 
-def test_stereo_adpcm_documented_rejection(pcm):
-    """Round-5 pin (VERDICT r4 task 6): stereo IMA ADPCM interleaves
-    4-byte sub-blocks per channel — a block geometry the stacked decoder
-    does not model — so it must surface as ONE clean decode violation
-    (ValueError), never as silently wrong samples."""
-    raw = bytearray(ENCODERS["adpcm_ima"](pcm, 16000))
-    raw[22:24] = struct.pack("<H", 2)
+def test_stereo_adpcm_decodes_with_frame_semantics(pcm):
+    """Round-5: stereo IMA ADPCM decodes for real (per-channel headers +
+    4-byte-group interleave; the scalar-oracle bit-exactness pin lives
+    in test_audio_adpcm.py). len() counts FRAMES via the fact chunk,
+    and the dual-mono downmix clears the ADPCM gate like mono."""
+    from jio_spark.audio.codecs import AdpcmCoded, snr_db
+    raw = encode_stereo_wav(pcm, 16000, "adpcm_ima")
+    coded, sr, codec = parse_wav(raw)
+    assert codec == "adpcm_ima"
+    assert isinstance(coded, AdpcmCoded) and coded.channels == 2
+    assert len(coded) == len(pcm)
+    assert snr_db(pcm, coded.decode()) >= 20.0
+
+
+def test_stereo_adpcm_malformed_geometry_rejected(pcm):
+    """A stereo block whose data region cannot split into per-channel
+    4-byte group pairs ((ba-8) % 8 != 0) must reject as ONE decode
+    violation, never decode wrong samples."""
+    raw = bytearray(encode_stereo_wav(pcm, 16000, "adpcm_ima"))
+    raw[32:34] = struct.pack("<H", 20)      # (20-8) % 8 != 0
     with pytest.raises(ValueError, match="stereo adpcm"):
         parse_wav(bytes(raw))
-    with pytest.raises(ValueError):
-        encode_stereo_wav(pcm, 16000, "adpcm_ima")
+    # a header claiming 2 channels over a MONO-geometry block_align (not
+    # splittable) likewise rejects
+    raw2 = bytearray(ENCODERS["adpcm_ima"](pcm, 16000))  # ba=256 mono
+    raw2[22:24] = struct.pack("<H", 2)
+    # ba=256: (256-8)%8 == 0, so this parses as stereo with frames
+    # recomputed by the stereo formula — the fact chunk (mono count)
+    # now EXCEEDS stereo capacity and must reject
+    with pytest.raises(ValueError, match="fact chunk exceeds"):
+        parse_wav(bytes(raw2))
 
 
 # -- round-5 hardening fixes ------------------------------------------------
@@ -219,47 +239,41 @@ def test_validate_gates_accepts_f32_key():
 # -- Arrow decode path end-to-end -------------------------------------------
 
 def test_decode_check_over_mixed_layouts(spark):
-    """The full mapInPandas decode over a frame mixing mono, stereo,
-    float32, EXTENSIBLE and stereo-ADPCM rows: per-row verdicts match
-    the per-clip expectations, and the stereo rows' n_samples count
-    FRAMES (the unit the dur check is defined in)."""
+    """The full mapInPandas decode over a frame mixing mono float32,
+    stereo float32, EXTENSIBLE stereo G.711 and stereo-ADPCM rows: every
+    row decodes, per-row verdicts match the per-clip expectations, and
+    the stereo rows' n_samples count FRAMES (the unit the dur check is
+    defined in). The stereo-ADPCM row rides the batch-stacked deferred
+    SNR path with its per-codec gate."""
     from jio_spark.audio.decode import decode_check
-    from jio_spark.audio.synth import expected_signal
+    from jio_spark.audio.synth import (MIX_SNR_GATES, expected_signal,
+                                       expected_transcript)
 
     i = 5
     sig = expected_signal(i)
-    _, _, sr, dur, _, _ = __import__(
-        "jio_spark.audio.synth", fromlist=["_row_params"])._row_params(
-            i, False)
+    from jio_spark.audio.synth import _row_params
+    _, _, sr, dur, _, _ = _row_params(i, False)
     tid = f"clip_{i:012d}"
-    from jio_spark.audio.synth import expected_transcript
     tr = expected_transcript(i)
-    adpcm_stereo = bytearray(ENCODERS["adpcm_ima"](sig, sr))
-    adpcm_stereo[22:24] = struct.pack("<H", 2)
     rows = [
-        ("m1", bytearray(ENCODERS["pcm_f32le"](sig, sr))),
-        ("m2", bytearray(encode_stereo_wav(sig, sr, "pcm_f32le"))),
-        ("m3", bytearray(wrap_extensible(
+        ("pcm_f32le", bytearray(ENCODERS["pcm_f32le"](sig, sr))),
+        ("pcm_f32le", bytearray(encode_stereo_wav(sig, sr, "pcm_f32le"))),
+        ("ulaw", bytearray(wrap_extensible(
             encode_stereo_wav(sig, sr, "ulaw")))),
-        ("m4", adpcm_stereo),
+        ("adpcm_ima", bytearray(encode_stereo_wav(sig, sr, "adpcm_ima"))),
     ]
     df = spark.createDataFrame(
-        [(tid, r, sr, dur, "pcm_f32le" if k in ("m1", "m2") else "ulaw",
-          tr) for k, r in rows],
+        [(tid, raw, sr, dur, codec, tr) for codec, raw in rows],
         "clip_id string, bytes binary, sr_hz int, dur_ms int, "
         "codec string, transcript string")
-    res = {tuple(r[:1]) + (idx,): r for idx, r in enumerate(
-        decode_check(df, check_reference=True, salt=False).collect())}
-    got = sorted(res.values(), key=lambda r: r["n_samples"])
-    by_ok = [r for r in res.values() if r["decode_ok"]]
-    assert len(by_ok) == 3
-    for r in by_ok:
-        assert r["sr_match"] and r["dur_match"] and r["snr_ok"]
-        assert r["transcript_match"]
-        assert r["n_samples"] == len(sig)   # frames for the stereo rows
-    bad = [r for r in res.values() if not r["decode_ok"]]
-    assert len(bad) == 1 and "stereo adpcm" in bad[0]["error"]
-    assert got is not None
+    res = decode_check(df, check_reference=True, salt=False,
+                       snr_threshold=MIX_SNR_GATES).collect()
+    assert len(res) == 4
+    for r in res:
+        assert r["decode_ok"], r
+        assert r["codec_match"] and r["sr_match"] and r["dur_match"], r
+        assert r["snr_ok"] and r["transcript_match"], r
+        assert r["n_samples"] == len(sig), r   # frames, all layouts
 
 
 def test_parse_contract_classes_closed():

@@ -157,6 +157,7 @@ def _rebuild(chunks) -> bytes:
 @settings(deadline=None, max_examples=250)
 @given(
     codec=st.sampled_from(CODECS + ["stereo:pcm_s16le", "stereo:ulaw",
+                                    "stereo:adpcm_ima",
                                     "ext:pcm_s16le", "ext:pcm_f32le"]),
     inserts=st.lists(
         st.tuples(

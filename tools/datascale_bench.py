@@ -12,9 +12,18 @@ Generation (excluded from timing) uses the same deterministic
 integer-hash synth as bench.py, so counts at any N are reproducible.
 
 Usage: python tools/datascale_bench.py [n_clips] [repeats] [--keep]
+                                       [--coldcache]
 The generated table lands in /tmp/jio_spark_bench/clips_<N> and is
 DELETED afterwards unless --keep (a 4M table is ~52 GB of /tmp).
-"""
+
+``--coldcache`` drops the OS page cache (sync; echo 3 >
+/proc/sys/vm/drop_caches — root-only) before every timed run, forcing
+the decode scan into DISK-BOUND steady state. This is the sandbox's
+honest stand-in for the "10M clips / 130 GB, past RAM" notch: the
+bench host has 125 GiB RAM but only ~70 GB of free disk, so a table
+that genuinely exceeds RAM cannot be materialized — evicting the cache
+measures the same thing (every payload byte read from storage) at a
+size that fits."""
 
 import json
 import os
@@ -124,6 +133,7 @@ def main():
     n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 4000000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     keep = "--keep" in sys.argv
+    coldcache = "--coldcache" in sys.argv
     cache = f"/tmp/jio_spark_bench/clips_{n_clips}"
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -167,6 +177,17 @@ def main():
     with PeakSampler() as sampler:
         for i in range(repeats):
             sampler.take()  # drop anything sampled between runs
+            if coldcache:
+                # evict every cached page of the table (and everything
+                # else — clean pages only, nothing is lost) so this
+                # run's scan is storage-bound end to end
+                subprocess.run(["sync"], check=True)
+                try:
+                    with open("/proc/sys/vm/drop_caches", "w") as f:
+                        f.write("3\n")
+                except OSError as e:
+                    raise SystemExit(
+                        f"--coldcache needs root (drop_caches): {e}")
             t0 = time.time()
             m = job.run(clips, table_root=cache)
             wall = time.time() - t0
@@ -184,7 +205,7 @@ def main():
 
     med = statistics.median(runs)
     print(json.dumps({
-        "n_clips": n_clips, "cpus": cpus,
+        "n_clips": n_clips, "cpus": cpus, "coldcache": coldcache,
         "median_wall_sec": round(med, 1),
         "median_clips_per_sec": round(n_clips / med, 1),
         "peak_rss_gb": round(overall_peak_kb / 1048576, 1),

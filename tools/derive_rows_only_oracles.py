@@ -158,16 +158,34 @@ def parse_wav_independent(raw: bytes):
     fact_n = struct.unpack_from("<I", facts[-1][1], 0)[0] if facts \
         else None
     if tag == 0x11:
-        if channels != 1:
-            raise ValueError("stereo adpcm")
-        if bits != 4 or block_align < 5:
+        if bits != 4:
             raise ValueError("bad adpcm fmt")
+        if channels == 1:
+            if block_align < 5:
+                raise ValueError("bad adpcm fmt")
+        elif block_align < 16 or (block_align - 8) % 8:
+            raise ValueError("bad stereo adpcm fmt")
         if dlen == 0 or dlen % block_align:
             raise ValueError("partial adpcm block")
         samples = []
         for b0 in range(0, dlen, block_align):
-            samples.extend(_adpcm_block_scalar(body[b0:b0 + block_align],
-                                               block_align))
+            block = body[b0:b0 + block_align]
+            if channels == 1:
+                samples.extend(_adpcm_block_scalar(block, block_align))
+                continue
+            # stereo layout: one 4-byte header per channel, then data in
+            # alternating 4-byte groups — decode each channel as a plain
+            # mono sub-block, downmix round-half-up
+            data = block[8:]
+            subs = []
+            for c in (0, 1):
+                sub = bytearray(block[4 * c:4 * c + 4])
+                for g in range(len(data) // 4):
+                    if g % 2 == c:
+                        sub += data[g * 4:(g + 1) * 4]
+                subs.append(_adpcm_block_scalar(bytes(sub), len(sub)))
+            samples.extend((lv + rv + 1) // 2
+                           for lv, rv in zip(subs[0], subs[1]))
         if fact_n is not None:
             if fact_n > len(samples):
                 raise ValueError("fact too large")
