@@ -233,3 +233,36 @@ def test_riff_walk_random_chunk_soup(data):
         body += cid + struct.pack("<I", declared) + chunk_body
     raw = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
     _assert_parse_contract(raw)
+
+
+@settings(deadline=None, max_examples=100)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 700),
+       st.sampled_from([16, 64, 256, 512]))
+def test_stereo_adpcm_roundtrip_matches_scalar_oracle(seed, n, ba):
+    """Hypothesis arm of the stereo-ADPCM conformance: random
+    independent channels of random length and block geometry — the
+    vectorized stereo encoder's payload decodes per channel to exactly
+    what the scalar stereo-block oracle produces, and the container
+    round trip preserves the frame count through the fact chunk."""
+    from jio_spark.audio.codecs import (AdpcmCoded,
+                                        adpcm_ima_encode_stereo,
+                                        adpcm_stereo_decode_channels,
+                                        encode_adpcm_stereo_wav)
+    from tests.test_audio_adpcm import _oracle_decode_stereo_block
+    rng = np.random.default_rng(seed)
+    left = rng.integers(-32768, 32768, size=n).astype(np.int16)
+    right = rng.integers(-32768, 32768, size=n).astype(np.int16)
+    payload = adpcm_ima_encode_stereo(left, right, ba)
+    want_l, want_r = [], []
+    for i in range(0, len(payload), ba):
+        ol, orr = _oracle_decode_stereo_block(payload[i:i + ba], ba)
+        want_l.append(ol)
+        want_r.append(orr)
+    got_l, got_r = adpcm_stereo_decode_channels(
+        np.frombuffer(payload, np.uint8), ba)
+    assert np.array_equal(np.concatenate(want_l), got_l)
+    assert np.array_equal(np.concatenate(want_r), got_r)
+    coded, _, codec = parse_wav(
+        encode_adpcm_stereo_wav(left, right, 16000, ba))
+    assert codec == "adpcm_ima" and isinstance(coded, AdpcmCoded)
+    assert coded.channels == 2 and len(coded) == n
