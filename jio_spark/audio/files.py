@@ -41,6 +41,29 @@ _COLUMNS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _strip_scheme(p: str) -> str:
+    """Path component of a URI (``s3://bucket/key`` → ``bucket/key``);
+    plain paths pass through. Used for RELATIVE-path computations only —
+    reads always go through :func:`_open_parquet` with the full URI."""
+    return p.split("://", 1)[1] if "://" in p else p
+
+
+def _open_parquet(path: str):
+    """pq.ParquetFile for a plain path OR a filesystem URI: URI paths
+    resolve through ``pyarrow.fs.FileSystem.from_uri`` (LocalFileSystem
+    for file://, S3FileSystem for s3://, HadoopFileSystem for hdfs:// —
+    whatever the pyarrow build supports), so every footer/row-group read
+    in this module works identically against object storage. This is
+    the worker-side half of the object-store support; the listing half
+    is in :func:`_tagged_files`."""
+    import pyarrow.parquet as pq
+    if "://" in path:
+        import pyarrow.fs as pafs
+        fs, inner = pafs.FileSystem.from_uri(path)
+        return pq.ParquetFile(fs.open_input_file(inner))
+    return pq.ParquetFile(path)
+
+
 def _footer_meta(path: str, cache: Optional[dict]):
     """(num_row_groups, num_rows) from one parquet footer, or the string
     ``'unreadable'`` — never raises. ``cache`` (path → result) lets the
@@ -53,7 +76,7 @@ def _footer_meta(path: str, cache: Optional[dict]):
     import pyarrow as pa
     import pyarrow.parquet as pq
     try:
-        md = pq.ParquetFile(path).metadata
+        md = _open_parquet(path).metadata
         res = (md.num_row_groups, md.num_rows)
     except (OSError, ValueError, pa.ArrowException):
         res = "unreadable"
@@ -109,17 +132,29 @@ def _tagged_files(root: str, partition_filter: Optional[Sequence],
     audit — one place for the hive-unescape / NULL-dir / non-hive
     semantics. Purely a directory listing: no footer is touched."""
     if "://" in root:
-        # glob is local-filesystem only; an object-store URI would list
-        # ZERO files and the decode would "validate" nothing while every
-        # group gets marked complete — the silent skip this module
-        # guards against everywhere else. Refuse loudly; the extension
-        # point is a pyarrow.fs-based lister behind this same function.
-        raise NotImplementedError(
-            f"decode file listing is local-filesystem only; got URI "
-            f"{root!r} (extend _tagged_files with pyarrow.fs to list "
-            f"object stores)")
-    paths = sorted(glob.glob(os.path.join(root, "**", "*.parquet"),
-                             recursive=True))
+        # object-store / URI listing via pyarrow.fs (round 5; previously
+        # a documented NotImplementedError): FileSystem.from_uri covers
+        # file://, s3://, hdfs://, gcs-over-s3 — whatever the pyarrow
+        # build supports. Full URIs are carried as the split paths so
+        # the workers re-resolve the same filesystem per read
+        # (_open_parquet). An empty listing still refuses loudly below —
+        # a typo'd bucket must not "validate" zero rows silently.
+        import pyarrow.fs as pafs
+        scheme = root.split("://", 1)[0]
+        fs, inner = pafs.FileSystem.from_uri(root)
+        try:
+            infos = fs.get_file_info(
+                pafs.FileSelector(inner, recursive=True))
+        except (OSError, FileNotFoundError) as e:
+            raise FileNotFoundError(
+                f"cannot list {root!r}: {e}") from e
+        paths = sorted(
+            f"{scheme}://{i.path}" for i in infos
+            if i.type == pafs.FileType.File
+            and i.path.endswith(".parquet"))
+    else:
+        paths = sorted(glob.glob(os.path.join(root, "**", "*.parquet"),
+                                 recursive=True))
     if not paths:
         raise FileNotFoundError(
             f"no *.parquet files under {root!r}: the payload-local "
@@ -130,8 +165,9 @@ def _tagged_files(root: str, partition_filter: Optional[Sequence],
         # match against the path RELATIVE to root: an ancestor directory
         # above the table that happens to contain '<col>=value/' (e.g. a
         # table stored under another table's partition dir) must not
-        # mis-tag every file
-        rel = os.path.relpath(path, root)
+        # mis-tag every file. URI schemes are stripped for the relpath
+        # arithmetic only (reads keep the full URI).
+        rel = os.path.relpath(_strip_scheme(path), _strip_scheme(root))
         m = re.search(rf"(?:^|/){re.escape(partition_col)}=([^/]+)/", rel)
         raw = None
         if m:
@@ -236,12 +272,11 @@ def _partition_dtype(splits: Sequence[Tuple[str, int, Optional[int]]],
     # listing and this driver-side read must not kill the job the mode
     # exists to protect — try the next split instead
     import pyarrow as pa
-    import pyarrow.parquet as pq
     for path, rg, _ in splits:
         if rg < 0:
             continue
         try:
-            sch = pq.ParquetFile(path).schema_arrow
+            sch = _open_parquet(path).schema_arrow
         except (OSError, ValueError, pa.ArrowException):
             continue
         if partition_col in sch.names:
@@ -343,7 +378,6 @@ def decode_check_files(spark: SparkSession, root: str,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os as _os
         import pyarrow as pa
-        import pyarrow.parquet as pq
         # use_threads=False on read_row_group already keeps THIS read on
         # one core; the process-global clamp below additionally stops
         # pyarrow's implicit cpu_count thread pool from borrowing cores
@@ -355,7 +389,8 @@ def decode_check_files(spark: SparkSession, root: str,
         for pdf in batches:
             for path, rg, pval in zip(pdf["path"], pdf["rg"],
                                       pdf[partition_col]):
-                rel = os.path.relpath(path, root)
+                rel = os.path.relpath(_strip_scheme(path),
+                                      _strip_scheme(root))
                 if int(rg) < 0:
                     # driver-side footer marker (listing ran with
                     # on_corrupt='violation')
@@ -365,7 +400,7 @@ def decode_check_files(spark: SparkSession, root: str,
                         codec_pass)
                     continue
                 try:
-                    pf = pq.ParquetFile(path)
+                    pf = _open_parquet(path)
                     cols = list(_COLUMNS)
                     if not check_reference:
                         # mirror decode_check: only the reference check

@@ -331,18 +331,21 @@ def test_decode_violations_expected_names_real_threshold(spark):
 
 def test_tagged_files_loud_on_uris_empty_and_metachar_cols(
         spark, tmp_path):
-    """Three silent-skip shapes made loud/safe: an object-store URI
-    (glob lists nothing), an empty root (zero files, zero violations,
-    group marked complete), and a partition column whose name contains
-    regex metacharacters (un-escaped '.' made 'bucketXid=3/' tag as a
-    hive dir for 'bucket.id')."""
+    """Three silent-skip shapes made loud/safe: an empty/missing URI
+    root (round 5: URIs now LIST via pyarrow.fs instead of refusing,
+    but an empty listing still refuses loudly — a typo'd bucket must
+    not "validate" zero rows), an empty local root, and a partition
+    column whose name contains regex metacharacters (un-escaped '.'
+    made 'bucketXid=3/' tag as a hive dir for 'bucket.id')."""
     import os
     from jio_spark.audio.files import _tagged_files
 
-    with pytest.raises(NotImplementedError, match="local-filesystem"):
-        _tagged_files("s3://bucket/clips", None, "bucket_id")
     empty = tmp_path / "empty"
     empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="zero rows"):
+        _tagged_files(f"file://{empty}", None, "bucket_id")
+    with pytest.raises(FileNotFoundError):
+        _tagged_files(f"file://{empty}/nonexistent", None, "bucket_id")
     with pytest.raises(FileNotFoundError, match="zero rows"):
         _tagged_files(str(empty), None, "bucket_id")
 
