@@ -90,9 +90,14 @@ def test_submit_job_rejects_bad_snr_threshold(tmp_path):
 
 def test_submit_job_rejects_sneaky_snr_gates(tmp_path):
     """bool is an int subclass (`true` → a 1.0 dB gate that disables the
-    check in all but name) and a typo'd codec key silently falls to the
-    default gate — both must die at parse time."""
-    for bad in ("true", '{"adpcm_ima": [26]}', '{"adcpm_ima": 26}'):
+    check in all but name), a typo'd codec key silently falls to the
+    default gate, and json.loads('NaN'/'Infinity') produces non-finite
+    floats (a NaN gate makes every `s >= thr` comparison False —
+    silently failing ALL clips; round-5 ADVICE fix) — all must die at
+    parse time."""
+    for bad in ("true", '{"adpcm_ima": [26]}', '{"adcpm_ima": 26}',
+                "NaN", "Infinity", '{"adpcm_ima": NaN}',
+                '{"default": -Infinity}'):
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "submit_job.py"),
              "--input", str(tmp_path), "--output", str(tmp_path / "o"),
