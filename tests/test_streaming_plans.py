@@ -404,3 +404,43 @@ def test_decode_stream_end_to_end(spark, tmp_path):
         q2.stop()
     assert sum(r["clips"] for r in rates) == 4
     assert sum(r["failed"] for r in rates) == 1
+
+
+def test_decode_stream_extended_codecs_match_batch(spark, tmp_path):
+    """decode_stream inherits the round-5 codec surface unchanged: a
+    streamed micro-batch of §1b mixed rows (float32, stereo, stereo
+    ADPCM, EXTENSIBLE wraps, injected anomalies) produces EXACTLY the
+    batch decode's per-clip verdicts under the per-codec gates — the
+    streaming face is the same Arrow kernel, so the two cannot drift."""
+    from jio_spark.audio.decode import decode_check
+    from jio_spark.audio.synth import (CLIPS_SCHEMA, MIX_SNR_GATES,
+                                       make_row_mixed)
+    from jio_spark.streaming import decode_stream
+
+    rows = [make_row_mixed(i) for i in range(150)]
+    src = str(tmp_path / "mixed_in")
+    df = spark.createDataFrame(rows, CLIPS_SCHEMA)
+    df.write.parquet(src)
+
+    def canon(frame):
+        # NaN snr_db (reference unlocatable) breaks tuple equality —
+        # flatten to a sentinel on both sides
+        return sorted(map(tuple, frame.withColumn(
+            "snr_db", F.nanvl(F.col("snr_db"), F.lit(-9e9))).collect()))
+
+    batch = canon(decode_check(df, check_reference=True,
+                               snr_threshold=MIX_SNR_GATES, salt=False,
+                               passthrough=["codec"]))
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    outs = decode_stream(stream, snr_threshold=MIX_SNR_GATES)
+    q = (outs["results"].writeStream.format("memory")
+         .queryName("ext_dec").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = canon(spark.sql("select * from ext_dec"))
+    finally:
+        q.stop()
+    assert got == batch
+    n_ok = sum(1 for r in got if r[1])
+    assert 140 <= n_ok <= 150       # anomaly rates leave most decodable
