@@ -9,8 +9,9 @@ Supported WAVE format tags:
   precision, exact for payloads produced from 16-bit sources), or the
   legacy unsigned 8-bit convention (``pcm_u8`` — WAV stores 8-bit PCM
   excess-128 by specification)
-* 3      — IEEE float32 (``pcm_f32le``), the float-mastering convention
-  (/32768 scaling; decode rounds ties-to-even back to int16)
+* 3      — IEEE float32 (``pcm_f32le``, the float-mastering convention)
+  or float64 (``pcm_f64le``, the rare scientific/DAW export width);
+  /32768 scaling, decode rounds ties-to-even back to int16
 * 6      — ITU-T G.711 A-law
 * 7      — ITU-T G.711 μ-law
 * 0x11   — IMA/DVI ADPCM (``adpcm_ima``), mono 4-bit
@@ -497,6 +498,36 @@ def pcm_f32_encode(pcm: np.ndarray) -> np.ndarray:
     return (pcm.astype(np.float32) / np.float32(32768.0)).astype("<f4")
 
 
+class Float64Coded:
+    """Zero-copy view of an IEEE double data chunk (tag 3, bits=64 —
+    the rare but legal scientific/DAW export width). Same decode
+    contract as :class:`Float32Coded`: ×32768, ties-to-even, NaN → 0,
+    ±inf → the int16 rails."""
+
+    __slots__ = ("payload",)
+
+    def __init__(self, payload: np.ndarray):
+        self.payload = payload          # '<f8' view of the data chunk
+
+    def __len__(self) -> int:
+        return len(self.payload)
+
+    @property
+    def nbytes(self) -> int:
+        return self.payload.nbytes
+
+    def decode(self) -> np.ndarray:
+        x = np.rint(self.payload * 32768.0)
+        x = np.nan_to_num(x, nan=0.0, posinf=32767.0, neginf=-32768.0)
+        return np.clip(x, -32768.0, 32767.0).astype(np.int16)
+
+
+def pcm_f64_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM → little-endian float64 samples (/32768) — exact
+    inverse of Float64Coded.decode for 16-bit sources."""
+    return (pcm.astype(np.float64) / 32768.0).astype("<f8")
+
+
 # ---------------------------------------------------------------------------
 # stereo (nChannels == 2) for the per-sample codec family
 
@@ -540,7 +571,8 @@ class StereoCoded:
 
 #: every coded-view class parse_wav can return instead of a bare ndarray;
 #: decode_coded and the fused SNR kernel materialize these via .decode()
-CODED_CLASSES = (AdpcmCoded, Pcm24Coded, Float32Coded, StereoCoded)
+CODED_CLASSES = (AdpcmCoded, Pcm24Coded, Float32Coded, Float64Coded,
+                 StereoCoded)
 
 
 # ---------------------------------------------------------------------------
@@ -766,12 +798,20 @@ def parse_wav(raw: bytes) -> Tuple[object, int, str]:
         coded, codec = np.frombuffer(payload, dtype=np.uint8), \
             _FMT_CODEC[fmt]
     elif fmt == _FMT_FLOAT:
-        # WAVE_FORMAT_IEEE_FLOAT — float32 only (float64 WAV exists in
-        # principle but no mainstream encoder emits it; rejected loudly)
-        if bits != 32 or dlen % 4:
+        # WAVE_FORMAT_IEEE_FLOAT: float32 (the mastering convention) or
+        # float64 (rare but legal scientific/DAW export width)
+        if bits == 32:
+            if dlen % 4:
+                raise ValueError("malformed ieee-float payload")
+            coded = Float32Coded(np.frombuffer(payload, dtype="<f4"))
+            codec = "pcm_f32le"
+        elif bits == 64:
+            if dlen % 8:
+                raise ValueError("malformed ieee-double payload")
+            coded = Float64Coded(np.frombuffer(payload, dtype="<f8"))
+            codec = "pcm_f64le"
+        else:
             raise ValueError("malformed ieee-float payload")
-        coded = Float32Coded(np.frombuffer(payload, dtype="<f4"))
-        codec = "pcm_f32le"
     else:
         raise ValueError(f"unsupported format tag {fmt}")
     if channels == 2:
@@ -822,6 +862,11 @@ def encode_pcm32f_wav(pcm: np.ndarray, sr: int) -> bytes:
     return _wav_bytes(pcm_f32_encode(pcm).tobytes(), _FMT_FLOAT, sr, 32)
 
 
+def encode_pcm64f_wav(pcm: np.ndarray, sr: int) -> bytes:
+    """int16 samples → IEEE float64 WAV (format tag 3, bits=64)."""
+    return _wav_bytes(pcm_f64_encode(pcm).tobytes(), _FMT_FLOAT, sr, 64)
+
+
 #: codec → (int16 samples → payload bytes, format tag, container bits) for
 #: the per-SAMPLE codec family — the shared table behind the mono encoders
 #: above and the stereo writer below (ADPCM is block-structured and mono-
@@ -833,6 +878,7 @@ _PAYLOAD_ENC = {
     "pcm_u8": (lambda p: pcm_u8_encode(p).tobytes(), _FMT_PCM16, 8),
     "pcm_s24le": (lambda p: pcm_s24_encode(p).tobytes(), _FMT_PCM16, 24),
     "pcm_f32le": (lambda p: pcm_f32_encode(p).tobytes(), _FMT_FLOAT, 32),
+    "pcm_f64le": (lambda p: pcm_f64_encode(p).tobytes(), _FMT_FLOAT, 64),
 }
 
 
@@ -901,7 +947,7 @@ def wrap_extensible(raw: bytes) -> bytes:
 ENCODERS = {"pcm_s16le": encode_pcm16_wav, "ulaw": encode_ulaw_wav,
             "alaw": encode_alaw_wav, "adpcm_ima": encode_adpcm_wav,
             "pcm_u8": encode_pcm8_wav, "pcm_s24le": encode_pcm24_wav,
-            "pcm_f32le": encode_pcm32f_wav}
+            "pcm_f32le": encode_pcm32f_wav, "pcm_f64le": encode_pcm64f_wav}
 
 
 _PERIOD_CACHE: dict = {}

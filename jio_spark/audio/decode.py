@@ -124,8 +124,8 @@ def _snr_one_stack(items, ba: int, ch: int, out,
 #: closed, so an unknown key is always a typo that would silently fall
 #: to the default gate
 KNOWN_CODECS = frozenset(
-    {"pcm_s16le", "pcm_u8", "pcm_s24le", "pcm_f32le", "ulaw", "alaw",
-     "adpcm_ima"})
+    {"pcm_s16le", "pcm_u8", "pcm_s24le", "pcm_f32le", "pcm_f64le",
+     "ulaw", "alaw", "adpcm_ima"})
 
 
 def validate_gates(snr_threshold) -> None:

@@ -198,7 +198,8 @@ def default_codec_dim(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [("pcm_s16le", 16, "wav"), ("ulaw", 8, "wav"), ("alaw", 8, "wav"),
          ("adpcm_ima", 4, "wav"), ("pcm_u8", 8, "wav"),
-         ("pcm_s24le", 24, "wav"), ("pcm_f32le", 32, "wav")],
+         ("pcm_s24le", 24, "wav"), ("pcm_f32le", 32, "wav"),
+         ("pcm_f64le", 64, "wav")],
         "codec string, bits_per_sample int, container string")
 
 

@@ -60,9 +60,10 @@ def test_f32_under_extensible_guid(pcm):
 
 def test_f32_malformed_rejections(pcm):
     raw = bytearray(ENCODERS["pcm_f32le"](pcm, 16000))
-    # declared float64 (bits=64): rejected, not misread as two floats
+    # an unsupported float width (bits=48): rejected, not misread
+    # (bits=64 now parses as pcm_f64le — see the f64 arm below)
     bad = bytearray(raw)
-    bad[34:36] = struct.pack("<H", 64)
+    bad[34:36] = struct.pack("<H", 48)
     with pytest.raises(ValueError):
         parse_wav(bytes(bad))
     # payload not a multiple of 4 bytes
@@ -282,3 +283,35 @@ def test_parse_contract_classes_closed():
     the set would break the SNR kernel's materialize branch silently."""
     assert Float32Coded in CODED_CLASSES
     assert StereoCoded in CODED_CLASSES
+
+
+# -- IEEE float64 (round-5 late addition) -----------------------------------
+
+def test_f64_roundtrip_extensible_and_stereo(pcm):
+    """bits=64 under tag 3 (the rare scientific/DAW export width):
+    /32768 float64 round-trips int16 exactly, unwraps from EXTENSIBLE,
+    and carries stereo like every other per-sample codec."""
+    from jio_spark.audio.codecs import Float64Coded
+    raw = ENCODERS["pcm_f64le"](pcm, 16000)
+    coded, sr, codec = parse_wav(raw)
+    assert codec == "pcm_f64le" and isinstance(coded, Float64Coded)
+    assert len(coded) == len(pcm) and coded.nbytes == 8 * len(pcm)
+    dec, _, _ = decode_wav(raw)
+    assert np.array_equal(dec, pcm)
+    dec2, _, c2 = decode_wav(wrap_extensible(raw))
+    assert c2 == "pcm_f64le" and np.array_equal(dec2, pcm)
+    dec3, _, c3 = decode_wav(encode_stereo_wav(pcm, 16000, "pcm_f64le"))
+    assert c3 == "pcm_f64le" and np.array_equal(dec3, pcm)
+
+
+def test_f64_nonfinite_and_malformed():
+    f = np.array([np.nan, np.inf, -np.inf, 0.25], dtype="<f8")
+    dec, _, codec = decode_wav(_wav_bytes(f.tobytes(), _FMT_FLOAT,
+                                          8000, 64))
+    assert codec == "pcm_f64le"
+    assert list(dec) == [0, 32767, -32768, 8192]
+    # payload not a multiple of 8; and an unsupported float width
+    with pytest.raises(ValueError):
+        parse_wav(_wav_bytes(f.tobytes() + b"\x00", _FMT_FLOAT, 8000, 64))
+    with pytest.raises(ValueError):
+        parse_wav(_wav_bytes(f.tobytes(), _FMT_FLOAT, 8000, 48))

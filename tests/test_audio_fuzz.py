@@ -32,7 +32,7 @@ def _assert_parse_contract(raw):
     assert (isinstance(coded, CODED_CLASSES)
             or (isinstance(coded, np.ndarray) and coded.ndim == 1))
     assert codec in {"pcm_s16le", "pcm_u8", "pcm_s24le", "pcm_f32le",
-                     "ulaw", "alaw", "adpcm_ima"}
+                     "pcm_f64le", "ulaw", "alaw", "adpcm_ima"}
     assert isinstance(sr, int) and sr >= 0
     assert coded.nbytes <= len(raw)
     assert len(coded) >= 0
